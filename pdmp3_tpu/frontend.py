@@ -1,0 +1,524 @@
+"""Pure-Python bitstream frontend for MPEG-1 Layer III.
+
+This is the *semantic reference* for the native C++ frontend
+(``pdmp3_tpu/host``): it reproduces, state-transition for state-transition,
+the reference decoder's frame machinery — input ring buffer
+(pdmp3.c:1062-1086, 1464-1474), byte-aligned sync search with rollback
+(pdmp3.c:1252-1340), side-info parse incl. the implicit region counts for
+switched blocks (pdmp3.c:1129-1200), the bit-reservoir protocol with its
+skip-frame NEED_MORE path (pdmp3.c:1096-1122), scalefactor decode with scfsi
+sharing (pdmp3.c:1376-1435), and Huffman decode with overrun rollback and
+stuffing-bit skip (pdmp3.c:2051-2115).
+
+Output of a successful frame parse is a :class:`FrameData` carrying the dense
+per-granule tensors that cross the host->TPU boundary: integer frequency
+lines ``ix[gr][ch][576]`` plus side-info/scalefactor arrays.  Everything
+below that boundary is the DSP backend's job (oracle / JAX).
+
+The Huffman decode here uses the LUT codebooks from :mod:`pdmp3_tpu.tables`
+(multi-bit table steps), not a bit-serial tree walk; consumption semantics
+are identical because the code trees are complete and prefix-free.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import tables as T
+
+C_EOF = 0xFFFFFFFF
+
+
+@dataclass
+class SideInfo:
+    main_data_begin: int = 0
+    private_bits: int = 0
+    scfsi: np.ndarray = field(default_factory=lambda: np.zeros((2, 4), np.int32))
+    part2_3_length: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    big_values: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    global_gain: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    scalefac_compress: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    win_switch_flag: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    block_type: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    mixed_block_flag: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    table_select: np.ndarray = field(default_factory=lambda: np.zeros((2, 2, 3), np.int32))
+    subblock_gain: np.ndarray = field(default_factory=lambda: np.zeros((2, 2, 3), np.int32))
+    region0_count: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    region1_count: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    preflag: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    scalefac_scale: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    count1table_select: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+    count1: np.ndarray = field(default_factory=lambda: np.zeros((2, 2), np.int32))
+
+
+@dataclass
+class Header:
+    id: int = 0
+    layer: int = 0
+    protection_bit: int = 0
+    bitrate_index: int = 0
+    sampling_frequency: int = 0
+    padding_bit: int = 0
+    private_bit: int = 0
+    mode: int = 0
+    mode_extension: int = 0
+    copyright: int = 0
+    original_or_copy: int = 0
+    emphasis: int = 0
+
+    @property
+    def nch(self) -> int:
+        return 1 if self.mode == 3 else 2
+
+    @property
+    def sample_rate(self) -> int:
+        return int(T.SAMPLE_RATES[self.sampling_frequency])
+
+    def frame_size(self) -> int:
+        return (144 * int(T.BITRATES[self.layer - 1][self.bitrate_index])
+                // int(T.SAMPLE_RATES[self.sampling_frequency])
+                + self.padding_bit)
+
+
+@dataclass
+class FrameData:
+    header: Header
+    side: SideInfo
+    scalefac_l: np.ndarray  # [2,2,22] int32 (index 21 = sfb21-region policy)
+    scalefac_s: np.ndarray  # [2,2,13,3] int32 (index 12 = policy)
+    ix: np.ndarray          # [2,2,576] int32 Huffman-decoded lines
+
+
+class Frontend:
+    """Streaming MP3 frame parser with reference-identical state machine."""
+
+    def __init__(self):
+        self.inbuf = bytearray(T.INBUF_SIZE)
+        self.istart = 0
+        self.iend = 0
+        self.processed = 0
+        # bit reservoir: one uint32 word per byte, like the reference
+        # (pdmp3.c:137) so EOF floods reproduce identically
+        self.main_vec = np.zeros(2 * 1024, np.uint32)
+        self.main_byte = 0   # byte cursor into main_vec
+        self.main_idx = 0    # bit index 0-7
+        self.main_top = 0
+        self.side_vec = np.zeros(32 + 4, np.uint32)
+        self.side_byte = 0
+        self.side_idx = 0
+        self.header = Header()
+        self.side = SideInfo()
+        self.new_header = 0
+
+    # ---- input ring buffer (pdmp3.c:1062-1086, 2391-2423) ----
+
+    def inbuf_filled(self) -> int:
+        if self.istart <= self.iend:
+            return self.iend - self.istart
+        return T.INBUF_SIZE - self.istart + self.iend
+
+    def inbuf_free(self) -> int:
+        if self.iend < self.istart:
+            return self.istart - self.iend
+        return T.INBUF_SIZE - self.iend + self.istart
+
+    def feed(self, data: bytes) -> int:
+        if not data:
+            return T.ERR
+        size = len(data)
+        if size > self.inbuf_free():
+            return T.NO_SPACE
+        if self.iend < self.istart:
+            self.inbuf[self.iend:self.iend + size] = data
+            self.iend += size
+        else:
+            first = min(size, T.INBUF_SIZE - self.iend)
+            self.inbuf[self.iend:self.iend + first] = data[:first]
+            self.iend += first
+            rest = size - first
+            if rest:
+                self.inbuf[0:rest] = data[first:]
+                self.iend = rest
+        return T.OK
+
+    def get_byte(self) -> int:
+        if self.istart == self.iend:
+            return C_EOF
+        v = self.inbuf[self.istart]
+        self.istart += 1
+        if self.istart == T.INBUF_SIZE:
+            self.istart = 0
+        self.processed += 1
+        return v
+
+    # ---- bit readers over reservoir / side info ----
+
+    def get_main_bit(self) -> int:
+        w = int(self.main_vec[self.main_byte])
+        bit = (w >> (7 - self.main_idx)) & 1
+        self.main_idx += 1
+        self.main_byte += self.main_idx >> 3
+        self.main_idx &= 7
+        return bit
+
+    def get_main_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        b = self.main_byte
+        w = ((int(self.main_vec[b]) << 24) | (int(self.main_vec[b + 1]) << 16)
+             | (int(self.main_vec[b + 2]) << 8) | int(self.main_vec[b + 3]))
+        w = (w << self.main_idx) & 0xFFFFFFFF
+        w >>= 32 - n
+        self.main_idx += n
+        self.main_byte += self.main_idx >> 3
+        self.main_idx &= 7
+        return w
+
+    def main_pos(self) -> int:
+        return self.main_byte * 8 + self.main_idx
+
+    def set_main_pos(self, bitpos: int) -> None:
+        self.main_byte = bitpos >> 3
+        self.main_idx = bitpos & 7
+
+    def get_side_bits(self, n: int) -> int:
+        b = self.side_byte
+        w = ((int(self.side_vec[b]) << 24) | (int(self.side_vec[b + 1]) << 16)
+             | (int(self.side_vec[b + 2]) << 8) | int(self.side_vec[b + 3]))
+        w = (w << self.side_idx) & 0xFFFFFFFF
+        w >>= 32 - n
+        self.side_idx += n
+        self.side_byte += self.side_idx >> 3
+        self.side_idx &= 7
+        return w
+
+    # ---- header sync & parse (pdmp3.c:1252-1340) ----
+
+    def _read_header(self) -> int:
+        b = [self.get_byte() for _ in range(4)]
+        if C_EOF in b:
+            return T.ERR
+        hdr = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+        while (hdr & 0xFFF00000) != 0xFFF00000:
+            nb = self.get_byte()
+            if nb == C_EOF:
+                return T.ERR
+            hdr = ((hdr << 8) & 0xFFFFFF00) | nb
+        h = self.header
+        h.id = (hdr >> 19) & 1
+        h.layer = (hdr >> 17) & 3
+        h.protection_bit = (hdr >> 16) & 1
+        h.bitrate_index = (hdr >> 12) & 0xF
+        h.sampling_frequency = (hdr >> 10) & 3
+        h.padding_bit = (hdr >> 9) & 1
+        h.private_bit = (hdr >> 8) & 1
+        h.mode = (hdr >> 6) & 3
+        h.mode_extension = (hdr >> 4) & 3
+        h.copyright = (hdr >> 3) & 1
+        h.original_or_copy = (hdr >> 2) & 1
+        h.emphasis = hdr & 3
+        if h.id != 1 or h.bitrate_index in (0, 15) \
+                or h.sampling_frequency == 3 or h.layer == 0:
+            return T.ERR
+        h.layer = 4 - h.layer
+        if not self.new_header:
+            self.new_header = 1
+        return T.OK
+
+    def search_header(self) -> int:
+        pos = self.processed
+        mark = self.istart
+        res = T.NEED_MORE
+        cnt = 0
+        while self.inbuf_filled() > 4:
+            res = self._read_header()
+            if self.header.layer == 3 and res == T.OK:
+                break
+            mark += 1
+            if mark == T.INBUF_SIZE:
+                mark = 0
+            self.istart = mark
+            self.processed = pos
+            cnt += 1
+            if cnt > 2 * 576:
+                return T.ERR
+        return res
+
+    # ---- side info (pdmp3.c:1129-1200) ----
+
+    def _read_side_info(self) -> int:
+        h = self.header
+        nch = h.nch
+        framesize = h.frame_size()
+        if framesize > 2000:
+            return T.ERR
+        sideinfo_size = 17 if nch == 1 else 32
+        # Load side-info bytes.  Quirk parity: on input underrun the
+        # reference stores the bytes it got, keeps the *stale* bit cursor,
+        # and parses on regardless (Get_Sideinfo's early return skips the
+        # cursor reset and Read_Audio_L3 ignores it, pdmp3.c:1576-1586,1233).
+        eof = False
+        for i in range(sideinfo_size):
+            v = self.get_byte()
+            if v == C_EOF:
+                eof = True
+                break
+            self.side_vec[i] = v
+        if not eof:
+            self.side_byte = 0
+            self.side_idx = 0
+        s = self.side
+        s.main_data_begin = self.get_side_bits(9)
+        s.private_bits = self.get_side_bits(5 if nch == 1 else 3)
+        for ch in range(nch):
+            for b in range(4):
+                s.scfsi[ch][b] = self.get_side_bits(1)
+        for gr in range(2):
+            for ch in range(nch):
+                s.part2_3_length[gr][ch] = self.get_side_bits(12)
+                s.big_values[gr][ch] = self.get_side_bits(9)
+                s.global_gain[gr][ch] = self.get_side_bits(8)
+                s.scalefac_compress[gr][ch] = self.get_side_bits(4)
+                s.win_switch_flag[gr][ch] = self.get_side_bits(1)
+                if s.win_switch_flag[gr][ch]:
+                    s.block_type[gr][ch] = self.get_side_bits(2)
+                    s.mixed_block_flag[gr][ch] = self.get_side_bits(1)
+                    for r in range(2):
+                        s.table_select[gr][ch][r] = self.get_side_bits(5)
+                    for w in range(3):
+                        s.subblock_gain[gr][ch][w] = self.get_side_bits(3)
+                    # implicit region counts ("the standard is wrong on
+                    # this", pdmp3.c:1181-1185)
+                    if s.block_type[gr][ch] == 2 and not s.mixed_block_flag[gr][ch]:
+                        s.region0_count[gr][ch] = 8
+                    else:
+                        s.region0_count[gr][ch] = 7
+                    s.region1_count[gr][ch] = 20 - s.region0_count[gr][ch]
+                else:
+                    for r in range(3):
+                        s.table_select[gr][ch][r] = self.get_side_bits(5)
+                    s.region0_count[gr][ch] = self.get_side_bits(4)
+                    s.region1_count[gr][ch] = self.get_side_bits(3)
+                    s.block_type[gr][ch] = 0
+                s.preflag[gr][ch] = self.get_side_bits(1)
+                s.scalefac_scale[gr][ch] = self.get_side_bits(1)
+                s.count1table_select[gr][ch] = self.get_side_bits(1)
+        return T.OK
+
+    # ---- bit reservoir (pdmp3.c:1096-1122) ----
+
+    def _get_main_data(self, size: int, begin: int) -> int:
+        if begin > self.main_top:
+            # underflow: buffer this frame's bytes, skip decode
+            self._get_bytes_into(self.main_vec, self.main_top, size)
+            self.main_byte = 0
+            self.main_idx = 0
+            self.main_top += size
+            return T.NEED_MORE
+        top = self.main_top
+        self.main_vec[:begin] = self.main_vec[top - begin:top]
+        self._get_bytes_into(self.main_vec, begin, size)
+        self.main_byte = 0
+        self.main_idx = 0
+        self.main_top = begin + size
+        return T.OK
+
+    def _get_bytes_into(self, vec, off: int, n: int) -> int:
+        """Get_Bytes parity (pdmp3.c:1076-1086): stop storing at EOF,
+        leaving any stale tail bytes in place."""
+        avail = min(n, self.inbuf_filled())
+        for i in range(avail):
+            vec[off + i] = self.get_byte()
+        return T.OK if avail == n else C_EOF
+
+    # ---- scalefactors + Huffman (pdmp3.c:1346-1442, 2051-2115) ----
+
+    def _read_main(self, scalefac_l, scalefac_s, ix) -> int:
+        h, s = self.header, self.side
+        nch = h.nch
+        framesize = h.frame_size()
+        if framesize > 2000:
+            return T.ERR
+        sideinfo_size = 17 if nch == 1 else 32
+        main_data_size = framesize - sideinfo_size - 4
+        if h.protection_bit == 0:
+            main_data_size -= 2
+        res = self._get_main_data(main_data_size, s.main_data_begin)
+        if res != T.OK:
+            return res
+        for gr in range(2):
+            for ch in range(nch):
+                part_2_start = self.main_pos()
+                slen1, slen2 = T.SCALEFAC_SIZES[s.scalefac_compress[gr][ch]]
+                slen1, slen2 = int(slen1), int(slen2)
+                if s.win_switch_flag[gr][ch] and s.block_type[gr][ch] == 2:
+                    if s.mixed_block_flag[gr][ch]:
+                        for sfb in range(8):
+                            scalefac_l[gr][ch][sfb] = self.get_main_bits(slen1)
+                        for sfb in range(3, 12):
+                            nbits = slen1 if sfb < 6 else slen2
+                            for w in range(3):
+                                scalefac_s[gr][ch][sfb][w] = self.get_main_bits(nbits)
+                    else:
+                        for sfb in range(12):
+                            nbits = slen1 if sfb < 6 else slen2
+                            for w in range(3):
+                                scalefac_s[gr][ch][sfb][w] = self.get_main_bits(nbits)
+                else:
+                    for grp, (lo, hi, sl) in enumerate(
+                            ((0, 6, slen1), (6, 11, slen1),
+                             (11, 16, slen2), (16, 21, slen2))):
+                        if s.scfsi[ch][grp] == 0 or gr == 0:
+                            for sfb in range(lo, hi):
+                                scalefac_l[gr][ch][sfb] = self.get_main_bits(sl)
+                        elif s.scfsi[ch][grp] == 1 and gr == 1:
+                            scalefac_l[1][ch][lo:hi] = scalefac_l[0][ch][lo:hi]
+                self._read_huffman(part_2_start, gr, ch, ix)
+        return T.OK
+
+    def _read_huffman(self, part_2_start: int, gr: int, ch: int, ix) -> None:
+        s = self.side
+        line = ix[gr][ch]
+        if s.part2_3_length[gr][ch] == 0:
+            line[:] = 0
+            s.count1[gr][ch] = 0
+            return
+        bit_pos_end = part_2_start + int(s.part2_3_length[gr][ch]) - 1
+        if s.win_switch_flag[gr][ch] and s.block_type[gr][ch] == 2:
+            region_1_start = 36
+            region_2_start = 576
+        else:
+            sfreq = self.header.sampling_frequency
+            region_1_start = int(T.SFB_LONG[sfreq][s.region0_count[gr][ch] + 1])
+            region_2_start = int(
+                T.SFB_LONG[sfreq][s.region0_count[gr][ch]
+                                  + s.region1_count[gr][ch] + 2])
+        tabs = T.huffman_tables()
+        big = int(s.big_values[gr][ch]) * 2
+        is_pos = 0
+        while is_pos < big:
+            if is_pos < region_1_start:
+                tnum = int(s.table_select[gr][ch][0])
+            elif is_pos < region_2_start:
+                tnum = int(s.table_select[gr][ch][1])
+            else:
+                tnum = int(s.table_select[gr][ch][2])
+            x, y = self._huff_pair(tabs[tnum])
+            if is_pos >= 576:  # malformed stream: reference would OOB-write
+                is_pos += 2
+                continue
+            line[is_pos] = x
+            if is_pos + 1 < 576:
+                line[is_pos + 1] = y
+            is_pos += 2
+        tnum = int(s.count1table_select[gr][ch]) + 32
+        is_pos = big
+        while is_pos <= 572 and self.main_pos() <= bit_pos_end:
+            v, w, x, y = self._huff_quad(tabs[tnum])
+            line[is_pos] = v
+            is_pos += 1
+            if is_pos >= 576:
+                break
+            line[is_pos] = w
+            is_pos += 1
+            if is_pos >= 576:
+                break
+            line[is_pos] = x
+            is_pos += 1
+            if is_pos >= 576:
+                break
+            line[is_pos] = y
+            is_pos += 1
+        if self.main_pos() > bit_pos_end + 1:
+            is_pos -= 4
+        s.count1[gr][ch] = is_pos
+        line[max(is_pos, 0):576] = 0
+        self.set_main_pos(bit_pos_end + 1)
+
+    def _peek_decode(self, tab) -> tuple[int, int]:
+        """Decode one codeword via the LUT, consuming exactly its length."""
+        # peek maxlen bits without consuming (cheap: save/restore cursor)
+        save_b, save_i = self.main_byte, self.main_idx
+        peek = 0
+        need = tab.maxlen
+        while need > 0:
+            take = min(24, need)
+            peek = (peek << take) | self.get_main_bits(take)
+            need -= take
+        self.main_byte, self.main_idx = save_b, save_i
+        length, x, y = tab.decode(peek)
+        self.main_idx += length
+        self.main_byte += self.main_idx >> 3
+        self.main_idx &= 7
+        return x, y
+
+    def _huff_pair(self, tab) -> tuple[int, int]:
+        if tab.maxlen == 0:
+            return 0, 0
+        x, y = self._peek_decode(tab)
+        if tab.linbits and x == 15:
+            x += self.get_main_bits(tab.linbits)
+        if x > 0 and self.get_main_bit():
+            x = -x
+        if tab.linbits and y == 15:
+            y += self.get_main_bits(tab.linbits)
+        if y > 0 and self.get_main_bit():
+            y = -y
+        return x, y
+
+    def _huff_quad(self, tab) -> tuple[int, int, int, int]:
+        if tab.ref_broken:
+            q = 3  # reference's stale table-33 pointer: 0-bit leaf (2,3)
+        else:
+            _, q = self._peek_decode(tab)
+        v, w, x, y = (q >> 3) & 1, (q >> 2) & 1, (q >> 1) & 1, q & 1
+        if v and self.get_main_bit():
+            v = -v
+        if w and self.get_main_bit():
+            w = -w
+        if x and self.get_main_bit():
+            x = -x
+        if y and self.get_main_bit():
+            y = -y
+        return v, w, x, y
+
+    # ---- frame driver (pdmp3.c:1217-1244) ----
+
+    def read_frame(self) -> tuple[int, FrameData | None]:
+        """Search header + parse one frame. Returns (status, FrameData|None).
+
+        On any non-OK status the caller is expected to roll back the input
+        cursor (as pdmp3_read does, pdmp3.c:2459-2462).
+        """
+        res = self.search_header()
+        if res != T.OK:
+            return (T.ERR if res == T.ERR else res), None
+        if self.header.protection_bit == 0:
+            # CRC bytes read and discarded; EOF here is silently ignored
+            # because the reference's Read_CRC returns FALSE==PDMP3_OK on
+            # EOF (pdmp3.c:1206-1210, 1231).
+            self.get_byte()
+            self.get_byte()
+        if self.header.layer != 3:
+            return T.ERR, None
+        res = self._read_side_info()
+        if res != T.OK:
+            return T.ERR, None
+        scalefac_l = np.zeros((2, 2, 22), np.int32)
+        scalefac_s = np.zeros((2, 2, 13, 3), np.int32)
+        ix = np.zeros((2, 2, 576), np.int32)
+        res = self._read_main(scalefac_l, scalefac_s, ix)
+        if res != T.OK:
+            return res, None
+        import copy
+        side = copy.deepcopy(self.side)
+        header = copy.deepcopy(self.header)
+        return T.OK, FrameData(header, side, scalefac_l, scalefac_s, ix)
+
+    def reset(self) -> None:
+        """pdmp3_open_feed semantics (pdmp3.c:2369-2384)."""
+        self.istart = self.iend = 0
+        self.processed = 0
+        self.new_header = 0
+        self.main_top = 0

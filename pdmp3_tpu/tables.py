@@ -1,0 +1,257 @@
+"""MPEG-1 Layer III constant tables and derived lookup maps.
+
+Data provenance: ISO/IEC 11172-3 specification constants.  Float tables whose
+exact bit patterns matter for PCM parity with the reference decoder
+(technosaurus/PDMP3) are extracted from the reference's frozen data by
+``tools/extract_tables.py`` into ``_data/tables.npz`` (see that tool for the
+reference file/line provenance of each block).  Small integer spec tables
+(bitrates, sample rates, scalefactor band edges: pdmp3.c:517-533, 873-892,
+2123) are transcribed here directly.
+
+Beyond the raw constants, this module derives the *batched-decode* lookup
+maps that make the TPU formulation possible: per-(samplerate, block-layout)
+scalefactor-band index maps over the 576 frequency lines, short-block
+reorder permutations, and the Huffman LUT decoder tables used by the host
+frontend.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+_DATA = os.path.join(os.path.dirname(__file__), "_data", "tables.npz")
+
+# ---------------------------------------------------------------------------
+# Small spec tables (ISO 11172-3; cf. pdmp3.c:517-533, 873-892, 2123)
+# ---------------------------------------------------------------------------
+
+BITRATES = np.array([  # layer 1..3 x bitrate_index 0..14, bits/s
+    [0, 32000, 64000, 96000, 128000, 160000, 192000, 224000,
+     256000, 288000, 320000, 352000, 384000, 416000, 448000],
+    [0, 32000, 48000, 56000, 64000, 80000, 96000, 112000,
+     128000, 160000, 192000, 224000, 256000, 320000, 384000],
+    [0, 32000, 40000, 48000, 56000, 64000, 80000, 96000,
+     112000, 128000, 160000, 192000, 224000, 256000, 320000],
+], np.int64)
+
+SAMPLE_RATES = np.array([44100, 48000, 32000], np.int64)
+
+# scalefac_compress -> (slen1, slen2)
+SCALEFAC_SIZES = np.array([
+    [0, 0], [0, 1], [0, 2], [0, 3], [3, 0], [1, 1], [1, 2], [1, 3],
+    [2, 1], [2, 2], [2, 3], [3, 1], [3, 2], [3, 3], [4, 2], [4, 3],
+], np.int32)
+
+# Scalefactor band edges per sample-rate index: long[23], short[14]
+SFB_LONG = np.array([
+    [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
+     162, 196, 238, 288, 342, 418, 576],
+    [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128,
+     156, 190, 230, 276, 330, 384, 576],
+    [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156,
+     194, 240, 296, 364, 448, 550, 576],
+], np.int32)
+
+SFB_SHORT = np.array([
+    [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+], np.int32)
+
+PRETAB = np.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2],
+                  np.int32)
+
+INV_SQRT2 = 0.70710678118654752440  # double, as the reference's C_PI sibling
+
+# Streaming API status codes (libmpg123 subset, pdmp3.c:114-121)
+OK = 0
+ERR = -1
+NEED_MORE = -10
+NEW_FORMAT = -11
+NO_SPACE = 7
+ENC_SIGNED_16 = 0x080 | 0x040 | 0x10
+
+INBUF_SIZE = 4 * 4096
+
+
+# ---------------------------------------------------------------------------
+# Extracted float/huffman data
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def _npz():
+    return np.load(_DATA)
+
+
+def _arr(name: str) -> np.ndarray:
+    a = _npz()[name]
+    a.setflags(write=False)
+    return a
+
+
+ANTIALIAS_CS = _arr("antialias_cs")      # [8] f32
+ANTIALIAS_CA = _arr("antialias_ca")      # [8] f32
+IS_RATIOS = _arr("is_ratios")            # [6] f32
+IMDCT_WIN = _arr("imdct_win")            # [4,36] f32
+COS_N12 = _arr("cos_n12")                # [6,12] f32  (m, p)
+COS_N36 = _arr("cos_n36")                # [18,36] f32 (m, p)
+SYNTH_D = _arr("synth_d")                # [512] f32
+SYNTH_NWIN = _arr("synth_nwin")          # [64,32] f32
+POW43 = _arr("pow43")                    # [8207] f32: i^(4/3)
+GAIN_QUARTER_DOWN = _arr("gain_quarter_down")  # [256] f32: 2^(-q/4)
+GAIN_GLOBAL = _arr("gain_global")        # [312] f32: 2^((e-266)/4)
+GAIN_GLOBAL_OFF = 266
+
+
+# ---------------------------------------------------------------------------
+# Huffman codebooks & LUT decoders
+# ---------------------------------------------------------------------------
+
+class HuffTable:
+    """Canonical codebook + one-shot LUT decoder for one Layer III table."""
+
+    __slots__ = ("num", "linbits", "entries", "maxlen", "lut", "ref_broken")
+
+    def __init__(self, num: int, linbits: int, entries: np.ndarray,
+                 ref_broken: bool = False):
+        self.num = num
+        self.linbits = int(linbits)
+        self.entries = entries  # [n,4]: code, len, x, y
+        # Reference-parity quirk: the reference's table directory points
+        # table 33 into the middle of table 24's tree (pdmp3.c:569,
+        # offset +2261 instead of +2773), hitting a 0-bit leaf with payload
+        # (x=2, y=3).  Every count1table_select==1 quad therefore decodes
+        # as (v,w,x,y)=(0,0,1,1) consuming only the two sign bits.  When
+        # ref_broken is set the decoder must emulate that instead of using
+        # the real tree stored in `entries`.
+        self.ref_broken = ref_broken
+        if len(entries) == 0:
+            self.maxlen = 0
+            self.lut = None
+            return
+        self.maxlen = int(entries[:, 1].max())
+        # Single-level LUT over maxlen bits: value = (len<<8)|(x<<4)|y.
+        # Layer III max code length is 19 bits -> at most 512K entries for
+        # table 13/15 class; fine for host memory, and the C++ frontend uses
+        # a two-level variant generated from the same codebook.
+        lut = np.zeros(1 << self.maxlen, np.uint32)
+        for code, length, x, y in entries:
+            shift = self.maxlen - length
+            lo = code << shift
+            hi = lo + (1 << shift)
+            lut[lo:hi] = (length << 8) | (x << 4) | y
+        assert (lut != 0).all() or self.maxlen == 0 or (
+            (lut == 0).sum() == 0), f"incomplete table {num}"
+        self.lut = lut
+
+    def decode(self, peek: int):
+        """peek: next maxlen bits (MSB-first). Returns (length, x, y)."""
+        v = int(self.lut[peek])
+        return v >> 8, (v >> 4) & 0xF, v & 0xF
+
+
+@functools.lru_cache(maxsize=1)
+def huffman_tables() -> list[HuffTable]:
+    rows = _npz()["huff_rows"]          # [N,5] table, code, len, x, y
+    offsets = _npz()["huff_offsets"]
+    linbits = _npz()["huff_linbits"]
+    out = []
+    for t in range(34):
+        ent = rows[offsets[t]:offsets[t + 1], 1:5]
+        out.append(HuffTable(t, int(linbits[t]), ent, ref_broken=(t == 33)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Derived per-layout maps for batched (TPU) execution.
+#
+# A "layout" identifies how the 576 frequency lines of one granule-channel
+# map onto scalefactor bands/windows:
+#   layout = sfreq * 3 + {0: long, 1: short, 2: mixed}
+# (block_type in {0,1,3} => long layout; block_type 2 => short or mixed).
+# ---------------------------------------------------------------------------
+
+N_LAYOUTS = 9
+LONG, SHORT, MIXED = 0, 1, 2
+
+
+def layout_id(sfreq: int, win_switch: int, block_type: int, mixed: int) -> int:
+    if win_switch and block_type == 2:
+        return sfreq * 3 + (MIXED if mixed else SHORT)
+    return sfreq * 3 + LONG
+
+
+@functools.lru_cache(maxsize=1)
+def layout_maps():
+    """Per-layout [9, 576] int32 maps used by the batched requantize/stereo
+    kernels, plus the short-block reorder permutation.
+
+    Returns dict of arrays, each [N_LAYOUTS, 576] unless noted:
+      sfb:        scalefactor band index of each line (long band 0-21 for
+                  long regions incl. the untransmitted sfb21 region; short
+                  band 0-12 for short regions)
+      win:        window index 0-2 for short regions, 0 for long regions
+      is_short:   1 where the line belongs to a short-block region
+      sbgain_win: same as win (alias kept for clarity)
+      reorder:    permutation p with  is_reordered[i] = is_raw[p[i]]
+                  (identity for long layouts)
+    """
+    sfb_map = np.zeros((N_LAYOUTS, 576), np.int32)
+    win_map = np.zeros((N_LAYOUTS, 576), np.int32)
+    short_map = np.zeros((N_LAYOUTS, 576), np.int32)
+    reorder = np.tile(np.arange(576, dtype=np.int32), (N_LAYOUTS, 1))
+
+    for sf in range(3):
+        louts = SFB_LONG[sf]
+        shrts = SFB_SHORT[sf]
+
+        # long layout: sfb index per line (sfb 21 = untransmitted region)
+        lay = sf * 3 + LONG
+        for b in range(22):
+            sfb_map[lay, louts[b]:louts[b + 1]] = b
+
+        for kind in (SHORT, MIXED):
+            lay = sf * 3 + kind
+            start_sfb = 3 if kind == MIXED else 0
+            if kind == MIXED:
+                # first 36 lines: long bands 0..7 (sfreq-dependent edges)
+                for b in range(8):
+                    lo, hi = louts[b], min(louts[b + 1], 36)
+                    if lo < 36:
+                        sfb_map[lay, lo:hi] = b
+            # short bands cover [3*shrts[start_sfb], 576) in groups of
+            # 3 windows x win_len
+            i = 3 * shrts[start_sfb]
+            for b in range(start_sfb, 13):
+                wl = shrts[b + 1] - shrts[b]
+                for w in range(3):
+                    sfb_map[lay, i:i + wl] = b
+                    win_map[lay, i:i + wl] = w
+                    short_map[lay, i:i + wl] = 1
+                    i += wl
+            assert i == 576
+            # reorder permutation (pdmp3.c:1786-1823): within band b,
+            # reordered[3*s[b] + 3*j + w] = raw[3*s[b] + w*wl + j]
+            base0 = 3 * shrts[start_sfb]
+            for b in range(start_sfb, 12):
+                s0 = 3 * shrts[b]
+                wl = shrts[b + 1] - shrts[b]
+                for w in range(3):
+                    for j in range(wl):
+                        reorder[lay, s0 + 3 * j + w] = s0 + w * wl + j
+            # band 12 region [3*s[12], 576) is reordered with wl = s[13]-s[12]
+            s0 = 3 * shrts[12]
+            wl = shrts[13] - shrts[12]
+            for w in range(3):
+                for j in range(wl):
+                    reorder[lay, s0 + 3 * j + w] = s0 + w * wl + j
+            del base0
+
+    return {
+        "sfb": sfb_map,
+        "win": win_map,
+        "is_short": short_map,
+        "reorder": reorder,
+    }

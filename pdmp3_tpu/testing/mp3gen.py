@@ -1,0 +1,495 @@
+"""Synthetic MPEG-1 Layer III bitstream generator.
+
+Generates *valid* Layer III streams with precise control over every coding
+feature — block types (long/short/mixed), stereo modes (LR / MS / intensity /
+both), scfsi sharing, bit-reservoir placement (main_data_begin chains),
+stuffing bits, CRC frames, padding, all three sample rates and any bitrate —
+so the conformance suite can cover the full format matrix without an
+external encoder.  The output is not meaningful audio; it is a
+coverage-directed bitstream whose decode is compared 1:1 between the
+reference C decoder and pdmp3_tpu.
+
+The generator is also careful to stay inside the reference decoder's
+*defined* behavior: it never emits big_values/count1 extents that drive the
+reference into its out-of-bounds scalefactor reads (long lines past
+sfb-band 21 / short past band 12, cf. pdmp3.c:1896-1902 with a 21-entry
+scalefac array), and it only enables short-block intensity stereo on request
+(the reference's Stereo_Process_Intensity_Short has a transcription bug,
+pdmp3.c:2212-2213).
+"""
+from __future__ import annotations
+
+import dataclasses
+import random
+
+import numpy as np
+
+from .. import tables as T
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, value: int, n: int) -> None:
+        assert 0 <= value < (1 << n), (value, n)
+        for k in range(n - 1, -1, -1):
+            self.bits.append((value >> k) & 1)
+
+    def nbits(self) -> int:
+        return len(self.bits)
+
+    def to_bytes(self, pad_to_byte: bool = True) -> bytes:
+        bits = self.bits
+        out = bytearray()
+        for i in range(0, len(bits) - 7, 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        rem = len(bits) % 8
+        if rem and pad_to_byte:
+            b = 0
+            for j in range(rem):
+                b = (b << 1) | bits[len(bits) - rem + j]
+            b <<= 8 - rem
+            out.append(b)
+        return bytes(out)
+
+
+def _encode_maps():
+    """Per-table dict (x, y) -> (code, len) from the canonical codebooks."""
+    maps = []
+    for tab in T.huffman_tables():
+        m = {}
+        for code, length, x, y in tab.entries:
+            m[(int(x), int(y))] = (int(code), int(length))
+        maps.append(m)
+    return maps
+
+
+_ENC = None
+
+
+def _enc():
+    global _ENC
+    if _ENC is None:
+        _ENC = _encode_maps()
+    return _ENC
+
+
+@dataclasses.dataclass
+class GranuleSpec:
+    """One granule-channel's coding parameters + spectrum."""
+    block_type: int = 0          # 0 long, 1 start, 2 short, 3 stop
+    win_switch: int = 0
+    mixed: int = 0
+    global_gain: int = 160
+    scalefac_compress: int = 5
+    scalefac_scale: int = 0
+    preflag: int = 0
+    subblock_gain: tuple = (0, 0, 0)
+    table_select: tuple = (1, 2, 5)   # per region (2 used if win_switch)
+    region0_count: int = 4
+    region1_count: int = 3
+    count1table_select: int = 0
+    scalefac_l: np.ndarray | None = None   # [21]
+    scalefac_s: np.ndarray | None = None   # [12,3]
+    values: np.ndarray | None = None       # int spectrum [576]
+    big_values: int = 0
+    n_quads: int = 0
+    stuffing_bits: int = 0
+
+
+def _table_max(table_num: int) -> int:
+    """Largest |value| encodable by a big-values table."""
+    tab = T.huffman_tables()[table_num]
+    if tab.maxlen == 0:
+        return 0
+    mx = int(tab.entries[:, 2].max())
+    if tab.linbits:
+        return 15 + (1 << tab.linbits) - 1
+    return mx
+
+
+def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
+                 stereo_extent: float = 1.0, amp: int = 6,
+                 stuffing: int = 0, scalefac_scale: int | None = None,
+                 preflag: int | None = None,
+                 intensity_pos: int | None = None,
+                 max_lines: int = 576) -> GranuleSpec:
+    """Build a random-but-valid granule spec.
+
+    block: "long" | "start" | "stop" | "short" | "mixed"
+    stereo_extent: fraction of the allowed spectrum extent that carries
+      nonzero big_values (use < 1.0 on ch1 to trigger intensity bands).
+    intensity_pos: if given, fill scalefactors with is_pos values 0..7
+      (for the channel whose scalefacs define intensity positions).
+    """
+    g = GranuleSpec()
+    g.block_type = {"long": 0, "start": 1, "stop": 3,
+                    "short": 2, "mixed": 2}[block]
+    g.win_switch = 1 if block in ("start", "stop", "short", "mixed") else 0
+    g.mixed = 1 if block == "mixed" else 0
+    g.global_gain = rng.randrange(120, 200)
+    g.scalefac_compress = rng.randrange(16)
+    g.scalefac_scale = rng.randrange(2) if scalefac_scale is None else scalefac_scale
+    g.preflag = (rng.randrange(2) if preflag is None else preflag) \
+        if not g.win_switch else rng.randrange(2)
+    g.count1table_select = rng.randrange(2)
+
+    # stay clear of the reference's OOB scalefac region (see module doc)
+    if g.win_switch and g.block_type == 2:
+        limit = 3 * int(T.SFB_SHORT[sfreq][12])
+    else:
+        limit = int(T.SFB_LONG[sfreq][21])
+    limit -= 8 + 4 * stuffing  # headroom for stuffing-driven extra quads
+
+    if g.win_switch:
+        g.subblock_gain = tuple(rng.randrange(3) for _ in range(3))
+        # region counts implicit (pdmp3.c:1181-1185)
+        if g.block_type == 2 and not g.mixed:
+            g.region0_count, g.region1_count = 8, 12
+        else:
+            g.region0_count, g.region1_count = 7, 13
+        tsel = [rng.choice([1, 2, 3, 5, 6, 7, 8, 16, 24]) for _ in range(2)]
+        g.table_select = (tsel[0], tsel[1], 0)
+    else:
+        g.region0_count = rng.randrange(0, 10)
+        g.region1_count = rng.randrange(0, min(8, 20 - g.region0_count))
+        g.table_select = tuple(
+            rng.choice([1, 2, 3, 5, 6, 7, 8, 10, 13, 15, 16, 24])
+            for _ in range(3))
+
+    # scalefactors
+    slen1, slen2 = (int(v) for v in T.SCALEFAC_SIZES[g.scalefac_compress])
+
+    def sf(nbits):
+        if intensity_pos is not None:
+            return min(intensity_pos, (1 << nbits) - 1) if nbits else 0
+        return rng.randrange(1 << nbits) if nbits else 0
+
+    g.scalefac_l = np.array(
+        [sf(slen1 if b < 11 else slen2) for b in range(21)], np.int32)
+    g.scalefac_s = np.array(
+        [[sf(slen1 if b < 6 else slen2) for _ in range(3)]
+         for b in range(12)], np.int32)
+
+    # spectrum: big_values pairs then count1 quads then rzero
+    extent = max(2, min(int(limit * stereo_extent), max_lines)) & ~1
+    big2 = rng.randrange(2, extent + 1) & ~1
+    g.big_values = big2 // 2
+    max_quads = (extent - big2) // 4
+    g.n_quads = rng.randrange(0, max_quads + 1) if max_quads > 0 else 0
+    g.stuffing_bits = stuffing
+
+    vals = np.zeros(576, np.int64)
+    for i in range(big2):
+        # region-respecting magnitude caps
+        if g.win_switch and g.block_type == 2:
+            region = 0 if i < 36 else 1
+        else:
+            r1 = int(T.SFB_LONG[sfreq][g.region0_count + 1])
+            r2 = int(T.SFB_LONG[sfreq][g.region0_count + g.region1_count + 2])
+            region = 0 if i < r1 else (1 if i < r2 else 2)
+        cap = min(_table_max(g.table_select[region]), amp)
+        v = rng.randrange(0, cap + 1) if cap else 0
+        vals[i] = -v if (v and rng.random() < 0.5) else v
+    if g.count1table_select == 1:
+        # broken-table-33 quads: always (0, 0, ±1, ±1)
+        for q in range(g.n_quads):
+            i = big2 + 4 * q
+            vals[i + 2] = -1 if rng.random() < 0.5 else 1
+            vals[i + 3] = -1 if rng.random() < 0.5 else 1
+    else:
+        for i in range(big2, big2 + 4 * g.n_quads):
+            v = rng.randrange(0, 2)
+            vals[i] = -v if (v and rng.random() < 0.5) else v
+    g.values = vals
+    return g
+
+
+def _write_scalefacs(bw: BitWriter, g: GranuleSpec, gr: int,
+                     scfsi: np.ndarray, g0: GranuleSpec | None) -> None:
+    slen1, slen2 = (int(v) for v in T.SCALEFAC_SIZES[g.scalefac_compress])
+    if g.win_switch and g.block_type == 2:
+        if g.mixed:
+            for b in range(8):
+                bw.put(int(g.scalefac_l[b]), slen1)
+            for b in range(3, 12):
+                nb = slen1 if b < 6 else slen2
+                for w in range(3):
+                    bw.put(int(g.scalefac_s[b][w]), nb)
+        else:
+            for b in range(12):
+                nb = slen1 if b < 6 else slen2
+                for w in range(3):
+                    bw.put(int(g.scalefac_s[b][w]), nb)
+    else:
+        groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
+        for gi, (lo, hi, sl) in enumerate(groups):
+            if gr == 1 and scfsi[gi]:
+                # shared with granule 0: nothing transmitted; decoder copies
+                g.scalefac_l[lo:hi] = g0.scalefac_l[lo:hi]
+            else:
+                for b in range(lo, hi):
+                    bw.put(int(g.scalefac_l[b]), sl)
+
+
+def _write_huffman(bw: BitWriter, g: GranuleSpec, sfreq: int) -> None:
+    enc = _enc()
+    tabs = T.huffman_tables()
+    big2 = g.big_values * 2
+    if g.win_switch and g.block_type == 2:
+        r1, r2 = 36, 576
+    else:
+        r1 = int(T.SFB_LONG[sfreq][g.region0_count + 1])
+        r2 = int(T.SFB_LONG[sfreq][g.region0_count + g.region1_count + 2])
+    for i in range(0, big2, 2):
+        tnum = g.table_select[0 if i < r1 else (1 if i < r2 else 2)]
+        tab, emap = tabs[tnum], enc[tnum]
+        x, y = int(g.values[i]), int(g.values[i + 1])
+        ax, ay = abs(x), abs(y)
+        cx = min(ax, 15) if tab.linbits else ax
+        cy = min(ay, 15) if tab.linbits else ay
+        code, length = emap[(cx, cy)]
+        bw.put(code, length)
+        if tab.linbits and cx == 15:
+            bw.put(ax - 15, tab.linbits)
+        if ax > 0:
+            bw.put(1 if x < 0 else 0, 1)
+        if tab.linbits and cy == 15:
+            bw.put(ay - 15, tab.linbits)
+        if ay > 0:
+            bw.put(1 if y < 0 else 0, 1)
+    # count1 quads
+    if g.count1table_select == 1:
+        # Encode for the reference's broken table-33 path (stale pointer,
+        # pdmp3.c:569): each quad is (0,0,±1,±1) = just two sign bits.
+        for q in range(g.n_quads):
+            i = big2 + 4 * q
+            assert (g.values[i] == 0 and g.values[i + 1] == 0
+                    and abs(g.values[i + 2]) == 1
+                    and abs(g.values[i + 3]) == 1)
+            bw.put(1 if g.values[i + 2] < 0 else 0, 1)
+            bw.put(1 if g.values[i + 3] < 0 else 0, 1)
+        return
+    emap = enc[32]
+    for q in range(g.n_quads):
+        i = big2 + 4 * q
+        v4 = [int(g.values[i + k]) for k in range(4)]
+        key = 0
+        for k in range(4):
+            key = (key << 1) | (1 if v4[k] != 0 else 0)
+        code, length = emap[(0, key)]
+        bw.put(code, length)
+        for k in range(4):
+            if v4[k] != 0:
+                bw.put(1 if v4[k] < 0 else 0, 1)
+
+
+@dataclasses.dataclass
+class FrameSpec:
+    bitrate_index: int = 9        # 128 kbps
+    sampling_frequency: int = 0   # 44.1 kHz
+    padding: int = 0
+    protection: bool = False      # True => CRC bytes present
+    mode: int = 0                 # 0 stereo, 1 joint, 2 dual, 3 mono
+    mode_extension: int = 0
+    granules: list = None         # [gr][ch] GranuleSpec
+    scfsi: np.ndarray = None      # [2][4]
+
+
+def build_frame_main_data(fs: FrameSpec) -> tuple[bytes, list]:
+    """Encode scalefacs+huffman(+stuffing) for all granules.
+
+    Returns (main_data_bytes, part2_3_lengths[gr][ch]).
+    """
+    nch = 1 if fs.mode == 3 else 2
+    bw = BitWriter()
+    p23 = [[0, 0], [0, 0]]
+    for gr in range(2):
+        for ch in range(nch):
+            g = fs.granules[gr][ch]
+            start = bw.nbits()
+            g0 = fs.granules[0][ch]
+            _write_scalefacs(bw, g, gr, fs.scfsi[ch], g0)
+            _write_huffman(bw, g, fs.sampling_frequency)
+            for _ in range(g.stuffing_bits):
+                bw.put(0, 1)
+            p23[gr][ch] = bw.nbits() - start
+            assert p23[gr][ch] < 4096, "part2_3_length overflow"
+    return bw.to_bytes(), p23
+
+
+def build_side_info(fs: FrameSpec, main_data_begin: int, p23) -> bytes:
+    nch = 1 if fs.mode == 3 else 2
+    bw = BitWriter()
+    bw.put(main_data_begin, 9)
+    bw.put(0, 5 if nch == 1 else 3)
+    for ch in range(nch):
+        for b in range(4):
+            bw.put(int(fs.scfsi[ch][b]), 1)
+    for gr in range(2):
+        for ch in range(nch):
+            g = fs.granules[gr][ch]
+            bw.put(p23[gr][ch], 12)
+            bw.put(g.big_values, 9)
+            bw.put(g.global_gain, 8)
+            bw.put(g.scalefac_compress, 4)
+            bw.put(g.win_switch, 1)
+            if g.win_switch:
+                bw.put(g.block_type, 2)
+                bw.put(g.mixed, 1)
+                for r in range(2):
+                    bw.put(g.table_select[r], 5)
+                for w in range(3):
+                    bw.put(g.subblock_gain[w], 3)
+            else:
+                for r in range(3):
+                    bw.put(g.table_select[r], 5)
+                bw.put(g.region0_count, 4)
+                bw.put(g.region1_count, 3)
+            bw.put(g.preflag, 1)
+            bw.put(g.scalefac_scale, 1)
+            bw.put(g.count1table_select, 1)
+    out = bw.to_bytes()
+    want = 17 if nch == 1 else 32
+    assert len(out) == want, (len(out), want)
+    return out
+
+
+def build_header(fs: FrameSpec) -> bytes:
+    hdr = (0xFFF << 20) | (1 << 19) | (1 << 17) \
+        | ((0 if fs.protection else 1) << 16) \
+        | (fs.bitrate_index << 12) | (fs.sampling_frequency << 10) \
+        | (fs.padding << 9) | (fs.mode << 6) | (fs.mode_extension << 4)
+    return hdr.to_bytes(4, "big")
+
+
+def frame_capacity(fs: FrameSpec) -> int:
+    nch = 1 if fs.mode == 3 else 2
+    framesize = (144 * int(T.BITRATES[2][fs.bitrate_index])
+                 // int(T.SAMPLE_RATES[fs.sampling_frequency]) + fs.padding)
+    cap = framesize - (17 if nch == 1 else 32) - 4
+    if fs.protection:
+        cap -= 2
+    return cap
+
+
+def assemble_stream(frames: list[FrameSpec], *, rng: random.Random,
+                    use_reservoir: bool = True,
+                    leading_garbage: int = 0) -> bytes:
+    """Pack frames + main-data blobs into a stream with reservoir chaining."""
+    blobs, p23s, caps = [], [], []
+    for fs in frames:
+        blob, p23 = build_frame_main_data(fs)
+        blobs.append(blob)
+        p23s.append(p23)
+        caps.append(frame_capacity(fs))
+        assert len(blob) <= caps[-1] + 511, "blob cannot fit even with reservoir"
+
+    # Place blob i at stream offset pos_i within the concatenated main-data
+    # space: S_i - 511 <= pos_i <= S_i, pos_i >= pos_{i-1} + len_{i-1},
+    # pos_i + len_i <= S_i + C_i.  begin_i = S_i - pos_i.
+    S = 0
+    pos_prev_end = 0
+    positions = []
+    for i, fs in enumerate(frames):
+        lo = max(pos_prev_end, S - 511, 0)
+        hi = min(S, S + caps[i] - len(blobs[i]))
+        assert lo <= hi, f"frame {i}: reservoir infeasible (lo={lo},hi={hi})"
+        if use_reservoir and i > 0:
+            pos = rng.randrange(lo, hi + 1)
+        else:
+            pos = hi  # begin as small as possible (0 for frame 0 when it fits)
+        if i == 0:
+            pos = 0 if lo == 0 else lo  # frame 0 must have begin == 0...
+            assert S - pos == 0
+        positions.append(pos)
+        pos_prev_end = pos + len(blobs[i])
+        S += caps[i]
+
+    total_main = S
+    M = bytearray(rng.randrange(256) for _ in range(total_main))  # ancillary
+    for pos, blob in zip(positions, blobs):
+        M[pos:pos + len(blob)] = blob
+
+    out = bytearray()
+    if leading_garbage:
+        g = bytearray(rng.randrange(256) for _ in range(leading_garbage))
+        # avoid accidental sync words in garbage
+        for k in range(len(g)):
+            if g[k] == 0xFF:
+                g[k] = 0x7F
+        out += g
+    S = 0
+    for i, fs in enumerate(frames):
+        begin = S - positions[i]
+        out += build_header(fs)
+        if fs.protection:
+            out += bytes([rng.randrange(256), rng.randrange(256)])
+        out += build_side_info(fs, begin, p23s[i])
+        out += M[S:S + caps[i]]
+        S += caps[i]
+    return bytes(out)
+
+
+def make_stream(*, n_frames: int = 20, seed: int = 0,
+                sfreq: int = 0, bitrate_index: int = 9, mode: int = 0,
+                mode_extension: int = 0, blocks: str = "long",
+                use_reservoir: bool = False, protection: bool = False,
+                vary_padding: bool = False, stuffing: int = 0,
+                stereo_extent_ch1: float = 1.0, intensity_pos: bool = False,
+                scfsi: bool = False, leading_garbage: int = 0,
+                amp: int = 6) -> bytes:
+    """Convenience builder for one homogeneous test stream."""
+    rng = random.Random(seed)
+    block_cycle = {"long": ["long"], "short": ["short"], "mixed": ["mixed"],
+                   "varied": ["long", "start", "short", "short", "stop",
+                              "long", "mixed", "long"]}[blocks]
+    frames = []
+    nch = 1 if mode == 3 else 2
+    for f in range(n_frames):
+        blk = block_cycle[f % len(block_cycle)]
+        # Fit the blob to the frame's byte budget: a frame may only borrow
+        # reservoir space that previous frames actually left behind, so we
+        # regenerate with a shrinking spectrum until it fits conservatively.
+        budget = None
+        for attempt in range(12):
+            max_lines = max(8, 200 >> attempt)
+            grans = []
+            scf = np.zeros((2, 4), np.int32)
+            if scfsi and blk == "long":
+                scf[:, :] = [[rng.randrange(2) for _ in range(4)]
+                             for _ in range(2)]
+            for gr in range(2):
+                row = []
+                for ch in range(nch):
+                    row.append(make_granule(
+                        rng, sfreq=sfreq, block=blk,
+                        stereo_extent=stereo_extent_ch1 if ch == 1 else 1.0,
+                        amp=amp, stuffing=stuffing, max_lines=max_lines,
+                        intensity_pos=(rng.randrange(8)
+                                       if (intensity_pos and ch == 0)
+                                       else None)))
+                row += [row[0]] * (2 - len(row))
+                grans.append(row)
+            if any(grans[g][c].win_switch and grans[g][c].block_type == 2
+                   for g in range(2) for c in range(nch)):
+                scf[:] = 0
+            fs = FrameSpec(
+                bitrate_index=bitrate_index, sampling_frequency=sfreq,
+                padding=(f % 2 if vary_padding else 0), protection=protection,
+                mode=mode, mode_extension=mode_extension,
+                granules=grans, scfsi=scf)
+            blob, _ = build_frame_main_data(fs)
+            slack = 200 if (use_reservoir and f > 0) else 0
+            budget = frame_capacity(fs) + slack
+            if len(blob) <= budget:
+                break
+        else:
+            raise RuntimeError("could not fit frame into bit budget")
+        frames.append(fs)
+    return assemble_stream(frames, rng=rng, use_reservoir=use_reservoir,
+                           leading_garbage=leading_garbage)
