@@ -91,13 +91,16 @@ def _stereo(fd: FrameData, gr: int, x: np.ndarray,
     h, s = fd.header, fd.side
     if h.mode != 1 or h.mode_extension == 0:
         return
-    if h.mode_extension & 0x2:  # mid/side over max(count1); zeros above are
-        # (0±0)*c == +0.0, so the full-width butterfly is bit-identical.
-        mid = x[0] + x[1]
-        sid = x[0] - x[1]
-        left = (mid.astype(np.float64) * T.INV_SQRT2).astype(F32)
-        right = (sid.astype(np.float64) * T.INV_SQRT2).astype(F32)
-        x[0], x[1] = left, right
+    if h.mode_extension & 0x2:
+        # Mid/side over i < count1[gr][!!(c0 > c1)] — i.e. the *smaller*
+        # count1 (pdmp3.c:1920): lines in [min(c0,c1), max(c0,c1)) keep the
+        # raw mid signal unscaled.
+        mp = int(min(s.count1[gr][0], s.count1[gr][1]))
+        mp = max(0, min(mp, 576))
+        mid = x[0][:mp] + x[1][:mp]
+        sid = x[0][:mp] - x[1][:mp]
+        x[0][:mp] = (mid.astype(np.float64) * T.INV_SQRT2).astype(F32)
+        x[1][:mp] = (sid.astype(np.float64) * T.INV_SQRT2).astype(F32)
     if h.mode_extension & 0x1:
         sfreq = h.sampling_frequency
         c1r = int(s.count1[gr][1])
@@ -114,7 +117,7 @@ def _stereo(fd: FrameData, gr: int, x: np.ndarray,
                 r = T.IS_RATIOS[is_pos]
                 rl = F32(r / (F32(1.0) + r))
                 rr = F32(F32(1.0) / (F32(1.0) + r))
-            seg = x[0][lo:hi]
+            seg = x[0][lo:hi].copy()
             x[0][lo:hi] = rl * seg
             x[1][lo:hi] = rr * seg
 
@@ -126,7 +129,7 @@ def _stereo(fd: FrameData, gr: int, x: np.ndarray,
                     continue
                 lo = int(T.SFB_SHORT[sfreq][sfb]) * 3 + wl * w
                 hi = lo + wl
-                seg = x[0][lo:hi]
+                seg = x[0][lo:hi].copy()
                 if bug_compat_short_intensity:
                     # pdmp3.c:2212-2213 transcription bug: assignment chain
                     # through *unsigned* ratio vars; left == right ==
