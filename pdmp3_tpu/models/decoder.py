@@ -1,0 +1,169 @@
+"""The flagship model: a batched, stateful Layer III granule decoder.
+
+One decode step consumes a :class:`GranuleBatch` — B granule slots from
+independent streams, each slot one granule (both channels) — plus the
+per-slot recurrent :class:`DecoderState` (overlap-add store and polyphase
+FIFO, the two carries identified in SURVEY.md §2.6), and produces
+``[B, 576, 2]`` int16 PCM.  The whole step is a feedforward jit-compiled
+tensor program; streams advance one granule per step, so a frame is two
+steps with state threaded through.
+
+Precision modes (see ops/dsp.py): ``exact`` reproduces the reference C
+decoder's PCM bit-for-bit; ``fast`` uses MXU contractions (±1 LSB).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import tables as T
+from ..ops import dsp
+from ..frontend import FrameData
+
+
+class GranuleBatch(NamedTuple):
+    """Host->device tensors for one decode step (B granule slots)."""
+    ix: jax.Array             # i32 [B,2,576] Huffman-decoded lines
+    scf_l: jax.Array          # i32 [B,2,22]
+    scf_s: jax.Array          # i32 [B,2,13,3]
+    layout: jax.Array         # i32 [B,2] sfreq*3 + {long,short,mixed}
+    block_type: jax.Array     # i32 [B,2]
+    win_switch: jax.Array     # i32 [B,2]
+    mixed: jax.Array          # i32 [B,2]
+    global_gain: jax.Array    # i32 [B,2]
+    scalefac_scale: jax.Array  # i32 [B,2]
+    preflag: jax.Array        # i32 [B,2]
+    subblock_gain: jax.Array  # i32 [B,2,3]
+    count1: jax.Array         # i32 [B,2]
+    ms_flag: jax.Array        # i32 [B]
+    is_flag: jax.Array        # i32 [B]
+    nch: jax.Array            # i32 [B]
+
+
+class DecoderState(NamedTuple):
+    """Per-slot recurrent DSP state (pdmp3.c:1755 store, :1983 v_vec —
+    function-static in the reference, correctly per-stream here)."""
+    store: jax.Array          # f32 [B,2,32,18]
+    v_blocks: jax.Array       # f32 [B,2,15,64] polyphase FIFO (oldest first)
+
+
+def init_state(batch_size: int) -> DecoderState:
+    return DecoderState(
+        store=jnp.zeros((batch_size, 2, 32, 18), jnp.float32),
+        v_blocks=jnp.zeros((batch_size, 2, 15, 64), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("exact", "bug_compat"))
+def decode_granules(batch: GranuleBatch, state: DecoderState,
+                    exact: bool = True, bug_compat: bool = True
+                    ) -> tuple[jax.Array, DecoderState]:
+    """One batched decode step: GranuleBatch + state -> (pcm, state').
+
+    pcm: i16 [B, 576, 2] interleaved L/R (mono duplicated, as the
+    reference packs it, pdmp3.c:2032-2041).
+    """
+    x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s, batch.layout,
+                       batch.global_gain, batch.scalefac_scale,
+                       batch.preflag, batch.subblock_gain)
+    x = dsp.reorder(x, batch.layout)
+    x = dsp.stereo(x, batch.layout, batch.scf_l, batch.scf_s, batch.count1,
+                   batch.ms_flag, batch.is_flag, exact=exact,
+                   bug_compat_short_intensity=bug_compat)
+    x = dsp.antialias(x, batch.layout, batch.win_switch, batch.block_type,
+                      batch.mixed)
+    x_time, store = dsp.hybrid_synthesis(
+        x, state.store, batch.win_switch, batch.block_type, batch.mixed,
+        exact=exact)
+    x_time = dsp.freq_invert(x_time)
+    sums, v_blocks = dsp.subband_synthesis(x_time, state.v_blocks,
+                                           exact=exact)
+    pcm = dsp.quantize_pack(sums, batch.nch, exact=exact)
+    return pcm, DecoderState(store=store, v_blocks=v_blocks)
+
+
+# ---------------------------------------------------------------------------
+# Host bridge: FrameData -> GranuleBatch (reference Python path; the C++
+# frontend fills the same tensors directly)
+# ---------------------------------------------------------------------------
+
+def frame_to_batches(fds: list[FrameData]) -> list[GranuleBatch]:
+    """Convert one parsed frame per slot into the two granule batches
+    (granule 0 step, granule 1 step)."""
+    out = []
+    B = len(fds)
+    for gr in range(2):
+        ix = np.zeros((B, 2, 576), np.int32)
+        scf_l = np.zeros((B, 2, 22), np.int32)
+        scf_s = np.zeros((B, 2, 13, 3), np.int32)
+        flat = {k: np.zeros((B, 2), np.int32) for k in
+                ("layout", "block_type", "win_switch", "mixed",
+                 "global_gain", "scalefac_scale", "preflag", "count1")}
+        sbg = np.zeros((B, 2, 3), np.int32)
+        ms = np.zeros(B, np.int32)
+        isf = np.zeros(B, np.int32)
+        nch = np.zeros(B, np.int32)
+        for b, fd in enumerate(fds):
+            h, s = fd.header, fd.side
+            nch[b] = h.nch
+            ms[b] = 1 if (h.mode == 1 and (h.mode_extension & 2)) else 0
+            isf[b] = 1 if (h.mode == 1 and (h.mode_extension & 1)) else 0
+            for ch in range(h.nch):
+                ix[b, ch] = fd.ix[gr][ch]
+                scf_l[b, ch] = fd.scalefac_l[gr][ch]
+                scf_s[b, ch] = fd.scalefac_s[gr][ch]
+                flat["layout"][b, ch] = T.layout_id(
+                    h.sampling_frequency, int(s.win_switch_flag[gr][ch]),
+                    int(s.block_type[gr][ch]), int(s.mixed_block_flag[gr][ch]))
+                flat["block_type"][b, ch] = s.block_type[gr][ch]
+                flat["win_switch"][b, ch] = s.win_switch_flag[gr][ch]
+                flat["mixed"][b, ch] = s.mixed_block_flag[gr][ch]
+                flat["global_gain"][b, ch] = s.global_gain[gr][ch]
+                flat["scalefac_scale"][b, ch] = s.scalefac_scale[gr][ch]
+                flat["preflag"][b, ch] = s.preflag[gr][ch]
+                flat["count1"][b, ch] = s.count1[gr][ch]
+                sbg[b, ch] = s.subblock_gain[gr][ch]
+        out.append(GranuleBatch(
+            ix=jnp.asarray(ix), scf_l=jnp.asarray(scf_l),
+            scf_s=jnp.asarray(scf_s),
+            layout=jnp.asarray(flat["layout"]),
+            block_type=jnp.asarray(flat["block_type"]),
+            win_switch=jnp.asarray(flat["win_switch"]),
+            mixed=jnp.asarray(flat["mixed"]),
+            global_gain=jnp.asarray(flat["global_gain"]),
+            scalefac_scale=jnp.asarray(flat["scalefac_scale"]),
+            preflag=jnp.asarray(flat["preflag"]),
+            subblock_gain=jnp.asarray(sbg),
+            count1=jnp.asarray(flat["count1"]),
+            ms_flag=jnp.asarray(ms), is_flag=jnp.asarray(isf),
+            nch=jnp.asarray(nch)))
+    return out
+
+
+class JaxDSP:
+    """Single-stream DSP adapter with the OracleDSP interface, so the
+    streaming API (api.PDMP3) can run its backend on TPU."""
+
+    def __init__(self, exact: bool = True, bug_compat: bool = True):
+        self.exact = exact
+        self.bug_compat = bug_compat
+        self.state = init_state(1)
+
+    def reset(self) -> None:
+        self.state = init_state(1)
+
+    def decode_frame(self, fd: FrameData) -> np.ndarray:
+        """Returns packed PCM words uint32 [2,576] like the reference's
+        ``id->out`` (pdmp3.c:129)."""
+        out = np.zeros((2, 576), np.uint32)
+        for gr, batch in enumerate(frame_to_batches([fd])):
+            pcm, self.state = decode_granules(batch, self.state,
+                                              exact=self.exact,
+                                              bug_compat=self.bug_compat)
+            pcm = np.asarray(pcm[0]).astype(np.uint16)  # [576,2]
+            out[gr] = (pcm[:, 0].astype(np.uint32) << 16) | pcm[:, 1]
+        return out

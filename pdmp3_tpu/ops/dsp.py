@@ -1,0 +1,319 @@
+"""Batched Layer III DSP stages as JAX ops.
+
+Every stage processes a *granule batch*: tensors with leading axes
+``[B, 2(ch), ...]`` where B granule slots from independent streams decode in
+one fused tensor program.  Per-granule coding variance (block types, mixed
+flags, stereo modes, count1 extents) is handled with masks and constant-map
+gathers instead of control flow, so a single compiled program covers the
+whole format matrix (SURVEY.md §2.3, §7).
+
+Each stage has two precision paths:
+
+- ``exact=True``: reproduces the reference decoder's float32 operation
+  ordering (sequential accumulations, double-precision rounding points), so
+  final PCM is bit-exact vs the reference binary.  Accumulations become
+  unrolled broadcast multiply-adds on the VPU.
+- ``exact=False``: MXU-friendly einsums/matmuls in float32 (same math,
+  tree-reduced) for maximum throughput; output may differ by ±1 LSB on a
+  small fraction of samples (quantization-boundary ulps).
+
+Reference provenance is cited per stage.  No reference code is used; the
+formulations are redesigned for batched tensor execution (see docstrings).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import tables as T
+
+F32 = jnp.float32
+_MAPS = T.layout_maps()
+_SMAPS = T.stereo_maps()
+_RATIO_L, _RATIO_R = T.intensity_ratio_tables()
+_PRETAB22 = np.concatenate([T.PRETAB, [0]]).astype(np.int32)
+_INV_SIGN = T.freq_inversion_sign()
+
+
+def _gather_map(table: np.ndarray, layout: jnp.ndarray) -> jnp.ndarray:
+    """table[R,576] indexed by layout [...] -> [...,576].
+
+    Expressed as a flat elementwise gather (row*576 + column) instead of a
+    row gather: XLA lowers this to a cheap dynamic-gather, where the
+    row-gather form hits a pathological slow path in the CPU backend.
+    """
+    t = jnp.asarray(table)
+    ncol = t.shape[-1]
+    idx = layout[..., None] * ncol + jnp.arange(ncol, dtype=jnp.int32)
+    return t.reshape(-1)[idx]
+
+
+def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
+               preflag, subblock_gain):
+    """Dequantize Huffman integers to spectral floats.
+
+    Reference: pdmp3.c:1829-1905 (drivers), 2117-2152 (per-sample):
+      long:  2^(-sf_mult*(scf+preflag*pretab)) * 2^(0.25*(gg-210)) * sgn|x|^4/3
+      short: 2^(-sf_mult*scf_s) * 2^(0.25*(gg-210-8*sbgain)) * sgn|x|^4/3
+    All three factors are table gathers here (the reference's double pow()
+    results, frozen at float32 — tables.py); the products keep the
+    reference's (tmp1*tmp2)*tmp3 association so this stage is exact in both
+    precision modes.  Processing all 576 lines is bit-identical to the
+    reference's count1-bounded loops because lines above count1 are zero.
+
+    Args: ix [B,2,576] i32; scf_l [B,2,22]; scf_s [B,2,13,3];
+      layout/global_gain/scalefac_scale/preflag [B,2]; subblock_gain [B,2,3].
+    Returns xr f32 [B,2,576].
+    """
+    sfb = _gather_map(_MAPS["sfb"], layout)          # [B,2,576]
+    win = _gather_map(_MAPS["win"], layout)
+    short = _gather_map(_MAPS["is_short"], layout)
+
+    sign = jnp.where(ix < 0, F32(-1.0), F32(1.0))
+    mag = jnp.clip(jnp.abs(ix), 0, 8206)
+    tmp3 = sign * jnp.asarray(T.POW43)[mag]
+
+    qpu = (2 << scalefac_scale)[..., None]           # quarters per sf unit
+    scf_l_line = jnp.take_along_axis(scf_l, sfb, axis=-1)
+    pre_line = jnp.asarray(_PRETAB22)[sfb] * preflag[..., None]
+    q_long = qpu * (scf_l_line + pre_line)
+    tmp1_long = jnp.asarray(T.GAIN_QUARTER_DOWN)[q_long]
+    e_long = global_gain - 210 + T.GAIN_GLOBAL_OFF   # [B,2]
+    tmp2_long = jnp.asarray(T.GAIN_GLOBAL)[e_long][..., None]
+
+    sfb_s = jnp.minimum(sfb, 12)
+    scf_s_flat = scf_s.reshape(*scf_s.shape[:-2], 39)
+    scf_s_line = jnp.take_along_axis(scf_s_flat, sfb_s * 3 + win, axis=-1)
+    q_short = qpu * scf_s_line
+    tmp1_short = jnp.asarray(T.GAIN_QUARTER_DOWN)[q_short]
+    sbg_line = jnp.take_along_axis(subblock_gain, win, axis=-1)
+    e_short = (global_gain[..., None] - 210 - 8 * sbg_line
+               + T.GAIN_GLOBAL_OFF)
+    tmp2_short = jnp.asarray(T.GAIN_GLOBAL)[e_short]
+
+    tmp1 = jnp.where(short == 1, tmp1_short, tmp1_long)
+    tmp2 = jnp.where(short == 1, tmp2_short,
+                     jnp.broadcast_to(tmp2_long, tmp2_short.shape))
+    return (tmp1 * tmp2) * tmp3
+
+
+def reorder(xr, layout):
+    """Short-block reorder as a static per-layout permutation gather
+    (pdmp3.c:1786-1823; identity rows for long layouts)."""
+    perm = _gather_map(_MAPS["reorder"], layout)
+    return jnp.take_along_axis(xr, perm, axis=-1)
+
+
+def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
+           exact: bool = True, bug_compat_short_intensity: bool = True):
+    """Mid/side + intensity stereo (pdmp3.c:1911-1972, 2154-2220).
+
+    MS butterflies lines < min(count1[0], count1[1]) (the reference's
+    ``count1[gr][!!(c0>c1)]`` picks the smaller); intensity pans ch0 into
+    both channels for eligible bands starting at/above ch1's count1 with
+    is_pos = ch0's scalefactor (a reference quirk: the spec transmits
+    intensity positions in the right channel's scalefacs).
+
+    x [B,2,576] f32; layout [B,2]; scf_* ch0-indexed; count1 [B,2];
+    ms_flag/is_flag [B].
+    """
+    idx = jnp.arange(576, dtype=jnp.int32)
+    c0 = jnp.clip(count1[:, 0], 0, 576)
+    c1r = jnp.clip(count1[:, 1], 0, 576)
+
+    l, r = x[:, 0], x[:, 1]
+
+    # --- mid/side ---
+    mp = jnp.minimum(c0, c1r)
+    ms_mask = (ms_flag[:, None] != 0) & (idx[None, :] < mp[:, None])
+    mid = l + r
+    sid = l - r
+    if exact:
+        ms_l = (mid.astype(jnp.float64) * T.INV_SQRT2).astype(F32)
+        ms_r = (sid.astype(jnp.float64) * T.INV_SQRT2).astype(F32)
+    else:
+        c = F32(np.float32(T.INV_SQRT2))
+        ms_l, ms_r = mid * c, sid * c
+    l = jnp.where(ms_mask, ms_l, l)
+    r = jnp.where(ms_mask, ms_r, r)
+
+    # --- intensity ---
+    lay0 = layout[:, 0]
+    band_start = _gather_map(_SMAPS["band_start"], lay0)   # [B,576]
+    iok = _gather_map(_SMAPS["intensity_ok"], lay0)
+    sfb = _gather_map(_MAPS["sfb"], lay0)
+    win = _gather_map(_MAPS["win"], lay0)
+    short = _gather_map(_MAPS["is_short"], lay0)
+
+    scf_l0 = jnp.take_along_axis(scf_l[:, 0], sfb, axis=-1)
+    scf_s_flat0 = scf_s[:, 0].reshape(-1, 39)
+    scf_s0 = jnp.take_along_axis(scf_s_flat0,
+                                 jnp.minimum(sfb, 12) * 3 + win, axis=-1)
+    is_pos = jnp.where(short == 1, scf_s0, scf_l0)
+
+    imask = ((is_flag[:, None] != 0) & (iok == 1)
+             & (band_start >= c1r[:, None]) & (is_pos != 7))
+    rpos = jnp.clip(is_pos, 0, 7)
+    rl = jnp.asarray(_RATIO_L)[rpos]
+    rr = jnp.asarray(_RATIO_R)[rpos]
+    int_l = rl * l
+    int_r = rr * l
+    if bug_compat_short_intensity:
+        # pdmp3.c:2212-2213: short-block intensity assigns through unsigned
+        # temporaries; both channels become (float)(uint32)(int64)trunc(l).
+        t = jnp.trunc(l.astype(jnp.float64))
+        u = jnp.mod(t, 2.0 ** 32).astype(F32)
+        int_l = jnp.where(short == 1, u, int_l)
+        int_r = jnp.where(short == 1, u, int_r)
+    l_out = jnp.where(imask, int_l, l)
+    r_out = jnp.where(imask, int_r, r)
+    return jnp.stack([l_out, r_out], axis=1)
+
+
+def antialias(x, layout, win_switch, block_type, mixed):
+    """Alias-reduction butterflies over subband boundaries
+    (pdmp3.c:1706-1732): 8 cs/ca pairs per boundary, skipped for pure short
+    blocks, first boundary only for mixed.  Disjoint element sets per
+    boundary make the batched form order-independent.
+    """
+    B = x.shape[0]
+    X = x.reshape(B, 2, 32, 18)
+    cs = jnp.asarray(T.ANTIALIAS_CS)
+    ca = jnp.asarray(T.ANTIALIAS_CA)
+    lower = jnp.flip(X[:, :, :31, 10:18], axis=-1)   # [B,2,31,8], i=0..7
+    upper = X[:, :, 1:, 0:8]
+    lb = lower * cs - upper * ca
+    ub = upper * cs + lower * ca
+    is_short_pure = (win_switch == 1) & (block_type == 2) & (mixed == 0)
+    is_mixed_short = (win_switch == 1) & (block_type == 2) & (mixed == 1)
+    sblim = jnp.where(is_short_pure, 1, jnp.where(is_mixed_short, 2, 32))
+    bidx = jnp.arange(1, 32, dtype=jnp.int32)
+    keep = (bidx[None, None, :] < sblim[..., None])[..., None]  # [B,2,31,1]
+    new_lower = jnp.where(keep, lb, lower)
+    new_upper = jnp.where(keep, ub, upper)
+    X = X.at[:, :, :31, 10:18].set(jnp.flip(new_lower, axis=-1))
+    X = X.at[:, :, 1:, 0:8].set(new_upper)
+    return X.reshape(B, 2, 576)
+
+
+def _imdct_long(xw, exact: bool):
+    """[...,18] x COS_N36[18,36] -> [...,36]; sequential-m when exact."""
+    cos36 = jnp.asarray(T.COS_N36)
+    if exact:
+        acc = xw[..., 0:1] * cos36[0]
+        for m in range(1, 18):
+            acc = acc + xw[..., m:m + 1] * cos36[m]
+        return acc
+    return jnp.einsum("...m,mp->...p", xw, cos36,
+                      preferred_element_type=F32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _imdct_short(xw, exact: bool):
+    """3 interleaved 12-point IMDCTs, windowed, overlapped into [...,36]
+    (pdmp3.c:1673-1686): out[6i+6+p] += (sum_m tin[i+3m] cos12[m,p])*win2[p].
+    """
+    cos12 = jnp.asarray(T.COS_N12)
+    win2 = jnp.asarray(T.IMDCT_WIN[2][:12])
+    t = xw.reshape(*xw.shape[:-1], 6, 3)  # [..., m, i3]
+    if exact:
+        acc = t[..., 0, :, None] * cos12[0]
+        for m in range(1, 6):
+            acc = acc + t[..., m, :, None] * cos12[m]
+    else:
+        acc = jnp.einsum("...mi,mp->...ip", t, cos12,
+                         preferred_element_type=F32,
+                         precision=jax.lax.Precision.HIGHEST)
+    contrib = acc * win2                   # [..., i3, 12]
+    out = jnp.zeros((*xw.shape[:-1], 36), F32)
+    for i3 in range(3):
+        sl = out[..., 6 * i3 + 6:6 * i3 + 18]
+        out = out.at[..., 6 * i3 + 6:6 * i3 + 18].set(sl + contrib[..., i3, :])
+    return out
+
+
+def hybrid_synthesis(x, store, win_switch, block_type, mixed,
+                     exact: bool = True):
+    """IMDCT + windowing + overlap-add (pdmp3.c:1649-1700, 1752-1780).
+
+    The 36-pt IMDCT is an 18x36 contraction against the reference's frozen
+    cosine table; windows select per (slot, ch, subband) effective block
+    type (mixed forces long windows for sb<2).  Carries `store` [B,2,32,18].
+    Returns (x_time [B,2,32,18], new_store).
+    """
+    B = x.shape[0]
+    xw = x.reshape(B, 2, 32, 18)
+    sb = jnp.arange(32, dtype=jnp.int32)
+    bt_eff = jnp.where(((win_switch == 1) & (mixed == 1))[..., None]
+                       & (sb < 2), 0, block_type[..., None])  # [B,2,32]
+
+    long_out = _imdct_long(xw, exact) * _gather_map(T.IMDCT_WIN, bt_eff)
+    short_out = _imdct_short(xw, exact)
+    is_short_sb = (bt_eff == 2)
+    out36 = jnp.where(is_short_sb[..., None], short_out, long_out)
+
+    x_time = out36[..., :18] + store
+    new_store = out36[..., 18:]
+    return x_time, new_store
+
+
+def freq_invert(x_time):
+    """Negate odd samples of odd subbands (pdmp3.c:1738-1746); multiply by
+    a ±1 mask is bit-identical to negation."""
+    return x_time * jnp.asarray(_INV_SIGN)
+
+
+def subband_synthesis(x_time, v_blocks, exact: bool = True):
+    """Polyphase synthesis filterbank (pdmp3.c:1978-2045), reformulated.
+
+    The reference shifts a per-channel 1024-tap FIFO by 64 and matrixes 32
+    subband samples through the 64x32 cosine matrix, 18 times per granule.
+    Here all 18 matrixings are one batched contraction, and the FIFO
+    becomes a sliding window over 33 v-blocks (15 carried + 18 new): output
+    sample (ss, i) sums j=0..15 of D[32j+i] * vblock[ss-j][i + 32*(j&1)],
+    which is exactly the reference's u_vec build (pdmp3.c:2015-2022) with
+    the block ages written out.  The j-loop accumulation order matches the
+    reference's FIR loop, so the exact path is bit-exact.
+
+    x_time: [B,2,32,18]; v_blocks: [B,2,15,64] carried state (oldest
+    first).  Returns (sums [B,2,18,32] f32, new_v_blocks).
+    """
+    B = x_time.shape[0]
+    s_all = x_time.transpose(0, 1, 3, 2)              # [B,2,18,32] (ss, sb)
+    nwin = jnp.asarray(T.SYNTH_NWIN)                  # [64,32]
+    if exact:
+        acc = nwin[:, 0] * s_all[..., 0:1]
+        for j in range(1, 32):
+            acc = acc + nwin[:, j] * s_all[..., j:j + 1]
+        new_blocks = acc                              # [B,2,18,64]
+    else:
+        new_blocks = jnp.einsum("bcsj,ij->bcsi", s_all, nwin,
+                                preferred_element_type=F32,
+                                precision=jax.lax.Precision.HIGHEST)
+    blocks = jnp.concatenate([v_blocks, new_blocks], axis=2)  # [B,2,33,64]
+
+    d = jnp.asarray(T.SYNTH_D).reshape(16, 32)
+    acc32 = jnp.zeros((B, 2, 18, 32), F32)
+    for j in range(16):
+        blk = jax.lax.dynamic_slice_in_dim(blocks, 15 - j, 18, axis=2)
+        half = blk[..., 32 * (j & 1):32 * (j & 1) + 32]
+        acc32 = acc32 + d[j] * half
+    new_v = blocks[:, :, 18:, :]
+    return acc32, new_v
+
+
+def quantize_pack(sums, nch, exact: bool = True):
+    """Scale x32767, truncate toward zero, clip to ±32767, interleave
+    (pdmp3.c:2028-2041).  Mono streams duplicate ch0.  Returns i16
+    [B,576,2]."""
+    B = sums.shape[0]
+    if exact:
+        scaled = sums.astype(jnp.float64) * 32767.0
+    else:
+        scaled = sums * F32(32767.0)
+    samp = jnp.clip(jnp.trunc(scaled), -32767.0, 32767.0).astype(jnp.int32)
+    pcm = samp.reshape(B, 2, 576).transpose(0, 2, 1)   # [B,576,ch]
+    left = pcm[..., 0]
+    right = jnp.where((nch == 1)[:, None], left, pcm[..., 1])
+    return jnp.stack([left, right], axis=-1).astype(jnp.int16)

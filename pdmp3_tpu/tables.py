@@ -255,3 +255,59 @@ def layout_maps():
         "is_short": short_map,
         "reorder": reorder,
     }
+
+
+@functools.lru_cache(maxsize=1)
+def stereo_maps():
+    """Per-layout [9,576] maps for the batched intensity-stereo kernel:
+
+      band_start:   first frequency line of the line's scalefactor band
+                    (short bands: 3*s[sfb], the value compared against
+                    count1 of the right channel, pdmp3.c:1946-1965)
+      intensity_ok: 1 where the reference's band loops can reach this line
+                    (long sfb 0-20 only; short sfb 0-11; mixed long 0-7 +
+                    short 3-11 — the sfb21/band-12 regions are never
+                    intensity processed)
+    """
+    maps = layout_maps()
+    band_start = np.zeros((N_LAYOUTS, 576), np.int32)
+    ok = np.zeros((N_LAYOUTS, 576), np.int32)
+    for sf in range(3):
+        for kind in (LONG, SHORT, MIXED):
+            lay = sf * 3 + kind
+            sfb = maps["sfb"][lay]
+            short = maps["is_short"][lay]
+            for i in range(576):
+                b = sfb[i]
+                if short[i]:
+                    band_start[lay, i] = 3 * SFB_SHORT[sf][b]
+                    ok[lay, i] = 1 if b < 12 else 0
+                else:
+                    band_start[lay, i] = SFB_LONG[sf][b]
+                    ok[lay, i] = 1 if b < 21 else 0
+    return {"band_start": band_start, "intensity_ok": ok}
+
+
+@functools.lru_cache(maxsize=1)
+def intensity_ratio_tables():
+    """is_pos -> (ratio_l, ratio_r) as float32, computed with the exact op
+    order of the reference (pdmp3.c:2167-2172): index 6 is the hard-left
+    special case, index 7 is 'no intensity' (masked by the caller)."""
+    rl = np.zeros(8, np.float32)
+    rr = np.zeros(8, np.float32)
+    one = np.float32(1.0)
+    for p in range(6):
+        r = IS_RATIOS[p]
+        rl[p] = np.float32(r / (one + r))
+        rr[p] = np.float32(one / (one + r))
+    rl[6], rr[6] = 1.0, 0.0
+    return rl, rr
+
+
+@functools.lru_cache(maxsize=1)
+def freq_inversion_sign() -> np.ndarray:
+    """[32,18] float32: -1 at (odd subband, odd sample), else +1
+    (pdmp3.c:1738-1746)."""
+    s = np.ones((32, 18), np.float32)
+    s[1::2, 1::2] = -1.0
+    return s
