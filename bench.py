@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Throughput benchmark: aggregate realtime factor of batched MP3 decode.
+
+Measures the TPU DSP backend (fast/MXU precision path) decoding B
+concurrent granule slots per step.  One granule = 576 samples = 13.06 ms
+of 44.1 kHz audio:
+
+    RTF = (granules_decoded * 576 / 44100) / elapsed_seconds
+
+BASELINE.json's north-star target is >10,000x realtime per chip
+(vs_baseline = RTF / 10000).  The reference C decoder publishes no
+benchmarks (BASELINE.md).
+
+The primary number is the device-resident decode rate (granule tensors and
+PCM in HBM, recurrent state threaded across steps — the steady-state of the
+double-buffered serving pipeline).  Host<->device wire costs are reported
+alongside: in this harness the TPU is attached through a network tunnel
+(~0.9 GB/s H2D, ~0.04 GB/s D2H measured), 2-3 orders below the PCIe
+attachment of a production v5e host, so transfer-inclusive numbers here
+measure the tunnel, not the design; the projected PCIe-inclusive rate is
+derived from the measured compute time + wire bytes at PCIe gen3 x16.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_pool(n_streams: int = 4, frames_per_stream: int = 3):
+    """Parse a mixed-coverage corpus into B=1 granule batches (numpy)."""
+    from pdmp3_tpu.frontend import Frontend
+    from pdmp3_tpu.models import decoder as M
+    from pdmp3_tpu.testing import mp3gen
+
+    fds = []
+    for i in range(n_streams):
+        blocks = ["long", "varied", "short", "mixed"][i % 4]
+        s = mp3gen.make_stream(n_frames=frames_per_stream + 2, seed=50 + i,
+                               blocks=blocks,
+                               mode=1 if i % 2 else 0,
+                               mode_extension=2 if i % 2 else 0)
+        fe = Frontend()
+        fe.feed(s)
+        for _ in range(frames_per_stream):
+            res, fd = fe.read_frame()
+            if res != 0:
+                break
+            fds.append(fd)
+    batches = []
+    for fd in fds:
+        batches.extend(M.frame_to_batches([fd]))
+    return batches
+
+
+def tile_batch(b, B: int):
+    import jax
+    return jax.tree.map(lambda x: np.repeat(np.asarray(x), B, axis=0), b)
+
+
+def main() -> None:
+    import jax
+    from pdmp3_tpu.models import decoder as M
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    pool = build_pool()
+    dev_pool = [jax.device_put(tile_batch(b, B)) for b in pool[:6]]
+    state = M.init_state(B)
+
+    def step_fn(batch, state):
+        return M.decode_granules(batch, state, exact=False)
+
+    # warmup + compile
+    pcm, state = step_fn(dev_pool[0], state)
+    pcm.block_until_ready()
+
+    # timed loop: device-resident, state threaded, PCM materialized in HBM
+    t0 = time.perf_counter()
+    for i in range(steps):
+        pcm, state = step_fn(dev_pool[i % len(dev_pool)], state)
+    pcm.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    granules = B * steps
+    audio_seconds = granules * 576 / 44100.0
+    rtf = audio_seconds / elapsed
+    step_ms = elapsed / steps * 1000.0
+
+    # measured tunnel wire rates (one shot, small to keep runtime sane)
+    x = np.zeros((B, 2, 576), np.int16)
+    d = jax.device_put(x)
+    d.block_until_ready()
+    t0 = time.perf_counter()
+    jax.device_put(x).block_until_ready()
+    h2d_gbps = x.nbytes / (time.perf_counter() - t0) / 1e9
+
+    # projected end-to-end at PCIe gen3 x16 (12 GB/s effective), wire =
+    # int16 spectra + sideinfo up, int16 stereo PCM down per granule
+    wire_bytes = B * (2 * 576 * 2 + 160 + 576 * 4)
+    pcie_step = elapsed / steps + wire_bytes / 12e9
+    pcie_rtf = (B * 576 / 44100.0) / pcie_step
+
+    print(json.dumps({
+        "metric": "aggregate_realtime_factor_per_chip",
+        "value": round(rtf, 1),
+        "unit": "x_realtime_44k1_stereo",
+        "vs_baseline": round(rtf / 10000.0, 3),
+        "batch_slots": B,
+        "steps": steps,
+        "step_ms": round(step_ms, 2),
+        "granules_per_sec": round(granules / elapsed, 1),
+        "projected_pcie_e2e_rtf": round(pcie_rtf, 1),
+        "tunnel_h2d_gbps": round(h2d_gbps, 3),
+        "note": ("device-resident decode rate; this harness attaches the "
+                 "TPU via a network tunnel whose wire bandwidth is not "
+                 "representative of a production PCIe host"),
+        "precision": "fast(f32-MXU); exact mode (bit-exact vs reference C) "
+                     "available",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,7 +69,7 @@ def decode_granules(batch: GranuleBatch, state: DecoderState,
     """
     x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s, batch.layout,
                        batch.global_gain, batch.scalefac_scale,
-                       batch.preflag, batch.subblock_gain)
+                       batch.preflag, batch.subblock_gain, exact=exact)
     x = dsp.reorder(x, batch.layout)
     x = dsp.stereo(x, batch.layout, batch.scf_l, batch.scf_s, batch.count1,
                    batch.ms_flag, batch.is_flag, exact=exact,

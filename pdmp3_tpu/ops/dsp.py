@@ -22,6 +22,8 @@ formulations are redesigned for batched tensor execution (see docstrings).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -36,21 +38,140 @@ _PRETAB22 = np.concatenate([T.PRETAB, [0]]).astype(np.int32)
 _INV_SIGN = T.freq_inversion_sign()
 
 
-def _gather_map(table: np.ndarray, layout: jnp.ndarray) -> jnp.ndarray:
-    """table[R,576] indexed by layout [...] -> [...,576].
+# ---------------------------------------------------------------------------
+# Gather elimination.
+#
+# TPU lowers arbitrary dynamic gathers to a slow serial path (~15 ms for a
+# [B,2,576] index tensor at B=1024 — measured), so the hot path expresses
+# every table lookup as a one-hot contraction on the MXU instead.  These are
+# *bit-exact*: each output sums exactly one nonzero product v*1.0, and the
+# bf16x3 HIGHEST-precision decomposition reconstructs the f32 operand
+# exactly (non-overlapping mantissa segments), so matmul-gather == gather.
+# ---------------------------------------------------------------------------
 
-    Expressed as a flat elementwise gather (row*576 + column) instead of a
-    row gather: XLA lowers this to a cheap dynamic-gather, where the
-    row-gather form hits a pathological slow path in the CPU backend.
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _onehot(idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    return (idx[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(F32)
+
+
+def _map_select(table: np.ndarray, layout: jnp.ndarray,
+                out_int: bool = True) -> jnp.ndarray:
+    """table[R, 576] selected by layout [...] -> [..., 576] via one-hot
+    matmul (values < 2^24 so the f32 round-trip is exact)."""
+    t = jnp.asarray(np.asarray(table, np.float32))
+    oh = _onehot(layout, t.shape[0])
+    out = jnp.einsum("...l,li->...i", oh, t, precision=_HIGH,
+                     preferred_element_type=F32)
+    return out.astype(jnp.int32) if out_int else out
+
+
+@functools.lru_cache(maxsize=None)
+def _expansion_const(map_name: str, width: int) -> np.ndarray:
+    """E[l, i, k] = 1 where layout l's line i reads slot k of a per-
+    granule-channel parameter vector (k = sfb / win / flat short index)."""
+    m = _MAPS if map_name in _MAPS else _SMAPS
+    src = m[map_name]
+    E = np.zeros((T.N_LAYOUTS, 576, width), np.float32)
+    rows = np.arange(576)
+    for lay in range(T.N_LAYOUTS):
+        E[lay, rows, np.clip(src[lay], 0, width - 1)] = 1.0
+    return E
+
+
+@functools.lru_cache(maxsize=None)
+def _expansion_sfb_s() -> np.ndarray:
+    """E[l, i, k] for the flattened short scalefac slot k = min(sfb,12)*3
+    + win, 39 wide."""
+    E = np.zeros((T.N_LAYOUTS, 576, 39), np.float32)
+    rows = np.arange(576)
+    for lay in range(T.N_LAYOUTS):
+        k = np.minimum(_MAPS["sfb"][lay], 12) * 3 + _MAPS["win"][lay]
+        E[lay, rows, k] = 1.0
+    return E
+
+
+def _expand(values: jnp.ndarray, E: np.ndarray,
+            layout_oh: jnp.ndarray) -> jnp.ndarray:
+    """Per-line lookup keyed by (layout, line) into a per-slot parameter
+    vector: out[..., i] = values[..., k(layout, i)].
+
+    Contracted as t[...,l,k] = onehot_l * values_k (tiny), then
+    out = t @ E[l,i,k] — one [9*width, 576] constant matmul on the MXU.
     """
-    t = jnp.asarray(table)
-    ncol = t.shape[-1]
-    idx = layout[..., None] * ncol + jnp.arange(ncol, dtype=jnp.int32)
-    return t.reshape(-1)[idx]
+    t = jnp.einsum("...l,...k->...lk", layout_oh, values.astype(F32),
+                   precision=_HIGH, preferred_element_type=F32)
+    return jnp.einsum("...lk,lik->...i", t, jnp.asarray(E),
+                      precision=_HIGH, preferred_element_type=F32)
+
+
+def _gather2(table: np.ndarray, idx: jnp.ndarray, lo_bits: int
+             ) -> jnp.ndarray:
+    """Bit-exact table gather as a two-level one-hot contraction:
+    out[x] = table[idx[x]] with idx split into hi/lo halves, so the
+    contraction is einsum('...h,...l,hl->...') on the MXU."""
+    n = table.shape[0]
+    lo_n = 1 << lo_bits
+    hi_n = (n + lo_n - 1) // lo_n
+    t2 = np.zeros((hi_n, lo_n), np.float32)
+    t2.reshape(-1)[:n] = table
+    hi = _onehot(idx >> lo_bits, hi_n)
+    lo = _onehot(idx & (lo_n - 1), lo_n)
+    return jnp.einsum("...h,...l,hl->...", hi, lo, jnp.asarray(t2),
+                      precision=_HIGH, preferred_element_type=F32)
+
+
+_POW43_2D = None
+
+
+def _pow43(mag: jnp.ndarray, exact: bool) -> jnp.ndarray:
+    """x^(4/3) for integer magnitudes 0..8206 (pdmp3.c:971-1018).
+
+    exact: two-level one-hot gather of the reference's frozen table.
+    fast: VPU transcendental exp2(log2(x)*4/3) — within ~2 ulp of the
+    table, which stays inside the fast path's ±1 LSB PCM budget.
+    """
+    if exact:
+        return _gather2(np.asarray(T.POW43), mag, 7)
+    m = mag.astype(F32)
+    safe = jnp.maximum(m, F32(1.0))
+    v = jnp.exp2(jnp.log2(safe) * F32(4.0 / 3.0))
+    return jnp.where(mag == 0, F32(0.0), v)
+
+
+def _gain_quarter(q: jnp.ndarray, exact: bool) -> jnp.ndarray:
+    """2^(-q/4) (requantize scalefactor gain, pdmp3.c:2127/2144)."""
+    if exact:
+        return _gather2(np.asarray(T.GAIN_QUARTER_DOWN), q, 4)
+    return jnp.exp2(q.astype(F32) * F32(-0.25))
+
+
+def _gain_global(e: jnp.ndarray, exact: bool) -> jnp.ndarray:
+    """2^((e-266)/4) (global gain, pdmp3.c:2128/2145)."""
+    if exact:
+        return _gather2(np.asarray(T.GAIN_GLOBAL), e, 4)
+    return jnp.exp2((e - T.GAIN_GLOBAL_OFF).astype(F32) * F32(0.25))
+
+
+def _gather_map(table: np.ndarray, layout: jnp.ndarray) -> jnp.ndarray:
+    """Compatibility alias for map row selection (int maps)."""
+    return _map_select(table, layout, out_int=True)
+
+
+@functools.lru_cache(maxsize=1)
+def _pretab_line_map() -> np.ndarray:
+    """pretab value per (layout, line) for long regions (pdmp3.c:2123)."""
+    out = np.zeros((T.N_LAYOUTS, 576), np.float32)
+    for lay in range(T.N_LAYOUTS):
+        sfb = _MAPS["sfb"][lay]
+        long_mask = _MAPS["is_short"][lay] == 0
+        out[lay][long_mask] = _PRETAB22[np.minimum(sfb[long_mask], 21)]
+    return out
 
 
 def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
-               preflag, subblock_gain):
+               preflag, subblock_gain, exact: bool = True):
     """Dequantize Huffman integers to spectral floats.
 
     Reference: pdmp3.c:1829-1905 (drivers), 2117-2152 (per-sample):
@@ -66,31 +187,30 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
       layout/global_gain/scalefac_scale/preflag [B,2]; subblock_gain [B,2,3].
     Returns xr f32 [B,2,576].
     """
-    sfb = _gather_map(_MAPS["sfb"], layout)          # [B,2,576]
-    win = _gather_map(_MAPS["win"], layout)
-    short = _gather_map(_MAPS["is_short"], layout)
+    lay_oh = _onehot(layout, T.N_LAYOUTS)            # [B,2,9]
+    short = _map_select(_MAPS["is_short"], layout)   # [B,2,576]
 
     sign = jnp.where(ix < 0, F32(-1.0), F32(1.0))
     mag = jnp.clip(jnp.abs(ix), 0, 8206)
-    tmp3 = sign * jnp.asarray(T.POW43)[mag]
+    tmp3 = sign * _pow43(mag, exact)
 
     qpu = (2 << scalefac_scale)[..., None]           # quarters per sf unit
-    scf_l_line = jnp.take_along_axis(scf_l, sfb, axis=-1)
-    pre_line = jnp.asarray(_PRETAB22)[sfb] * preflag[..., None]
-    q_long = qpu * (scf_l_line + pre_line)
-    tmp1_long = jnp.asarray(T.GAIN_QUARTER_DOWN)[q_long]
+    scf_l_line = _expand(scf_l, _expansion_const("sfb", 22), lay_oh)
+    pre_line = (_map_select(_pretab_line_map(), layout, out_int=False)
+                * preflag[..., None])
+    q_long = qpu * (scf_l_line + pre_line).astype(jnp.int32)
+    tmp1_long = _gain_quarter(q_long, exact)
     e_long = global_gain - 210 + T.GAIN_GLOBAL_OFF   # [B,2]
-    tmp2_long = jnp.asarray(T.GAIN_GLOBAL)[e_long][..., None]
+    tmp2_long = _gain_global(e_long, exact)[..., None]
 
-    sfb_s = jnp.minimum(sfb, 12)
     scf_s_flat = scf_s.reshape(*scf_s.shape[:-2], 39)
-    scf_s_line = jnp.take_along_axis(scf_s_flat, sfb_s * 3 + win, axis=-1)
-    q_short = qpu * scf_s_line
-    tmp1_short = jnp.asarray(T.GAIN_QUARTER_DOWN)[q_short]
-    sbg_line = jnp.take_along_axis(subblock_gain, win, axis=-1)
-    e_short = (global_gain[..., None] - 210 - 8 * sbg_line
+    scf_s_line = _expand(scf_s_flat, _expansion_sfb_s(), lay_oh)
+    q_short = qpu * scf_s_line.astype(jnp.int32)
+    tmp1_short = _gain_quarter(q_short, exact)
+    sbg_line = _expand(subblock_gain, _expansion_const("win", 3), lay_oh)
+    e_short = (global_gain[..., None] - 210 - 8 * sbg_line.astype(jnp.int32)
                + T.GAIN_GLOBAL_OFF)
-    tmp2_short = jnp.asarray(T.GAIN_GLOBAL)[e_short]
+    tmp2_short = _gain_global(e_short, exact)
 
     tmp1 = jnp.where(short == 1, tmp1_short, tmp1_long)
     tmp2 = jnp.where(short == 1, tmp2_short,
@@ -98,11 +218,29 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     return (tmp1 * tmp2) * tmp3
 
 
+@functools.lru_cache(maxsize=1)
+def _perm_matrices() -> np.ndarray:
+    """P[l, p, q] = 1 where reordered line p reads raw line q."""
+    P = np.zeros((T.N_LAYOUTS, 576, 576), np.float32)
+    rows = np.arange(576)
+    for lay in range(T.N_LAYOUTS):
+        P[lay, rows, _MAPS["reorder"][lay]] = 1.0
+    return P
+
+
 def reorder(xr, layout):
-    """Short-block reorder as a static per-layout permutation gather
-    (pdmp3.c:1786-1823; identity rows for long layouts)."""
-    perm = _gather_map(_MAPS["reorder"], layout)
-    return jnp.take_along_axis(xr, perm, axis=-1)
+    """Short-block reorder (pdmp3.c:1786-1823) as constant-index
+    permutations + one-hot select: long layouts (0,3,6) are identity; the
+    six short/mixed layouts each apply a static permutation (XLA lowers
+    literal-index gathers to cheap shuffles, unlike dynamic gathers).
+    Bit-exact: every output is one input times 1.0."""
+    oh = _onehot(layout, T.N_LAYOUTS)
+    ident_w = oh[..., 0:1] + oh[..., 3:4] + oh[..., 6:7]
+    out = ident_w * xr
+    perms = _MAPS["reorder"]
+    for lay in (1, 2, 4, 5, 7, 8):
+        out = out + oh[..., lay:lay + 1] * xr[:, :, perms[lay]]
+    return out
 
 
 def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
@@ -140,30 +278,31 @@ def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
 
     # --- intensity ---
     lay0 = layout[:, 0]
-    band_start = _gather_map(_SMAPS["band_start"], lay0)   # [B,576]
-    iok = _gather_map(_SMAPS["intensity_ok"], lay0)
-    sfb = _gather_map(_MAPS["sfb"], lay0)
-    win = _gather_map(_MAPS["win"], lay0)
-    short = _gather_map(_MAPS["is_short"], lay0)
+    lay0_oh = _onehot(lay0, T.N_LAYOUTS)
+    band_start = _map_select(_SMAPS["band_start"], lay0)   # [B,576]
+    iok = _map_select(_SMAPS["intensity_ok"], lay0)
+    short = _map_select(_MAPS["is_short"], lay0)
 
-    scf_l0 = jnp.take_along_axis(scf_l[:, 0], sfb, axis=-1)
-    scf_s_flat0 = scf_s[:, 0].reshape(-1, 39)
-    scf_s0 = jnp.take_along_axis(scf_s_flat0,
-                                 jnp.minimum(sfb, 12) * 3 + win, axis=-1)
-    is_pos = jnp.where(short == 1, scf_s0, scf_l0)
+    scf_l0 = _expand(scf_l[:, 0], _expansion_const("sfb", 22), lay0_oh)
+    scf_s0 = _expand(scf_s[:, 0].reshape(-1, 39), _expansion_sfb_s(),
+                     lay0_oh)
+    is_pos = jnp.where(short == 1, scf_s0, scf_l0).astype(jnp.int32)
 
     imask = ((is_flag[:, None] != 0) & (iok == 1)
              & (band_start >= c1r[:, None]) & (is_pos != 7))
-    rpos = jnp.clip(is_pos, 0, 7)
-    rl = jnp.asarray(_RATIO_L)[rpos]
-    rr = jnp.asarray(_RATIO_R)[rpos]
+    rpos_oh = _onehot(jnp.clip(is_pos, 0, 7), 8)
+    rl = jnp.einsum("...k,k->...", rpos_oh, jnp.asarray(_RATIO_L),
+                    precision=_HIGH, preferred_element_type=F32)
+    rr = jnp.einsum("...k,k->...", rpos_oh, jnp.asarray(_RATIO_R),
+                    precision=_HIGH, preferred_element_type=F32)
     int_l = rl * l
     int_r = rr * l
     if bug_compat_short_intensity:
         # pdmp3.c:2212-2213: short-block intensity assigns through unsigned
         # temporaries; both channels become (float)(uint32)(int64)trunc(l).
-        t = jnp.trunc(l.astype(jnp.float64))
-        u = jnp.mod(t, 2.0 ** 32).astype(F32)
+        wide = jnp.float64 if exact else F32
+        t = jnp.trunc(l.astype(wide))
+        u = jnp.mod(t, wide(2.0 ** 32)).astype(F32)
         int_l = jnp.where(short == 1, u, int_l)
         int_r = jnp.where(short == 1, u, int_r)
     l_out = jnp.where(imask, int_l, l)
@@ -248,7 +387,8 @@ def hybrid_synthesis(x, store, win_switch, block_type, mixed,
     bt_eff = jnp.where(((win_switch == 1) & (mixed == 1))[..., None]
                        & (sb < 2), 0, block_type[..., None])  # [B,2,32]
 
-    long_out = _imdct_long(xw, exact) * _gather_map(T.IMDCT_WIN, bt_eff)
+    long_out = _imdct_long(xw, exact) * _map_select(T.IMDCT_WIN, bt_eff,
+                                                    out_int=False)
     short_out = _imdct_short(xw, exact)
     is_short_sb = (bt_eff == 2)
     out36 = jnp.where(is_short_sb[..., None], short_out, long_out)
