@@ -437,16 +437,19 @@ class Frontend:
         self.set_main_pos(bit_pos_end + 1)
 
     def _peek_decode(self, tab) -> tuple[int, int]:
-        """Decode one codeword via the LUT, consuming exactly its length."""
-        # peek maxlen bits without consuming (cheap: save/restore cursor)
-        save_b, save_i = self.main_byte, self.main_idx
-        peek = 0
-        need = tab.maxlen
-        while need > 0:
-            take = min(24, need)
-            peek = (peek << take) | self.get_main_bits(take)
-            need -= take
-        self.main_byte, self.main_idx = save_b, save_i
+        """Decode one codeword via the LUT, consuming exactly its length.
+
+        The peek must replicate a sequence of Get_Main_Bit calls
+        (pdmp3.c:1489-1497), which read only the LOW BYTE of each reservoir
+        word — unlike Get_Main_Bits' OR-flood window — so that parity holds
+        even when EOF words (0xFFFFFFFF) sit in the reservoir."""
+        b, i = self.main_byte, self.main_idx
+        vec = self.main_vec
+        nbytes = (i + tab.maxlen + 7) >> 3
+        window = 0
+        for k in range(nbytes):
+            window = (window << 8) | (int(vec[b + k]) & 0xFF)
+        peek = (window >> (nbytes * 8 - i - tab.maxlen)) & ((1 << tab.maxlen) - 1)
         length, x, y = tab.decode(peek)
         self.main_idx += length
         self.main_byte += self.main_idx >> 3

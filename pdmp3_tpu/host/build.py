@@ -1,0 +1,57 @@
+"""Build the native host library + CLI with g++.
+
+Invoked on demand by pdmp3_tpu.host (ctypes loader) and by tests; builds
+into build/host/.  -ffp-contract=off is load-bearing: FMA contraction
+would break the scalar DSP's bit parity with the reference decoder.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HOST_DIR = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(os.path.dirname(HOST_DIR))
+BUILD_DIR = os.path.join(REPO, "build", "host")
+LIB = os.path.join(BUILD_DIR, "libpdmp3host.so")
+CLI = os.path.join(BUILD_DIR, "pdmp3")
+
+SRCS = ["tables.cc", "frame.cc", "dsp.cc", "api.cc"]
+CXXFLAGS = ["-std=c++17", "-O2", "-Wall", "-Wextra", "-fPIC",
+            "-ffp-contract=off", "-fno-fast-math"]
+
+
+def _mtime(path: str) -> float:
+    return os.path.getmtime(path) if os.path.exists(path) else -1.0
+
+
+def _stale(target: str, deps: list[str]) -> bool:
+    t = _mtime(target)
+    return t < 0 or any(_mtime(d) > t for d in deps)
+
+
+def ensure_built(verbose: bool = False) -> str:
+    src_dir = os.path.join(HOST_DIR, "src")
+    inc = os.path.join(src_dir, "gen_tables.inc")
+    if not os.path.exists(inc):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "gen_host_tables.py"),
+                        inc], check=True, cwd=REPO)
+    deps = ([os.path.join(src_dir, s) for s in SRCS + ["internal.h",
+                                                       "main.cc"]]
+            + [inc, os.path.join(HOST_DIR, "include", "pdmp3.h")])
+    os.makedirs(BUILD_DIR, exist_ok=True)
+    if _stale(LIB, deps) or _stale(CLI, deps):
+        srcs = [os.path.join(src_dir, s) for s in SRCS]
+        cmd = ["g++", *CXXFLAGS, "-shared", "-o", LIB, *srcs]
+        if verbose:
+            print(" ".join(cmd))
+        subprocess.run(cmd, check=True)
+        cmd = ["g++", *CXXFLAGS, "-o", CLI,
+               os.path.join(src_dir, "main.cc"), *srcs]
+        subprocess.run(cmd, check=True)
+    return LIB
+
+
+if __name__ == "__main__":
+    print(ensure_built(verbose=True))

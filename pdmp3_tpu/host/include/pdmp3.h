@@ -1,0 +1,92 @@
+/* pdmp3_tpu native host library — public C ABI.
+ *
+ * Drop-in replacement for the reference decoder's libmpg123-subset
+ * streaming API (technosaurus/PDMP3, pdmp3.c:150-159): same functions,
+ * same return-code protocol, bit-exact 16-bit PCM.  Additionally exposes
+ * the batch frontend used by the TPU pipeline: it runs the control-flow-
+ * heavy bitstream stages (sync, side info, bit reservoir, scalefactors,
+ * Huffman) natively and emits dense per-granule tensors for the JAX/Pallas
+ * DSP backend.
+ */
+#ifndef PDMP3_TPU_HOST_H_
+#define PDMP3_TPU_HOST_H_
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* --- status codes (libmpg123 subset, cf. pdmp3.c:114-121) --- */
+#define PDMP3_OK 0
+#define PDMP3_ERR (-1)
+#define PDMP3_NEED_MORE (-10)
+#define PDMP3_NEW_FORMAT (-11)
+#define PDMP3_NO_SPACE 7
+#define PDMP3_ENC_SIGNED_16 (0x080 | 0x040 | 0x10)
+
+typedef struct pdmp3_handle pdmp3_handle;
+
+/* --- streaming API (protocol-identical to the reference) --- */
+pdmp3_handle *pdmp3_new(const char *decoder, int *error);
+void pdmp3_delete(pdmp3_handle *id);
+int pdmp3_open_feed(pdmp3_handle *id);
+int pdmp3_feed(pdmp3_handle *id, const unsigned char *in, size_t size);
+int pdmp3_read(pdmp3_handle *id, unsigned char *outmemory, size_t outsize,
+               size_t *done);
+int pdmp3_decode(pdmp3_handle *id, const unsigned char *in, size_t insize,
+                 unsigned char *out, size_t outsize, size_t *done);
+int pdmp3_getformat(pdmp3_handle *id, long *rate, int *channels,
+                    int *encoding);
+
+/* CLI player: NULL-terminated file list; optional leading "/dev/dsp*"
+ * selects the audio device (cf. pdmp3.c:2540-2589).  Writes <file>.raw
+ * when built for raw output. */
+void pdmp3(char *const *mp3s);
+
+/* --- batch frontend for the TPU pipeline ---
+ *
+ * Parses one frame from the handle's input buffer and fills dense granule
+ * tensors (one frame = 2 granules x 2 channels).  Layouts match
+ * pdmp3_tpu.models.decoder.GranuleBatch; mono streams leave channel 1
+ * zeroed and set nch=1.
+ *
+ * Returns PDMP3_OK (frame parsed; out structs filled), PDMP3_NEED_MORE
+ * (insufficient input or reservoir underflow; input cursor rolled back
+ * for resume), or PDMP3_ERR.
+ */
+typedef struct pdmp3_granules {
+  int16_t ix[2][2][576];      /* Huffman-decoded frequency lines */
+  uint8_t scf_l[2][2][22];    /* long scalefactors (+sfb21 policy slot) */
+  uint8_t scf_s[2][2][13][3]; /* short scalefactors (+band-12 policy) */
+  int32_t layout[2][2];       /* sfreq*3 + {0 long,1 short,2 mixed} */
+  int32_t block_type[2][2];
+  int32_t win_switch[2][2];
+  int32_t mixed[2][2];
+  int32_t global_gain[2][2];
+  int32_t scalefac_scale[2][2];
+  int32_t preflag[2][2];
+  int32_t subblock_gain[2][2][3];
+  int32_t count1[2][2];
+  int32_t ms_flag;            /* joint stereo + mode_ext bit 1 */
+  int32_t is_flag;            /* joint stereo + mode_ext bit 0 */
+  int32_t nch;
+  int32_t sample_rate;
+} pdmp3_granules;
+
+int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *out);
+
+/* Bytes buffered / free in the 16 KiB input ring. */
+unsigned pdmp3_inbuf_filled(pdmp3_handle *id);
+unsigned pdmp3_inbuf_free(pdmp3_handle *id);
+
+/* Decode one parsed frame with the native scalar DSP (bit-exact vs the
+ * reference) into packed PCM words hi=left/lo=right (pdmp3.c:129). */
+void pdmp3_dsp_frame(pdmp3_handle *id, const pdmp3_granules *g,
+                     uint32_t out_words[2][576]);
+
+#ifdef __cplusplus
+}
+#endif
+#endif /* PDMP3_TPU_HOST_H_ */

@@ -1,0 +1,217 @@
+// libmpg123-subset streaming API + CLI player (native).
+//
+// Return-code protocol, input-cursor rollback, NEW_FORMAT handshake and
+// partial-frame draining match the reference (pdmp3.c:2301-2535,
+// 2540-2589).  The CLI writes <file>.raw (the reference's OUTPUT_RAW
+// configuration, pdmp3.c:2222-2258); OSS output is intentionally not
+// compiled in (no /dev/dsp in deployment targets), the hook is
+// audio_write below.
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <new>
+
+#include "internal.h"
+
+using namespace pdmp3host;
+
+extern "C" {
+
+pdmp3_handle *pdmp3_new(const char *decoder, int *error) {
+  (void)decoder;
+  pdmp3_handle *h = new (std::nothrow) pdmp3_handle();
+  if (error) *error = h ? PDMP3_OK : PDMP3_ERR;
+  return h;
+}
+
+void pdmp3_delete(pdmp3_handle *id) { delete id; }
+
+int pdmp3_open_feed(pdmp3_handle *id) {
+  if (!id) return PDMP3_ERR;
+  id->fp.reset();
+  id->dsp.reset();
+  id->ostart = 0;
+  return PDMP3_OK;
+}
+
+int pdmp3_feed(pdmp3_handle *id, const unsigned char *in, size_t size) {
+  if (!id || !in || !size) return PDMP3_ERR;
+  return id->fp.in.feed(in, size);
+}
+
+unsigned pdmp3_inbuf_filled(pdmp3_handle *id) { return id->fp.in.filled(); }
+unsigned pdmp3_inbuf_free(pdmp3_handle *id) { return id->fp.in.free_space(); }
+
+int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *g) {
+  if (!id || !g) return PDMP3_ERR;
+  size_t pos = id->fp.in.processed;
+  unsigned mark = id->fp.in.istart;
+  int r = id->fp.parse_frame(g);
+  if (r != PDMP3_OK) {
+    id->fp.in.processed = pos;
+    id->fp.in.istart = mark;
+  }
+  return r;
+}
+
+void pdmp3_dsp_frame(pdmp3_handle *id, const pdmp3_granules *g,
+                     uint32_t out_words[2][576]) {
+  id->dsp.decode_frame(*g, out_words);
+}
+
+// Convert_Frame_S16 (pdmp3.c:2307-2345)
+static size_t convert_s16(pdmp3_handle *id, unsigned char *outbuf,
+                          size_t buflen) {
+  int nch = id->fp.hdr.nch();
+  size_t framesz = 2 * (size_t)nch;
+  size_t nsamps = buflen / framesz;
+  if (nsamps > 2 * 576 - id->ostart) nsamps = 2 * 576 - id->ostart;
+  int16_t *s = (int16_t *)outbuf;
+  const uint32_t *flat = &id->out[0][0];
+  for (size_t q = 0; q < nsamps; q++) {
+    uint32_t w = flat[id->ostart + q];
+    if (nch == 1) {
+      s[q] = (int16_t)(w & 0xFFFF);
+    } else {
+      s[2 * q] = (int16_t)((w >> 16) & 0xFFFF);
+      s[2 * q + 1] = (int16_t)(w & 0xFFFF);
+    }
+  }
+  id->ostart += (unsigned)nsamps;
+  if (id->ostart == 2 * 576) id->ostart = 0;
+  return nsamps * framesz;
+}
+
+int pdmp3_read(pdmp3_handle *id, unsigned char *outmemory, size_t outsize,
+               size_t *done) {
+  // (pdmp3.c:2431-2481)
+  if (!id || !outmemory || !done) return PDMP3_ERR;
+  *done = 0;
+  if (outsize == 0) return PDMP3_NO_SPACE;
+  int res = PDMP3_ERR;
+  if (id->ostart) {
+    size_t n = convert_s16(id, outmemory, outsize);
+    outmemory += n;
+    outsize -= n;
+    *done += n;
+    res = PDMP3_OK;
+  }
+  while (outsize) {
+    if (id->fp.in.filled() >= 2 * 576) {
+      size_t pos = id->fp.in.processed;
+      unsigned mark = id->fp.in.istart;
+      pdmp3_granules g;
+      res = id->fp.parse_frame(&g);
+      if (res == PDMP3_OK || res == PDMP3_NEW_FORMAT) {
+        id->dsp.decode_frame(g, id->out);
+        size_t n = convert_s16(id, outmemory, outsize);
+        outmemory += n;
+        outsize -= n;
+        *done += n;
+      } else {
+        id->fp.in.processed = pos;
+        id->fp.in.istart = mark;
+        if (res != PDMP3_ERR && res != PDMP3_NEED_MORE) res = PDMP3_ERR;
+        break;
+      }
+    } else {
+      res = PDMP3_NEED_MORE;
+      break;
+    }
+  }
+  if (id->fp.new_header == 1 && res == PDMP3_OK) res = PDMP3_NEW_FORMAT;
+  return res;
+}
+
+int pdmp3_decode(pdmp3_handle *id, const unsigned char *in, size_t insize,
+                 unsigned char *out, size_t outsize, size_t *done) {
+  // (pdmp3.c:2491-2520)
+  if (!id || !done) return PDMP3_ERR;
+  *done = 0;
+  size_t free_space = id->fp.in.free_space();
+  if (free_space > insize) free_space = insize;
+  int res = pdmp3_feed(id, in, free_space);
+  if (res == PDMP3_OK) {
+    if (out && outsize) {
+      res = pdmp3_read(id, out, outsize, done);
+    } else if (id->fp.in.processed == 0) {
+      size_t pos = id->fp.in.processed;
+      unsigned mark = id->fp.in.istart;
+      res = id->fp.search_header();
+      id->fp.in.processed = pos;
+      id->fp.in.istart = mark;
+      if (id->fp.new_header == 1) res = PDMP3_NEW_FORMAT;
+    }
+  }
+  return res;
+}
+
+int pdmp3_getformat(pdmp3_handle *id, long *rate, int *channels,
+                    int *encoding) {
+  // (pdmp3.c:2526-2535)
+  if (!id || !rate || !channels || !encoding) return PDMP3_ERR;
+  *encoding = PDMP3_ENC_SIGNED_16;
+  *rate = kSampleRates[id->fp.hdr.sampling_frequency];
+  *channels = id->fp.hdr.nch();
+  id->fp.new_header = -1;
+  return PDMP3_OK;
+}
+
+// ---- CLI player (pdmp3.c:2540-2589) ----
+
+static void audio_write(const char *filename, const unsigned char *samples,
+                        size_t nbytes, FILE **sink) {
+  if (!*sink) {
+    if (strcmp(filename, "-") == 0) {
+      *sink = stdout;
+    } else {
+      char fname[1024];
+      snprintf(fname, sizeof fname, "%s.raw", filename);
+      *sink = fopen(fname, "wb");
+      if (!*sink) {
+        perror(fname);
+        exit(-1);
+      }
+    }
+  }
+  if (nbytes && fwrite(samples, 1, nbytes, *sink) != nbytes) {
+    fprintf(stderr, "Unable to write raw data\n");
+    exit(-1);
+  }
+}
+
+void pdmp3(char *const *mp3s) {
+  static unsigned char out[kInbufSize];
+  if (*mp3s && !strncmp("/dev/dsp", *mp3s, 8)) mp3s++;  // device arg unused
+  pdmp3_handle *id = pdmp3_new(nullptr, nullptr);
+  if (!id) {
+    fprintf(stderr, "Cannot open stream API (out of memory)\n");
+    return;
+  }
+  while (*mp3s) {
+    const char *filename = *mp3s++;
+    FILE *fp = strcmp(filename, "-") == 0 ? stdin : fopen(filename, "rb");
+    if (!fp) {
+      fprintf(stderr, "Cannot open file %s\n", filename);
+      exit(0);
+    }
+    FILE *sink = nullptr;
+    pdmp3_open_feed(id);
+    size_t done;
+    int res;
+    while ((res = pdmp3_read(id, out, sizeof out, &done)) != PDMP3_ERR) {
+      audio_write(filename, out, done, &sink);
+      if (res == PDMP3_NEED_MORE) {
+        unsigned char in[4096];
+        size_t n = fread(in, 1, sizeof in, fp);
+        if (!n) break;
+        pdmp3_feed(id, in, n);
+      }
+    }
+    if (sink && sink != stdout) fclose(sink);
+    if (fp != stdin) fclose(fp);
+  }
+  pdmp3_delete(id);
+}
+
+}  // extern "C"

@@ -1,0 +1,215 @@
+// Scalar float32 DSP backend — bit-exact vs the reference decoder.
+//
+// Per-granule math of pdmp3.c:1024-1060, 1649-2045, 2117-2220 with
+// identical float32 operation ordering (sequential accumulations, the
+// double-precision rounding points at the MS butterfly and the final
+// quantize).  Build with -ffp-contract=off: FMA contraction would change
+// the rounding.  State (overlap store, polyphase FIFO) is per-handle, not
+// function-static like the reference (pdmp3.c:1755, 1983), so concurrent
+// streams are safe.
+#include <cmath>
+
+#include "internal.h"
+
+namespace pdmp3host {
+
+namespace {
+
+constexpr double kInvSqrt2 = 0.70710678118654752440;
+
+inline float pow43_signed(int v) {
+  int a = v < 0 ? -v : v;
+  if (a > 8206) a = 8206;
+  float p = kPow43[a];
+  return v < 0 ? -p : p;
+}
+
+void requantize(const pdmp3_granules &g, int gr, int ch, int lay,
+                float x[576]) {
+  // pdmp3.c:1829-1905, 2117-2152 — all 576 lines (zeros stay +0.0)
+  const LayoutMaps &m = layout_maps();
+  int qpu = g.scalefac_scale[gr][ch] ? 4 : 2;
+  int gg = g.global_gain[gr][ch];
+  float t2_long = kGainGlobal[gg - 210 + kGainGlobalOff];
+  for (int i = 0; i < 576; i++) {
+    int sfb = m.sfb[lay][i];
+    float t1, t2;
+    if (m.is_short[lay][i]) {
+      int w = m.win[lay][i];
+      int scf = g.scf_s[gr][ch][sfb > 12 ? 12 : sfb][w];
+      t1 = kGainQuarter[qpu * scf];
+      t2 = kGainGlobal[gg - 210 - 8 * g.subblock_gain[gr][ch][w] +
+                       kGainGlobalOff];
+    } else {
+      int scf = g.scf_l[gr][ch][sfb];
+      t1 = kGainQuarter[qpu * (scf + g.preflag[gr][ch] * kPretab[sfb])];
+      t2 = t2_long;
+    }
+    x[i] = (t1 * t2) * pow43_signed(g.ix[gr][ch][i]);
+  }
+}
+
+void reorder(int lay, float x[576]) {
+  // static permutation form of pdmp3.c:1786-1823
+  const LayoutMaps &m = layout_maps();
+  float tmp[576];
+  for (int i = 0; i < 576; i++) tmp[i] = x[m.reorder[lay][i]];
+  std::memcpy(x, tmp, sizeof tmp);
+}
+
+void stereo(const pdmp3_granules &g, int gr, float x[2][576]) {
+  // pdmp3.c:1911-1972, 2154-2220
+  if (!g.ms_flag && !g.is_flag) return;
+  if (g.ms_flag) {
+    // butterfly over min(count1): count1[gr][!!(c0>c1)] (pdmp3.c:1920)
+    int c0 = g.count1[gr][0], c1 = g.count1[gr][1];
+    int mp = c0 < c1 ? c0 : c1;
+    if (mp > 576) mp = 576;
+    for (int i = 0; i < mp; i++) {
+      float mid = x[0][i] + x[1][i];
+      float sid = x[0][i] - x[1][i];
+      x[0][i] = (float)((double)mid * kInvSqrt2);
+      x[1][i] = (float)((double)sid * kInvSqrt2);
+    }
+  }
+  if (g.is_flag) {
+    const LayoutMaps &m = layout_maps();
+    int lay = g.layout[gr][0];
+    int c1r = g.count1[gr][1];
+    for (int i = 0; i < 576; i++) {
+      if (!m.intensity_ok[lay][i]) continue;
+      if (m.band_start[lay][i] < c1r) continue;
+      int sfb = m.sfb[lay][i];
+      int is_pos;
+      if (m.is_short[lay][i]) {
+        int w = m.win[lay][i];
+        is_pos = g.scf_s[gr][0][sfb > 12 ? 12 : sfb][w];
+        if (is_pos == 7) continue;
+        // reference transcription bug (pdmp3.c:2212-2213): both channels
+        // become (float)(unsigned)trunc(left)
+        float u = (float)(uint32_t)(int64_t)x[0][i];
+        x[0][i] = u;
+        x[1][i] = u;
+      } else {
+        is_pos = g.scf_l[gr][0][sfb];
+        if (is_pos == 7) continue;
+        float rl = kIsRatioL[is_pos > 7 ? 7 : is_pos];
+        float rr = kIsRatioR[is_pos > 7 ? 7 : is_pos];
+        float left = rl * x[0][i];
+        float right = rr * x[0][i];
+        x[0][i] = left;
+        x[1][i] = right;
+      }
+    }
+  }
+}
+
+void antialias(const pdmp3_granules &g, int gr, int ch, float x[576]) {
+  // pdmp3.c:1706-1732
+  bool pure_short = g.win_switch[gr][ch] && g.block_type[gr][ch] == 2 &&
+                    !g.mixed[gr][ch];
+  if (pure_short) return;
+  int sblim = (g.win_switch[gr][ch] && g.block_type[gr][ch] == 2 &&
+               g.mixed[gr][ch])
+                  ? 2
+                  : 32;
+  for (int sb = 1; sb < sblim; sb++) {
+    for (int i = 0; i < 8; i++) {
+      int li = 18 * sb - 1 - i, ui = 18 * sb + i;
+      float lb = x[li] * kCs[i] - x[ui] * kCa[i];
+      float ub = x[ui] * kCs[i] + x[li] * kCa[i];
+      x[li] = lb;
+      x[ui] = ub;
+    }
+  }
+}
+
+void imdct_win(const float in[18], float out[36], int bt) {
+  // pdmp3.c:1649-1700 (sequential-m accumulation order)
+  for (int i = 0; i < 36; i++) out[i] = 0.0f;
+  if (bt == 2) {
+    for (int i3 = 0; i3 < 3; i3++) {
+      for (int p = 0; p < 12; p++) {
+        float sum = 0.0f;
+        for (int mm = 0; mm < 6; mm++) sum += in[i3 + 3 * mm] * kCosN12[mm][p];
+        out[6 * i3 + p + 6] += sum * kImdctWin[2][p];
+      }
+    }
+  } else {
+    for (int p = 0; p < 36; p++) {
+      float sum = 0.0f;
+      for (int mm = 0; mm < 18; mm++) sum += in[mm] * kCosN36[mm][p];
+      out[p] = sum * kImdctWin[bt][p];
+    }
+  }
+}
+
+}  // namespace
+
+void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576]) {
+  int nch = g.nch;
+  for (int gr = 0; gr < 2; gr++) {
+    float x[2][576] = {};
+    for (int ch = 0; ch < nch; ch++) {
+      int lay = g.layout[gr][ch];
+      requantize(g, gr, ch, lay, x[ch]);
+      if (g.win_switch[gr][ch] && g.block_type[gr][ch] == 2)
+        reorder(lay, x[ch]);
+    }
+    stereo(g, gr, x);
+    for (int ch = 0; ch < nch; ch++) {
+      antialias(g, gr, ch, x[ch]);
+      // hybrid synthesis: IMDCT + overlap-add (pdmp3.c:1752-1780)
+      for (int sb = 0; sb < 32; sb++) {
+        int bt = (g.win_switch[gr][ch] && g.mixed[gr][ch] && sb < 2)
+                     ? 0
+                     : g.block_type[gr][ch];
+        float raw[36];
+        imdct_win(&x[ch][sb * 18], raw, bt);
+        for (int i = 0; i < 18; i++) {
+          x[ch][sb * 18 + i] = raw[i] + store[ch][sb][i];
+          store[ch][sb][i] = raw[i + 18];
+        }
+      }
+      // frequency inversion (pdmp3.c:1738-1746)
+      for (int sb = 1; sb < 32; sb += 2)
+        for (int i = 1; i < 18; i += 2) x[ch][sb * 18 + i] = -x[ch][sb * 18 + i];
+      // polyphase synthesis (pdmp3.c:1978-2045)
+      float *vv = v[ch];
+      for (int ss = 0; ss < 18; ss++) {
+        std::memmove(vv + 64, vv, (1024 - 64) * sizeof(float));
+        float s_vec[32];
+        for (int i = 0; i < 32; i++) s_vec[i] = x[ch][i * 18 + ss];
+        for (int i = 0; i < 64; i++) {
+          float sum = 0.0f;
+          for (int j = 0; j < 32; j++) sum += kSynthNwin[i][j] * s_vec[j];
+          vv[i] = sum;
+        }
+        float u[512];
+        for (int i = 0; i < 8; i++)
+          for (int j = 0; j < 32; j++) {
+            u[(i << 6) + j] = vv[(i << 7) + j];
+            u[(i << 6) + j + 32] = vv[(i << 7) + j + 96];
+          }
+        for (int i = 0; i < 512; i++) u[i] = u[i] * kSynthD[i];
+        for (int i = 0; i < 32; i++) {
+          float sum = 0.0f;
+          for (int j = 0; j < 16; j++) sum += u[(j << 5) + i];
+          int32_t samp = (int32_t)((double)sum * 32767.0);
+          if (samp > 32767) samp = 32767;
+          else if (samp < -32767) samp = -32767;
+          samp &= 0xFFFF;
+          unsigned o = 32 * (unsigned)ss + (unsigned)i;
+          if (ch == 0) {
+            out[gr][o] = (nch == 1) ? (((uint32_t)samp << 16) | (uint32_t)samp)
+                                    : ((uint32_t)samp << 16);
+          } else {
+            out[gr][o] |= (uint32_t)samp;
+          }
+        }
+      }
+    }
+  }
+}
+
+}  // namespace pdmp3host

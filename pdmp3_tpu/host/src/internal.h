@@ -1,0 +1,233 @@
+// pdmp3_tpu native host — internal structures.
+//
+// Original implementation of the MPEG-1 Layer III frame machinery, state
+// machine and scalar DSP described in SURVEY.md §2 (semantics matched to
+// the reference decoder cited per method; no reference code reused).
+#ifndef PDMP3_TPU_HOST_INTERNAL_H_
+#define PDMP3_TPU_HOST_INTERNAL_H_
+
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+
+#include "../include/pdmp3.h"
+
+namespace pdmp3host {
+
+// ---- generated constant tables (gen_tables.inc, built by
+// tools/gen_host_tables.py from ISO 11172-3 data) ----
+#define PDMP3_HUFF_PRIMARY_BITS 9
+extern const float kPow43[8207];
+extern const float kGainQuarter[256];
+extern const float kGainGlobal[312];
+extern const int kGainGlobalOff;
+extern const float kCs[8];
+extern const float kCa[8];
+extern const float kIsRatioL[8];
+extern const float kIsRatioR[8];
+extern const float kImdctWin[4][36];
+extern const float kCosN12[6][12];
+extern const float kCosN36[18][36];
+extern const float kSynthD[512];
+extern const float kSynthNwin[64][32];
+extern const int kSfbLong[3][23];
+extern const int kSfbShort[3][14];
+extern const int kPretab[22];
+extern const int kScalefacSizes[16][2];
+extern const long kBitratesL3[15];
+extern const long kSampleRates[3];
+extern const unsigned short kHuffPrimary[34][512];
+extern const unsigned short kHuffSecondary[];
+extern const int kHuffEscOff[];
+extern const int kHuffEscExt[];
+extern const int kHuffMaxlen[34];
+extern const int kHuffLinbits[34];
+
+// ---- derived per-layout line maps (cf. pdmp3_tpu.tables.layout_maps) ----
+struct LayoutMaps {
+  // layout = sfreq*3 + {0 long, 1 short, 2 mixed}
+  int16_t sfb[9][576];        // scalefactor band per line
+  int16_t win[9][576];        // window 0-2 for short regions
+  int16_t is_short[9][576];   // 1 in short regions
+  int16_t reorder[9][576];    // reordered[i] = raw[reorder[i]]
+  int16_t band_start[9][576]; // first line of the line's band
+  int16_t intensity_ok[9][576];
+};
+const LayoutMaps &layout_maps();
+
+inline int layout_id(int sfreq, int win_switch, int block_type, int mixed) {
+  if (win_switch && block_type == 2) return sfreq * 3 + (mixed ? 2 : 1);
+  return sfreq * 3;
+}
+
+constexpr unsigned kInbufSize = 4 * 4096;
+constexpr uint32_t kEof = 0xFFFFFFFFu;
+
+// ---- input ring buffer (semantics: pdmp3.c:1062-1086, 2391-2423) ----
+struct InRing {
+  uint8_t buf[kInbufSize];
+  unsigned istart = 0, iend = 0;
+  size_t processed = 0;
+
+  unsigned filled() const {
+    return istart <= iend ? iend - istart : kInbufSize - istart + iend;
+  }
+  unsigned free_space() const {
+    return iend < istart ? istart - iend : kInbufSize - iend + istart;
+  }
+  uint32_t get_byte() {
+    if (istart == iend) return kEof;
+    uint32_t v = buf[istart++];
+    if (istart == kInbufSize) istart = 0;
+    processed++;
+    return v;
+  }
+  int feed(const uint8_t *in, size_t size);
+};
+
+// ---- bit reservoir (pdmp3.c:1096-1122, 1489-1541) ----
+//
+// Byte array plus an EOF flag per byte: multi-bit reads reproduce the
+// reference's word-OR flood (an EOF byte saturates its own and all higher
+// lanes of the 32-bit window), single-bit reads see only the low byte.
+struct Reservoir {
+  uint8_t bytes[2048 + 8] = {0};
+  uint8_t eof[2048 + 8] = {0};
+  unsigned byte_pos = 0;  // cursor
+  unsigned bit_idx = 0;   // 0-7
+  unsigned top = 0;
+
+  uint32_t word(unsigned i) const { return eof[i] ? kEof : bytes[i]; }
+
+  unsigned get_bit() {
+    unsigned b = (word(byte_pos) >> (7 - bit_idx)) & 1u;
+    bit_idx++;
+    byte_pos += bit_idx >> 3;
+    bit_idx &= 7;
+    return b;
+  }
+  unsigned get_bits(unsigned n) {  // n <= 24; flood-window semantics
+    if (n == 0) return 0;
+    uint32_t w = (word(byte_pos) << 24) | (word(byte_pos + 1) << 16) |
+                 (word(byte_pos + 2) << 8) | word(byte_pos + 3);
+    w <<= bit_idx;
+    w >>= 32 - n;
+    bit_idx += n;
+    byte_pos += bit_idx >> 3;
+    bit_idx &= 7;
+    return w;
+  }
+  unsigned pos() const { return byte_pos * 8 + bit_idx; }
+  void set_pos(unsigned bitpos) {
+    byte_pos = bitpos >> 3;
+    bit_idx = bitpos & 7;
+  }
+  // peek n bits with per-bit (low byte) semantics, no cursor movement
+  uint32_t peek_bits(unsigned n) const {
+    unsigned nbytes = (bit_idx + n + 7) >> 3;
+    uint64_t w = 0;
+    for (unsigned k = 0; k < nbytes; k++)
+      w = (w << 8) | (eof[byte_pos + k] ? 0xFFu : bytes[byte_pos + k]);
+    return (uint32_t)((w >> (nbytes * 8 - bit_idx - n)) &
+                      ((1u << n) - 1u));
+  }
+  void advance(unsigned n) {
+    bit_idx += n;
+    byte_pos += bit_idx >> 3;
+    bit_idx &= 7;
+  }
+};
+
+// ---- side-info bit reader (pdmp3.c:1547-1586) ----
+struct SideBuf {
+  uint8_t bytes[36 + 8] = {0};
+  unsigned byte_pos = 0, bit_idx = 0;
+  unsigned get_bits(unsigned n) {
+    uint32_t w = ((uint32_t)bytes[byte_pos] << 24) |
+                 ((uint32_t)bytes[byte_pos + 1] << 16) |
+                 ((uint32_t)bytes[byte_pos + 2] << 8) |
+                 (uint32_t)bytes[byte_pos + 3];
+    w <<= bit_idx;
+    w >>= 32 - n;
+    bit_idx += n;
+    byte_pos += bit_idx >> 3;
+    bit_idx &= 7;
+    return w;
+  }
+};
+
+struct FrameHeader {
+  int id = 0, layer = 0, protection_bit = 0, bitrate_index = 0;
+  int sampling_frequency = 0, padding_bit = 0, private_bit = 0;
+  int mode = 0, mode_extension = 0, copyright = 0, original = 0,
+      emphasis = 0;
+  int nch() const { return mode == 3 ? 1 : 2; }
+  long frame_size() const {
+    return 144 * kBitratesL3[bitrate_index] /
+               kSampleRates[sampling_frequency] +
+           padding_bit;
+  }
+};
+
+struct SideInfo {
+  unsigned main_data_begin = 0;
+  unsigned scfsi[2][4] = {};
+  unsigned part2_3_length[2][2] = {};
+  unsigned big_values[2][2] = {};
+  unsigned global_gain[2][2] = {};
+  unsigned scalefac_compress[2][2] = {};
+  unsigned win_switch[2][2] = {};
+  unsigned block_type[2][2] = {};
+  unsigned mixed[2][2] = {};
+  unsigned table_select[2][2][3] = {};
+  unsigned subblock_gain[2][2][3] = {};
+  unsigned region0_count[2][2] = {};
+  unsigned region1_count[2][2] = {};
+  unsigned preflag[2][2] = {};
+  unsigned scalefac_scale[2][2] = {};
+  unsigned count1table_select[2][2] = {};
+  int count1[2][2] = {};
+};
+
+// ---- streaming frame parser ----
+struct FrameParser {
+  InRing in;
+  Reservoir res;
+  SideBuf side;
+  FrameHeader hdr;
+  SideInfo si;
+  int new_header = 0;
+
+  void reset();                 // pdmp3_open_feed semantics
+  int read_header();            // sync scan + field checks
+  int search_header();          // resync wrapper with rollback
+  int read_side_info();
+  int get_main_data(unsigned size, unsigned begin);
+  void read_scalefactors(int gr, int ch, pdmp3_granules *g);
+  void read_huffman(unsigned part_2_start, int gr, int ch,
+                    pdmp3_granules *g);
+  int read_main(pdmp3_granules *g);
+  int parse_frame(pdmp3_granules *g);  // full frame; NEED_MORE/ERR/OK
+};
+
+// ---- scalar bit-exact DSP (cf. oracle.py; pdmp3.c:1649-2045) ----
+struct ScalarDsp {
+  float store[2][32][18] = {};
+  float v[2][1024] = {};
+  void reset() {
+    std::memset(store, 0, sizeof store);
+    std::memset(v, 0, sizeof v);
+  }
+  void decode_frame(const pdmp3_granules &g, uint32_t out[2][576]);
+};
+
+}  // namespace pdmp3host
+
+struct pdmp3_handle {
+  pdmp3host::FrameParser fp;
+  pdmp3host::ScalarDsp dsp;
+  uint32_t out[2][576] = {};
+  unsigned ostart = 0;
+};
+
+#endif  // PDMP3_TPU_HOST_INTERNAL_H_

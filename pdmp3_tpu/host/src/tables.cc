@@ -1,0 +1,76 @@
+// Constant tables + derived per-layout maps for the native host library.
+#include "internal.h"
+
+namespace pdmp3host {
+
+#include "gen_tables.inc"
+
+namespace {
+
+LayoutMaps build_maps() {
+  LayoutMaps m{};
+  for (int sf = 0; sf < 3; sf++) {
+    const int *L = kSfbLong[sf];
+    const int *S = kSfbShort[sf];
+
+    // long layout
+    {
+      int lay = sf * 3;
+      for (int b = 0; b < 22; b++)
+        for (int i = L[b]; i < L[b + 1]; i++) {
+          m.sfb[lay][i] = (int16_t)b;
+          m.band_start[lay][i] = (int16_t)L[b];
+          m.intensity_ok[lay][i] = b < 21;
+        }
+      for (int i = 0; i < 576; i++) m.reorder[lay][i] = (int16_t)i;
+    }
+
+    for (int kind = 1; kind <= 2; kind++) {  // short, mixed
+      int lay = sf * 3 + kind;
+      int start_sfb = kind == 2 ? 3 : 0;
+      for (int i = 0; i < 576; i++) m.reorder[lay][i] = (int16_t)i;
+      if (kind == 2) {  // first 36 lines: long bands 0..7
+        for (int b = 0; b < 8; b++)
+          for (int i = L[b]; i < L[b + 1] && i < 36; i++) {
+            m.sfb[lay][i] = (int16_t)b;
+            m.band_start[lay][i] = (int16_t)L[b];
+            m.intensity_ok[lay][i] = 1;
+          }
+      }
+      int i = 3 * S[start_sfb];
+      for (int b = start_sfb; b < 13; b++) {
+        int wl = S[b + 1] - S[b];
+        for (int w = 0; w < 3; w++)
+          for (int j = 0; j < wl; j++, i++) {
+            m.sfb[lay][i] = (int16_t)b;
+            m.win[lay][i] = (int16_t)w;
+            m.is_short[lay][i] = 1;
+            m.band_start[lay][i] = (int16_t)(3 * S[b]);
+            m.intensity_ok[lay][i] = b < 12;
+          }
+      }
+      // reorder: within band b (and the trailing band-12 region),
+      // reordered[3*s+3*j+w] = raw[3*s + w*wl + j]  (pdmp3.c:1786-1823)
+      for (int b = start_sfb; b < 12; b++) {
+        int s0 = 3 * S[b], wl = S[b + 1] - S[b];
+        for (int w = 0; w < 3; w++)
+          for (int j = 0; j < wl; j++)
+            m.reorder[lay][s0 + 3 * j + w] = (int16_t)(s0 + w * wl + j);
+      }
+      int s0 = 3 * S[12], wl = S[13] - S[12];
+      for (int w = 0; w < 3; w++)
+        for (int j = 0; j < wl; j++)
+          m.reorder[lay][s0 + 3 * j + w] = (int16_t)(s0 + w * wl + j);
+    }
+  }
+  return m;
+}
+
+}  // namespace
+
+const LayoutMaps &layout_maps() {
+  static const LayoutMaps m = build_maps();
+  return m;
+}
+
+}  // namespace pdmp3host

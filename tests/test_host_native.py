@@ -1,0 +1,141 @@
+"""Native (C++) host library conformance: bit-exact PCM, protocol parity
+with the Python implementation, frontend tensor equality, CLI parity."""
+import subprocess
+
+import numpy as np
+import pytest
+
+from pdmp3_tpu import PDMP3, decode_file, tables as T
+from pdmp3_tpu.frontend import Frontend
+from pdmp3_tpu.host import NativePDMP3, cli_path, native_decode_file
+from pdmp3_tpu.testing import mp3gen
+from pdmp3_tpu.testing.golden import reference_decode
+
+MATRIX = {
+    "long": dict(blocks="long"),
+    "short": dict(blocks="short"),
+    "mixed_32k": dict(blocks="mixed", sfreq=2),
+    "varied_48k": dict(blocks="varied", sfreq=1),
+    "ms": dict(blocks="varied", mode=1, mode_extension=2),
+    "ms_intensity": dict(blocks="long", mode=1, mode_extension=3,
+                         stereo_extent_ch1=0.3, intensity_pos=True),
+    "mono": dict(blocks="varied", mode=3),
+    "reservoir": dict(blocks="varied", use_reservoir=True,
+                      vary_padding=True),
+    "crc_stuffing": dict(blocks="short", protection=True, stuffing=5),
+    "count1b": dict(blocks="long", seed=7),
+    "garbage_prefix": dict(blocks="long", leading_garbage=200),
+    "linbits": dict(blocks="long", amp=4000, bitrate_index=14),
+}
+
+
+@pytest.mark.parametrize("name", sorted(MATRIX))
+def test_native_bit_exact_vs_reference(name):
+    kw = dict(MATRIX[name])
+    seed = kw.pop("seed", hash(name) % 10000)
+    stream = mp3gen.make_stream(n_frames=10, seed=seed, **kw)
+    ref = reference_decode(stream)
+    mine = native_decode_file(stream)
+    assert len(ref) > 0
+    assert mine == ref
+
+
+def test_native_cli_bit_exact(tmp_path):
+    stream = mp3gen.make_stream(n_frames=12, seed=21, blocks="varied",
+                                mode=1, mode_extension=2,
+                                use_reservoir=True)
+    f = tmp_path / "in.mp3"
+    f.write_bytes(stream)
+    subprocess.run([cli_path(), str(f)], check=True, cwd=tmp_path,
+                   capture_output=True)
+    got = (tmp_path / "in.mp3.raw").read_bytes()
+    assert got == reference_decode(stream)
+
+
+def test_native_frontend_matches_python():
+    """Granule tensors from the C++ frontend == Python frontend."""
+    stream = mp3gen.make_stream(n_frames=8, seed=33, blocks="varied",
+                                mode=1, mode_extension=2,
+                                use_reservoir=True)
+    py = Frontend()
+    py.feed(stream)
+    h = NativePDMP3()
+    h.open_feed()
+    h.feed(stream)
+    nframes = 0
+    while True:
+        res_py, fd = py.read_frame()
+        res_c, g = h.parse_frame()
+        assert res_c == (0 if res_py == T.OK else res_c)
+        if res_py != T.OK:
+            assert res_c != 0
+            break
+        nframes += 1
+        np.testing.assert_array_equal(g["ix"], fd.ix, err_msg="ix")
+        np.testing.assert_array_equal(g["scf_l"], fd.scalefac_l)
+        np.testing.assert_array_equal(g["scf_s"], fd.scalefac_s)
+        s = fd.side
+        np.testing.assert_array_equal(g["count1"], s.count1)
+        np.testing.assert_array_equal(g["global_gain"], s.global_gain)
+        np.testing.assert_array_equal(g["block_type"], s.block_type)
+        assert g["nch"] == fd.header.nch
+    assert nframes >= 6
+
+
+def test_native_protocol_matches_python():
+    """Return codes + PCM for an adversarial feed/read schedule."""
+    stream = mp3gen.make_stream(n_frames=6, seed=44, blocks="long")
+    py = PDMP3()
+    py.open_feed()
+    nat = NativePDMP3()
+    nat.open_feed()
+    pos = 0
+    schedule = [1151, 2, 500, 4096, 1, 7, 4096, 4096, 4096]
+    for chunk in schedule:
+        data = stream[pos:pos + chunk]
+        pos += chunk
+        if data:
+            assert py.feed(data) == nat.feed(data)
+        for outsize in (0, 128, 4608, 65536):
+            r1, p1 = py.read(outsize)
+            r2, p2 = nat.read(outsize)
+            assert r1 == r2, (chunk, outsize)
+            assert p1 == p2
+    # NEW_FORMAT handshake parity
+    assert py.getformat()[:3] == nat.getformat()[:3]
+
+
+def test_native_no_space_and_errors():
+    nat = NativePDMP3()
+    nat.open_feed()
+    assert nat.feed(bytes(T.INBUF_SIZE + 1)) == T.NO_SPACE
+    res, pcm = nat.read(0)
+    assert res == T.NO_SPACE
+    nat.feed(bytes([0x55]) * 4096)
+    res, pcm = nat.read(65536)
+    assert res in (T.ERR, T.NEED_MORE) and pcm == b""
+
+
+def test_native_dsp_frame_api():
+    """pdmp3_parse_frame + pdmp3_dsp_frame == full read path."""
+    stream = mp3gen.make_stream(n_frames=4, seed=55, blocks="varied")
+    want = decode_file(stream)
+    h = NativePDMP3()
+    h.open_feed()
+    h.feed(stream)
+    from pdmp3_tpu.host import _Granules, lib
+    import ctypes as C
+    out = []
+    while True:
+        g = _Granules()
+        res = lib().pdmp3_parse_frame(h._h, C.byref(g))
+        if res != 0:
+            break
+        pcm = h.dsp_frame(g)
+        w = pcm.reshape(-1)
+        s = np.empty(2 * w.size, np.int16)
+        s[0::2] = ((w >> 16) & 0xFFFF).astype(np.uint16).view(np.int16)
+        s[1::2] = (w & 0xFFFF).astype(np.uint16).view(np.int16)
+        out.append(s.tobytes())
+    got = b"".join(out)
+    assert got[:len(want)] == want
