@@ -1,0 +1,73 @@
+"""Command-line decoder: the reference CLI's behavior (pdmp3.c:2540-2589)
+with selectable backends.
+
+    python -m pdmp3_tpu.cli [options] file.mp3 [file2.mp3 ...]
+
+Decodes each file to <file>.raw (S16LE interleaved) or stdout with "-",
+exactly like the reference built with OUTPUT_RAW.  A leading /dev/dsp*
+argument is accepted (and ignored) for reference-CLI compatibility.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _decode(data: bytes, backend: str) -> bytes:
+    if backend == "native":
+        from .host import native_decode_file
+        return native_decode_file(data)
+    if backend == "oracle":
+        from .api import decode_file
+        return decode_file(data)
+    if backend in ("tpu", "tpu-exact", "tpu-fast"):
+        from .api import decode_file
+        from .models.decoder import JaxDSP
+        exact = backend != "tpu-fast"
+        if exact:
+            import jax
+            jax.config.update("jax_enable_x64", True)
+        return decode_file(data, dsp=JaxDSP(exact=exact))
+    if backend == "batch":
+        from .runtime import decode_files_batched
+        return decode_files_batched([data])[0]
+    raise SystemExit(f"unknown backend {backend!r}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="pdmp3", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("files", nargs="+",
+                    help="MP3 files ('-' = stdin); a leading /dev/dsp* "
+                         "argument is ignored (reference-CLI compat)")
+    ap.add_argument("--backend", default="native",
+                    choices=["native", "oracle", "tpu", "tpu-exact",
+                             "tpu-fast", "batch"],
+                    help="decode engine (default: native C++, bit-exact)")
+    ap.add_argument("-o", "--output", default=None,
+                    help="output path (single input only; default "
+                         "<file>.raw, '-' = stdout)")
+    args = ap.parse_args(argv)
+
+    files = list(args.files)
+    if files and files[0].startswith("/dev/dsp"):
+        files = files[1:]
+    if args.output and len(files) != 1:
+        ap.error("-o requires exactly one input file")
+
+    for path in files:
+        data = sys.stdin.buffer.read() if path == "-" else \
+            open(path, "rb").read()
+        pcm = _decode(data, args.backend)
+        out = args.output or (path + ".raw" if path != "-" else "-")
+        if out == "-":
+            sys.stdout.buffer.write(pcm)
+        else:
+            with open(out, "wb") as f:
+                f.write(pcm)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

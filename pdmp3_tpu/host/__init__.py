@@ -61,6 +61,9 @@ def lib() -> C.CDLL:
         _lib.pdmp3_inbuf_free.restype = C.c_uint
         _lib.pdmp3_dsp_frame.argtypes = [C.c_void_p, C.POINTER(_Granules),
                                          C.c_void_p]
+        _lib.pdmp3_state_size.restype = C.c_size_t
+        _lib.pdmp3_state_save.argtypes = [C.c_void_p, C.c_void_p]
+        _lib.pdmp3_state_restore.argtypes = [C.c_void_p, C.c_void_p]
     return _lib
 
 
@@ -111,6 +114,17 @@ class NativePDMP3:
 
     def inbuf_free(self) -> int:
         return lib().pdmp3_inbuf_free(self._h)
+
+    def save_state(self) -> bytes:
+        """Checkpoint: the full resumable stream state as one blob."""
+        n = lib().pdmp3_state_size()
+        buf = C.create_string_buffer(n)
+        lib().pdmp3_state_save(self._h, buf)
+        return buf.raw
+
+    def restore_state(self, blob: bytes) -> None:
+        assert len(blob) == lib().pdmp3_state_size()
+        lib().pdmp3_state_restore(self._h, blob)
 
     def parse_frame(self):
         """Native frontend: parse one frame -> granule dict of numpy

@@ -77,9 +77,42 @@ typedef struct pdmp3_granules {
 
 int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *out);
 
+/* SoA variant for the batched pipeline: writes this frame's two granules
+ * directly into slot `slot` of caller-provided step tensors laid out as
+ *   ix    [2][n_slots][2][576] int16
+ *   scf_l [2][n_slots][2][22]  uint8
+ *   scf_s [2][n_slots][2][39]  uint8
+ *   meta  [2][n_slots][32]     int32   (see PDMP3_META_* indices)
+ * Rolls the input cursor back and leaves the slot untouched on non-OK.
+ */
+#define PDMP3_META_LAYOUT 0   /* +ch (2) */
+#define PDMP3_META_BLOCK_TYPE 2
+#define PDMP3_META_WIN_SWITCH 4
+#define PDMP3_META_MIXED 6
+#define PDMP3_META_GLOBAL_GAIN 8
+#define PDMP3_META_SCALEFAC_SCALE 10
+#define PDMP3_META_PREFLAG 12
+#define PDMP3_META_COUNT1 14
+#define PDMP3_META_SUBBLOCK_GAIN 16 /* +ch*3+w (6) */
+#define PDMP3_META_MS 22
+#define PDMP3_META_IS 23
+#define PDMP3_META_NCH 24
+#define PDMP3_META_SAMPLE_RATE 25
+#define PDMP3_META_WORDS 32
+int pdmp3_parse_frame_soa(pdmp3_handle *id, size_t slot, size_t n_slots,
+                          int16_t *ix, uint8_t *scf_l, uint8_t *scf_s,
+                          int32_t *meta);
+
 /* Bytes buffered / free in the 16 KiB input ring. */
 unsigned pdmp3_inbuf_filled(pdmp3_handle *id);
 unsigned pdmp3_inbuf_free(pdmp3_handle *id);
+
+/* Checkpoint/resume: the handle is a trivially-copyable state blob
+ * (ring buffer, reservoir, header/side-info, DSP carries, drain offset) —
+ * cf. SURVEY.md §5.  save/restore round-trips a decoding session. */
+size_t pdmp3_state_size(void);
+void pdmp3_state_save(const pdmp3_handle *id, void *buf);
+void pdmp3_state_restore(pdmp3_handle *id, const void *buf);
 
 /* Decode one parsed frame with the native scalar DSP (bit-exact vs the
  * reference) into packed PCM words hi=left/lo=right (pdmp3.c:129). */

@@ -10,6 +10,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <new>
+#include <type_traits>
 
 #include "internal.h"
 
@@ -42,6 +43,17 @@ int pdmp3_feed(pdmp3_handle *id, const unsigned char *in, size_t size) {
 unsigned pdmp3_inbuf_filled(pdmp3_handle *id) { return id->fp.in.filled(); }
 unsigned pdmp3_inbuf_free(pdmp3_handle *id) { return id->fp.in.free_space(); }
 
+static_assert(std::is_trivially_copyable<pdmp3_handle>::value,
+              "handle must remain a flat state blob for checkpoint/resume");
+
+size_t pdmp3_state_size(void) { return sizeof(pdmp3_handle); }
+void pdmp3_state_save(const pdmp3_handle *id, void *buf) {
+  std::memcpy(buf, id, sizeof(pdmp3_handle));
+}
+void pdmp3_state_restore(pdmp3_handle *id, const void *buf) {
+  std::memcpy(id, buf, sizeof(pdmp3_handle));
+}
+
 int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *g) {
   if (!id || !g) return PDMP3_ERR;
   size_t pos = id->fp.in.processed;
@@ -57,6 +69,39 @@ int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *g) {
 void pdmp3_dsp_frame(pdmp3_handle *id, const pdmp3_granules *g,
                      uint32_t out_words[2][576]) {
   id->dsp.decode_frame(*g, out_words);
+}
+
+int pdmp3_parse_frame_soa(pdmp3_handle *id, size_t slot, size_t n_slots,
+                          int16_t *ix, uint8_t *scf_l, uint8_t *scf_s,
+                          int32_t *meta) {
+  pdmp3_granules g;
+  int r = pdmp3_parse_frame(id, &g);
+  if (r != PDMP3_OK) return r;
+  for (int gr = 0; gr < 2; gr++) {
+    size_t base = ((size_t)gr * n_slots + slot);
+    std::memcpy(ix + base * 2 * 576, g.ix[gr], sizeof g.ix[gr]);
+    std::memcpy(scf_l + base * 2 * 22, g.scf_l[gr], sizeof g.scf_l[gr]);
+    std::memcpy(scf_s + base * 2 * 39, g.scf_s[gr], sizeof g.scf_s[gr]);
+    int32_t *m = meta + base * PDMP3_META_WORDS;
+    for (int ch = 0; ch < 2; ch++) {
+      m[PDMP3_META_LAYOUT + ch] = g.layout[gr][ch];
+      m[PDMP3_META_BLOCK_TYPE + ch] = g.block_type[gr][ch];
+      m[PDMP3_META_WIN_SWITCH + ch] = g.win_switch[gr][ch];
+      m[PDMP3_META_MIXED + ch] = g.mixed[gr][ch];
+      m[PDMP3_META_GLOBAL_GAIN + ch] = g.global_gain[gr][ch];
+      m[PDMP3_META_SCALEFAC_SCALE + ch] = g.scalefac_scale[gr][ch];
+      m[PDMP3_META_PREFLAG + ch] = g.preflag[gr][ch];
+      m[PDMP3_META_COUNT1 + ch] = g.count1[gr][ch];
+      for (int w = 0; w < 3; w++)
+        m[PDMP3_META_SUBBLOCK_GAIN + ch * 3 + w] =
+            g.subblock_gain[gr][ch][w];
+    }
+    m[PDMP3_META_MS] = g.ms_flag;
+    m[PDMP3_META_IS] = g.is_flag;
+    m[PDMP3_META_NCH] = g.nch;
+    m[PDMP3_META_SAMPLE_RATE] = g.sample_rate;
+  }
+  return PDMP3_OK;
 }
 
 // Convert_Frame_S16 (pdmp3.c:2307-2345)

@@ -42,6 +42,7 @@ class GranuleBatch(NamedTuple):
     ms_flag: jax.Array        # i32 [B]
     is_flag: jax.Array        # i32 [B]
     nch: jax.Array            # i32 [B]
+    active: jax.Array         # i32 [B]: 0 = idle slot (state frozen)
 
 
 class DecoderState(NamedTuple):
@@ -83,6 +84,14 @@ def decode_granules(batch: GranuleBatch, state: DecoderState,
     sums, v_blocks = dsp.subband_synthesis(x_time, state.v_blocks,
                                            exact=exact)
     pcm = dsp.quantize_pack(sums, batch.nch, exact=exact)
+    # idle slots (stream starved / finished) keep their recurrent state
+    # frozen and emit silence — a malformed or stalled stream can never
+    # poison its batch neighbours (SURVEY.md §5 failure isolation)
+    act = batch.active
+    store = jnp.where((act != 0)[:, None, None, None], store, state.store)
+    v_blocks = jnp.where((act != 0)[:, None, None, None], v_blocks,
+                         state.v_blocks)
+    pcm = jnp.where((act != 0)[:, None, None], pcm, 0)
     return pcm, DecoderState(store=store, v_blocks=v_blocks)
 
 
@@ -140,7 +149,8 @@ def frame_to_batches(fds: list[FrameData]) -> list[GranuleBatch]:
             subblock_gain=jnp.asarray(sbg),
             count1=jnp.asarray(flat["count1"]),
             ms_flag=jnp.asarray(ms), is_flag=jnp.asarray(isf),
-            nch=jnp.asarray(nch)))
+            nch=jnp.asarray(nch),
+            active=jnp.ones(B, jnp.int32)))
     return out
 
 

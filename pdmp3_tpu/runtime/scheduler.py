@@ -1,0 +1,175 @@
+"""Multi-stream scheduler + granule packer for the TPU decode pipeline.
+
+The serving shape (SURVEY.md §2.6, §7 steps 6-8): N concurrent streams are
+pinned to granule *slots*; the native host frontend parses frames into SoA
+step tensors (one `pdmp3_parse_frame_soa` call per stream per frame), and
+the TPU backend decodes all slots in lockstep, one granule per slot per
+step (a frame = 2 steps), with recurrent per-slot state living on device.
+Streams that are starved (NEED_MORE), finished, or malformed simply leave
+their slot inactive for a step — the active mask freezes their DSP state
+and emits silence, so one bad stream can never perturb its batch
+neighbours.
+
+The double-buffering: while the device decodes step tensors t, the host
+parses tensors t+1 (jax dispatch is async, so the single-threaded form
+below already overlaps; a multi-core host fan-out drops in per-slot).
+"""
+from __future__ import annotations
+
+import ctypes as C
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import tables as T
+from ..host import NativePDMP3, lib
+from ..models import decoder as M
+
+_META = 32  # PDMP3_META_WORDS
+_M_LAYOUT, _M_BT, _M_WSF, _M_MIXED = 0, 2, 4, 6
+_M_GG, _M_SFS, _M_PRE, _M_C1 = 8, 10, 12, 14
+_M_SBG, _M_MS, _M_IS, _M_NCH, _M_SR = 16, 22, 23, 24, 25
+
+
+class StreamDecoder:
+    """N-slot batched decoder over the native frontend + TPU backend."""
+
+    def __init__(self, n_slots: int, exact: bool = False,
+                 bug_compat: bool = True):
+        self.n = n_slots
+        self.exact = exact
+        self.bug_compat = bug_compat
+        self.handles = [NativePDMP3() for _ in range(n_slots)]
+        for h in self.handles:
+            h.open_feed()
+        self.state = M.init_state(n_slots)
+        # frame step tensors: [2 granules][B][...]
+        self.ix = np.zeros((2, n_slots, 2, 576), np.int16)
+        self.scf_l = np.zeros((2, n_slots, 2, 22), np.uint8)
+        self.scf_s = np.zeros((2, n_slots, 2, 39), np.uint8)
+        self.meta = np.zeros((2, n_slots, _META), np.int32)
+        self.active = np.zeros(n_slots, np.int32)
+        self._fn = lib().pdmp3_parse_frame_soa
+        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_size_t,
+                             C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
+
+    # ---- host side ----
+
+    def feed(self, slot: int, data: bytes) -> int:
+        return self.handles[slot].feed(data)
+
+    def inbuf_free(self, slot: int) -> int:
+        return self.handles[slot].inbuf_free()
+
+    def parse_step(self) -> int:
+        """Parse one frame per slot into the step tensors.  Returns the
+        number of active slots."""
+        self.active[:] = 0
+        n_active = 0
+        for s, h in enumerate(self.handles):
+            if h.inbuf_filled() < 2 * 576:
+                continue
+            r = self._fn(h._h, s, self.n,
+                         self.ix.ctypes.data_as(C.c_void_p),
+                         self.scf_l.ctypes.data_as(C.c_void_p),
+                         self.scf_s.ctypes.data_as(C.c_void_p),
+                         self.meta.ctypes.data_as(C.c_void_p))
+            if r == T.OK:
+                self.active[s] = 1
+                n_active += 1
+        return n_active
+
+    def _granule_batch(self, gr: int) -> M.GranuleBatch:
+        m = self.meta[gr]
+        return M.GranuleBatch(
+            ix=jnp.asarray(self.ix[gr].astype(np.int32)),
+            scf_l=jnp.asarray(self.scf_l[gr].astype(np.int32)),
+            scf_s=jnp.asarray(self.scf_s[gr].astype(np.int32)
+                              .reshape(self.n, 2, 13, 3)),
+            layout=jnp.asarray(m[:, _M_LAYOUT:_M_LAYOUT + 2]),
+            block_type=jnp.asarray(m[:, _M_BT:_M_BT + 2]),
+            win_switch=jnp.asarray(m[:, _M_WSF:_M_WSF + 2]),
+            mixed=jnp.asarray(m[:, _M_MIXED:_M_MIXED + 2]),
+            global_gain=jnp.asarray(m[:, _M_GG:_M_GG + 2]),
+            scalefac_scale=jnp.asarray(m[:, _M_SFS:_M_SFS + 2]),
+            preflag=jnp.asarray(m[:, _M_PRE:_M_PRE + 2]),
+            subblock_gain=jnp.asarray(
+                m[:, _M_SBG:_M_SBG + 6].reshape(self.n, 2, 3)),
+            count1=jnp.asarray(m[:, _M_C1:_M_C1 + 2]),
+            ms_flag=jnp.asarray(m[:, _M_MS]),
+            is_flag=jnp.asarray(m[:, _M_IS]),
+            nch=jnp.asarray(np.maximum(m[:, _M_NCH], 1)),
+            active=jnp.asarray(self.active),
+        )
+
+    # ---- device side ----
+
+    def decode_step(self) -> np.ndarray | None:
+        """Decode the parsed frame (2 granule steps).  Returns interleaved
+        PCM int16 [B, 1152, 2] (zeros for inactive slots), or None if no
+        slot was active."""
+        if not self.active.any():
+            return None
+        outs = []
+        for gr in range(2):
+            pcm, self.state = M.decode_granules(
+                self._granule_batch(gr), self.state, exact=self.exact,
+                bug_compat=self.bug_compat)
+            outs.append(pcm)
+        return np.concatenate([np.asarray(o) for o in outs], axis=1)
+
+    def nch(self, slot: int) -> int:
+        return max(int(self.meta[0, slot, _M_NCH]), 1)
+
+    # ---- checkpoint/resume (SURVEY.md §5): host state blobs + device
+    # recurrent state; a restored decoder continues bit-identically ----
+
+    def save_checkpoint(self) -> dict:
+        return {
+            "handles": [h.save_state() for h in self.handles],
+            "store": np.asarray(self.state.store),
+            "v_blocks": np.asarray(self.state.v_blocks),
+        }
+
+    def restore_checkpoint(self, ckpt: dict) -> None:
+        assert len(ckpt["handles"]) == self.n
+        for h, blob in zip(self.handles, ckpt["handles"]):
+            h.restore_state(blob)
+        self.state = M.DecoderState(
+            store=jnp.asarray(ckpt["store"]),
+            v_blocks=jnp.asarray(ckpt["v_blocks"]))
+
+
+def decode_files_batched(files: list[bytes], n_slots: int | None = None,
+                         exact: bool = False, chunk: int = 4096
+                         ) -> list[bytes]:
+    """Offline batched decode (BASELINE.json configs[3]): round-robin the
+    files over slots, stepping all streams in lockstep on the TPU."""
+    n = n_slots or len(files)
+    out: list[list[bytes]] = [[] for _ in files]
+    for base in range(0, len(files), n):
+        group = files[base:base + n]
+        dec = StreamDecoder(len(group), exact=exact)
+        pos = [0] * len(group)
+        while True:
+            # keep input rings topped up
+            for s, data in enumerate(group):
+                while pos[s] < len(data):
+                    free = dec.inbuf_free(s)
+                    if free < chunk:
+                        break
+                    n_feed = min(chunk, len(data) - pos[s])
+                    dec.feed(s, data[pos[s]:pos[s] + n_feed])
+                    pos[s] += n_feed
+            if dec.parse_step() == 0:
+                break
+            pcm = dec.decode_step()
+            for s in range(len(group)):
+                if dec.active[s]:
+                    nch = dec.nch(s)
+                    p = pcm[s]  # [1152, 2]
+                    if nch == 1:
+                        out[base + s].append(p[:, 0].tobytes())
+                    else:
+                        out[base + s].append(p.tobytes())
+    return [b"".join(chunks) for chunks in out]

@@ -1,0 +1,121 @@
+"""Auxiliary subsystems (SURVEY.md §5): checkpoint/resume, CLI backends,
+config, tracing."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pdmp3_tpu.host import NativePDMP3, native_decode_file
+from pdmp3_tpu.runtime import StreamDecoder
+from pdmp3_tpu.testing import mp3gen
+from pdmp3_tpu.utils import DecodeConfig, StageTimer
+
+
+@pytest.fixture(scope="module")
+def stream():
+    return mp3gen.make_stream(n_frames=8, seed=81, blocks="varied",
+                              mode=1, mode_extension=2, use_reservoir=True)
+
+
+def test_native_handle_checkpoint_resume(stream):
+    """Mid-stream save/restore must continue bit-identically."""
+    ref = native_decode_file(stream)
+
+    h = NativePDMP3()
+    h.open_feed()
+    h.feed(stream[:4096])
+    res, pcm1 = h.read(3 * 4608)
+    blob = h.save_state()
+
+    # continue original
+    h.feed(stream[4096:])
+    out_a = [pcm1]
+    while True:
+        res, p = h.read(16384)
+        out_a.append(p)
+        if res in (-1, -10):
+            break
+
+    # restore into a fresh handle and continue identically
+    h2 = NativePDMP3()
+    h2.open_feed()
+    h2.restore_state(blob)
+    h2.feed(stream[4096:])
+    out_b = [pcm1]
+    while True:
+        res, p = h2.read(16384)
+        out_b.append(p)
+        if res in (-1, -10):
+            break
+
+    a, b = b"".join(out_a), b"".join(out_b)
+    assert a == b
+    assert a[:len(ref)] == ref[:len(a)]
+
+
+def test_stream_decoder_checkpoint(stream):
+    want = native_decode_file(stream)
+    dec = StreamDecoder(1, exact=True)
+    dec.feed(0, stream)
+    out = []
+    # decode 2 frames, checkpoint, decode 2 more
+    for _ in range(2):
+        assert dec.parse_step() == 1
+        out.append(dec.decode_step()[0].tobytes())
+    ckpt = dec.save_checkpoint()
+    cont = []
+    for _ in range(2):
+        assert dec.parse_step() == 1
+        cont.append(dec.decode_step()[0].tobytes())
+    # restore into a fresh decoder: must reproduce the same continuation
+    dec2 = StreamDecoder(1, exact=True)
+    dec2.restore_checkpoint(ckpt)
+    cont2 = []
+    for _ in range(2):
+        assert dec2.parse_step() == 1
+        cont2.append(dec2.decode_step()[0].tobytes())
+    assert cont == cont2
+    got = b"".join(out + cont)
+    assert got[:len(want)] == want[:len(got)]
+
+
+def test_cli_native_backend(tmp_path, stream):
+    f = tmp_path / "x.mp3"
+    f.write_bytes(stream)
+    r = subprocess.run([sys.executable, "-m", "pdmp3_tpu.cli",
+                        "--backend", "native", str(f)],
+                       capture_output=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "x.mp3.raw").read_bytes() == \
+        native_decode_file(stream)
+
+
+def test_cli_stdout_and_devdsp_compat(tmp_path, stream):
+    f = tmp_path / "y.mp3"
+    f.write_bytes(stream)
+    r = subprocess.run([sys.executable, "-m", "pdmp3_tpu.cli",
+                        "--backend", "oracle", "-o", "-",
+                        "/dev/dsp0", str(f)],
+                       capture_output=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == native_decode_file(stream)
+
+
+def test_config_env(monkeypatch):
+    monkeypatch.setenv("PDMP3_PRECISION", "fast")
+    monkeypatch.setenv("PDMP3_BATCH_SLOTS", "128")
+    cfg = DecodeConfig.from_env()
+    assert cfg.precision == "fast" and not cfg.exact
+    assert cfg.batch_slots == 128
+    assert DecodeConfig().exact
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("parse"):
+        sum(range(1000))
+    t.count("frames", 3)
+    rep = t.report()
+    assert rep["parse"]["count"] == 1 and rep["parse"]["seconds"] >= 0
+    assert rep["frames"]["count"] == 3

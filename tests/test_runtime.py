@@ -1,0 +1,79 @@
+"""Serving runtime: batched multi-stream decode == per-file native decode;
+idle/starved slots never perturb neighbours."""
+import numpy as np
+import pytest
+
+from pdmp3_tpu.host import native_decode_file
+from pdmp3_tpu.runtime import StreamDecoder, decode_files_batched
+from pdmp3_tpu.testing import mp3gen
+
+
+def _mk(seed, **kw):
+    return mp3gen.make_stream(n_frames=6, seed=seed, **kw)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return [
+        _mk(70, blocks="long"),
+        _mk(71, blocks="short"),
+        _mk(72, blocks="varied", mode=1, mode_extension=2),
+        _mk(73, blocks="mixed", sfreq=2),
+        _mk(74, blocks="long", mode=3),
+        _mk(75, blocks="varied", sfreq=1, use_reservoir=True),
+    ]
+
+
+def test_batched_files_equal_native(corpus):
+    got = decode_files_batched(corpus, exact=True)
+    for i, data in enumerate(corpus):
+        want = native_decode_file(data)
+        assert got[i] == want, f"file {i}"
+
+
+def test_uneven_lengths_and_slot_freeze(corpus):
+    """Different-length files: early finishers idle while others continue."""
+    files = [corpus[0][:1500], corpus[1], corpus[2][:2000]]
+    got = decode_files_batched(files, exact=True)
+    for i, data in enumerate(files):
+        assert got[i] == native_decode_file(data), f"file {i}"
+
+
+def test_starved_stream_isolated(corpus):
+    """A stream fed byte-by-byte must not affect a fully-fed neighbour."""
+    dec = StreamDecoder(2, exact=True)
+    dec.feed(0, corpus[0])
+    full_pcm = []
+    drip_pos = 0
+    drip = corpus[1]
+    for _ in range(40):
+        # drip-feed stream 1 in 100-byte morsels
+        if drip_pos < len(drip):
+            n = min(100, len(drip) - drip_pos)
+            dec.feed(1, drip[drip_pos:drip_pos + n])
+            drip_pos += n
+        if dec.parse_step() == 0:
+            continue
+        pcm = dec.decode_step()
+        if dec.active[0]:
+            full_pcm.append(pcm[0].tobytes())
+    want = native_decode_file(corpus[0])
+    got = b"".join(full_pcm)
+    assert got[:len(want)] == want
+
+
+def test_garbage_stream_isolated(corpus):
+    """A garbage stream occupies a slot without corrupting neighbours."""
+    dec = StreamDecoder(2, exact=True)
+    dec.feed(0, corpus[2])
+    dec.feed(1, bytes([0x31] * 4096))
+    out = []
+    for _ in range(20):
+        if dec.parse_step() == 0:
+            break
+        pcm = dec.decode_step()
+        if dec.active[0]:
+            out.append(pcm[0].tobytes())
+    want = native_decode_file(corpus[2])
+    got = b"".join(out)
+    assert got[:len(want)] == want
