@@ -208,7 +208,7 @@ def _imdct_win(inp: np.ndarray, block_type: int) -> np.ndarray:
 class OracleDSP:
     """Per-stream DSP state + granule pipeline (bit-exact vs reference)."""
 
-    def __init__(self, bug_compat_short_intensity: bool = False):
+    def __init__(self, bug_compat_short_intensity: bool = True):
         self.store = np.zeros((2, 32, 18), F32)
         self.v_vec = np.zeros((2, 1024), F32)
         self.bug_compat = bug_compat_short_intensity

@@ -91,3 +91,19 @@ def test_golden_long_run():
                                 use_reservoir=True, vary_padding=True,
                                 mode=1, mode_extension=2)
     assert_bit_exact(stream)
+
+
+def test_short_block_intensity_bug_compat():
+    """The reference's short-block intensity transcription bug
+    (pdmp3.c:2212-2213, unsigned-assignment chain) is emulated bit-exactly;
+    spec-correct mode diverges, proving the path is exercised."""
+    from pdmp3_tpu.oracle import OracleDSP
+
+    stream = mp3gen.make_stream(n_frames=8, seed=99, blocks="short", mode=1,
+                                mode_extension=1, stereo_extent_ch1=0.3,
+                                intensity_pos=True)
+    ref = reference_decode(stream)
+    assert decode_file(stream) == ref  # bug-compat default
+    spec = decode_file(
+        stream, dsp=OracleDSP(bug_compat_short_intensity=False))
+    assert spec != ref

@@ -139,3 +139,10 @@ def test_native_dsp_frame_api():
         out.append(s.tobytes())
     got = b"".join(out)
     assert got[:len(want)] == want
+
+
+def test_native_short_intensity_bug_compat():
+    stream = mp3gen.make_stream(n_frames=8, seed=99, blocks="short", mode=1,
+                                mode_extension=1, stereo_extent_ch1=0.3,
+                                intensity_pos=True)
+    assert native_decode_file(stream) == reference_decode(stream)
