@@ -103,6 +103,14 @@ int pdmp3_parse_frame_soa(pdmp3_handle *id, size_t slot, size_t n_slots,
                           int16_t *ix, uint8_t *scf_l, uint8_t *scf_s,
                           int32_t *meta);
 
+/* Whole-step variant: parse one frame from each of n_slots handles into
+ * the step tensors; active[slot] = 1 on success, 0 on starvation/error
+ * (cursor rolled back).  Returns the number of active slots.  This is the
+ * host half of the serving pipeline's inner loop (one call per step). */
+int pdmp3_parse_step(pdmp3_handle *const *ids, size_t n_slots, int16_t *ix,
+                     uint8_t *scf_l, uint8_t *scf_s, int32_t *meta,
+                     int32_t *active);
+
 /* Bytes buffered / free in the 16 KiB input ring. */
 unsigned pdmp3_inbuf_filled(pdmp3_handle *id);
 unsigned pdmp3_inbuf_free(pdmp3_handle *id);

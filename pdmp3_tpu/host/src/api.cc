@@ -104,6 +104,23 @@ int pdmp3_parse_frame_soa(pdmp3_handle *id, size_t slot, size_t n_slots,
   return PDMP3_OK;
 }
 
+int pdmp3_parse_step(pdmp3_handle *const *ids, size_t n_slots, int16_t *ix,
+                     uint8_t *scf_l, uint8_t *scf_s, int32_t *meta,
+                     int32_t *active) {
+  int n_active = 0;
+  for (size_t s = 0; s < n_slots; s++) {
+    active[s] = 0;
+    pdmp3_handle *id = ids[s];
+    if (!id || id->fp.in.filled() < 2 * 576) continue;
+    if (pdmp3_parse_frame_soa(id, s, n_slots, ix, scf_l, scf_s, meta) ==
+        PDMP3_OK) {
+      active[s] = 1;
+      n_active++;
+    }
+  }
+  return n_active;
+}
+
 // Convert_Frame_S16 (pdmp3.c:2307-2345)
 static size_t convert_s16(pdmp3_handle *id, unsigned char *outbuf,
                           size_t buflen) {

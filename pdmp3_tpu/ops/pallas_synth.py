@@ -53,24 +53,23 @@ def _consts():
     )
 
 
-def _kernel(xw_ref, store_ref, v_ref, wsf_ref, bt_ref, mix_ref, act_ref,
+def _kernel(xw_ref, store_ref, v_ref, bt4_ref, act4_ref,
             cos36_ref, c3_ref, win_ref, win2_ref, nwin_ref, d_ref, inv_ref,
             sums_ref, store_out_ref, v_out_ref):
+    # bt4: effective block type [N,2,32,1] (precomputed in XLA); act4:
+    # active mask [N,1,1,1].  Mosaic cannot rank-expand vectors, but
+    # broadcasting an existing size-1 minor dim is native, so all masks
+    # enter pre-rank-expanded and are broadcast_to'd here.
     N = xw_ref.shape[0]
     xw = xw_ref[:]                               # [N,2,32,18]
     x2 = xw.reshape(N * 64, 18)
-
-    # effective block type: mixed forces long windows for sb<2
-    sb_ids = jax.lax.broadcasted_iota(jnp.int32, (N, 2, 32), 2)
-    bt = jnp.broadcast_to(bt_ref[:][:, :, None], (N, 2, 32))
-    bt_eff = jnp.where(
-        ((wsf_ref[:] * mix_ref[:])[:, :, None] != 0) & (sb_ids < 2), 0, bt)
+    bt4 = bt4_ref[:]
 
     # --- long 36-pt IMDCT + per-(slot,ch,sb) window select ---
     long_sums = jax.lax.dot_general(
         x2, cos36_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=F32, precision=_HIGH).reshape(N, 2, 32, 36)
-    onehot = (bt_eff[..., None] ==
+    onehot = (jnp.broadcast_to(bt4, (N, 2, 32, 4)) ==
               jax.lax.broadcasted_iota(jnp.int32, (N, 2, 32, 4), 3)
               ).astype(F32)
     wsel = jax.lax.dot_general(
@@ -93,7 +92,8 @@ def _kernel(xw_ref, store_ref, v_ref, wsf_ref, bt_ref, mix_ref, act_ref,
         [z6, c0[..., :6], c0[..., 6:] + c1[..., :6],
          c1[..., 6:] + c2[..., :6], c2[..., 6:], z6], axis=-1)
 
-    out36 = jnp.where((bt_eff == 2)[..., None], short_out, long_out)
+    short_mask = jnp.broadcast_to(bt4, (N, 2, 32, 36)) == 2
+    out36 = jnp.where(short_mask, short_out, long_out)
 
     # --- overlap-add + store + frequency inversion ---
     x_time = (out36[..., :18] + store_ref[:]) * inv_ref[:]
@@ -114,10 +114,14 @@ def _kernel(xw_ref, store_ref, v_ref, wsf_ref, bt_ref, mix_ref, act_ref,
         blk = blocks[:, :, 15 - j:33 - j, half:half + 32]
         acc = acc + d[j] * blk
 
-    keep4 = (act_ref[:] != 0)[:, None, None, None]
-    sums_ref[:] = jnp.where(keep4, acc, 0.0)
-    store_out_ref[:] = jnp.where(keep4, new_store, store_ref[:])
-    v_out_ref[:] = jnp.where(keep4, blocks[:, :, 18:, :], v_ref[:])
+    act4 = act4_ref[:]
+    sums_ref[:] = jnp.where(
+        jnp.broadcast_to(act4, (N, 2, 18, 32)) != 0, acc, 0.0)
+    store_out_ref[:] = jnp.where(
+        jnp.broadcast_to(act4, (N, 2, 32, 18)) != 0, new_store, store_ref[:])
+    v_out_ref[:] = jnp.where(
+        jnp.broadcast_to(act4, (N, 2, 15, 64)) != 0,
+        blocks[:, :, 18:, :], v_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("block_slots",))
@@ -143,6 +147,13 @@ def synthesis_pipeline(x, store, v_blocks, win_switch, block_type, mixed,
     Bp = x.shape[0]
     c = _consts()
     xw = x.reshape(Bp, 2, 32, 18)
+    # effective block type (mixed forces long windows for sb<2) — computed
+    # here so the kernel only sees pre-rank-expanded tensors
+    sb = jnp.arange(32, dtype=jnp.int32)
+    bt_eff = jnp.where(((win_switch == 1) & (mixed == 1))[..., None]
+                       & (sb < 2), 0, block_type[..., None])
+    bt4 = bt_eff.reshape(Bp, 2, 32, 1)
+    act4 = active.reshape(Bp, 1, 1, 1)
 
     def cspec(arr):
         nd = np.asarray(arr).ndim
@@ -156,10 +167,10 @@ def synthesis_pipeline(x, store, v_blocks, win_switch, block_type, mixed,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((n, 2, 15, 64), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n,), lambda i: (i,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 2, 32, 1), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 1, 1, 1), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
         cspec(c["cos36"]), cspec(c["c3"]), cspec(c["win"]),
         cspec(c["win2"]), cspec(c["nwin"]), cspec(c["d"]), cspec(c["inv"]),
     ]
@@ -183,7 +194,7 @@ def synthesis_pipeline(x, store, v_blocks, win_switch, block_type, mixed,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
-    )(xw, store, v_blocks, win_switch, block_type, mixed, active,
+    )(xw, store, v_blocks, bt4, act4,
       jnp.asarray(c["cos36"]), jnp.asarray(c["c3"]), jnp.asarray(c["win"]),
       jnp.asarray(c["win2"]), jnp.asarray(c["nwin"]), jnp.asarray(c["d"]),
       jnp.asarray(c["inv"]))

@@ -49,9 +49,11 @@ class StreamDecoder:
         self.scf_s = np.zeros((2, n_slots, 2, 39), np.uint8)
         self.meta = np.zeros((2, n_slots, _META), np.int32)
         self.active = np.zeros(n_slots, np.int32)
-        self._fn = lib().pdmp3_parse_frame_soa
-        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_size_t,
-                             C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
+        self._fn = lib().pdmp3_parse_step
+        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_void_p, C.c_void_p,
+                             C.c_void_p, C.c_void_p, C.c_void_p]
+        self._handle_arr = (C.c_void_p * n_slots)(
+            *[h._h for h in self.handles])
 
     # ---- host side ----
 
@@ -62,22 +64,14 @@ class StreamDecoder:
         return self.handles[slot].inbuf_free()
 
     def parse_step(self) -> int:
-        """Parse one frame per slot into the step tensors.  Returns the
-        number of active slots."""
-        self.active[:] = 0
-        n_active = 0
-        for s, h in enumerate(self.handles):
-            if h.inbuf_filled() < 2 * 576:
-                continue
-            r = self._fn(h._h, s, self.n,
-                         self.ix.ctypes.data_as(C.c_void_p),
-                         self.scf_l.ctypes.data_as(C.c_void_p),
-                         self.scf_s.ctypes.data_as(C.c_void_p),
-                         self.meta.ctypes.data_as(C.c_void_p))
-            if r == T.OK:
-                self.active[s] = 1
-                n_active += 1
-        return n_active
+        """Parse one frame per slot into the step tensors (one native call
+        for the whole batch).  Returns the number of active slots."""
+        return self._fn(self._handle_arr, self.n,
+                        self.ix.ctypes.data_as(C.c_void_p),
+                        self.scf_l.ctypes.data_as(C.c_void_p),
+                        self.scf_s.ctypes.data_as(C.c_void_p),
+                        self.meta.ctypes.data_as(C.c_void_p),
+                        self.active.ctypes.data_as(C.c_void_p))
 
     def _granule_batch(self, gr: int) -> M.GranuleBatch:
         m = self.meta[gr]
