@@ -62,6 +62,87 @@ def tile_batch(b, B: int):
     return jax.tree.map(lambda x: np.repeat(np.asarray(x), B, axis=0), b)
 
 
+def _bench_e2e(seconds: float = 8.0, B: int = 4096) -> float:
+    """Full pipeline: native frontend parse + packed upload + TPU decode."""
+    import jax
+    from pdmp3_tpu.runtime import StreamDecoder
+    from pdmp3_tpu.testing import mp3gen
+
+    streams = [mp3gen.make_stream(n_frames=40, seed=300 + i,
+                                  blocks=["long", "varied", "short",
+                                          "mixed"][i % 4],
+                                  mode=1 if i % 2 else 0,
+                                  mode_extension=2 if i % 2 else 0)
+               for i in range(8)]
+    dec = StreamDecoder(B, exact=False)
+    pos = [0] * B
+    src = [streams[i % 8] for i in range(B)]
+    for s in range(B):
+        dec.feed(s, src[s][:8192])
+        pos[s] = 8192
+    dec.parse_step()
+    p = dec.decode_step(fetch=False)
+    jax.block_until_ready(p)
+    granules = 0
+    last = None
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        for s in range(B):
+            data = src[s]
+            if pos[s] >= len(data):
+                pos[s] = 0
+            if dec.inbuf_free(s) >= 4096:
+                n = min(4096, len(data) - pos[s])
+                dec.feed(s, data[pos[s]:pos[s] + n])
+                pos[s] += n
+        na = dec.parse_step()
+        if na == 0:
+            continue
+        last = dec.decode_step(fetch=False)
+        granules += 2 * na
+    if last is not None:
+        jax.block_until_ready(last)
+    return granules * 576 / 44100.0 / (time.perf_counter() - t0)
+
+
+def _bench_single_core(seconds: float = 3.0):
+    """Native scalar decoder vs the reference binary, same core."""
+    import subprocess
+    import tempfile
+    from pdmp3_tpu.host import native_decode_file
+    from pdmp3_tpu.testing import mp3gen
+    from pdmp3_tpu.testing.golden import ensure_reference_binary
+
+    stream = mp3gen.make_stream(n_frames=200, seed=9, blocks="varied",
+                                mode=1, mode_extension=2,
+                                use_reservoir=True)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        native_decode_file(stream)
+        n += 1
+    native_fps = n * 200 / (time.perf_counter() - t0)
+
+    ref_fps = 0.0
+    try:
+        binpath = ensure_reference_binary()
+        with tempfile.TemporaryDirectory() as d:
+            mp3 = f"{d}/b.mp3"
+            with open(mp3, "wb") as f:
+                f.write(stream)
+            t0 = time.perf_counter()
+            n = 0
+            while time.perf_counter() - t0 < seconds:
+                subprocess.run([binpath, mp3], cwd=d, capture_output=True)
+                import os
+                os.path.exists(mp3 + ".raw") and os.remove(mp3 + ".raw")
+                n += 1
+            ref_fps = n * 200 / (time.perf_counter() - t0)
+    except Exception:
+        pass
+    return native_fps, ref_fps
+
+
 def main() -> None:
     import jax
     from pdmp3_tpu.models import decoder as M
@@ -100,6 +181,14 @@ def main() -> None:
     jax.device_put(x).block_until_ready()
     h2d_gbps = x.nbytes / (time.perf_counter() - t0) / 1e9
 
+    # end-to-end serving pipeline in THIS harness (native host frontend,
+    # one packed wire transfer per frame, device step); bounded by the
+    # single host core + tunnel, not by the design
+    e2e_rtf = _bench_e2e(seconds=8.0)
+
+    # single-core comparison: native scalar decoder vs the reference binary
+    native_fps, ref_fps = _bench_single_core()
+
     # projected end-to-end at PCIe gen3 x16 (12 GB/s effective), wire =
     # int16 spectra + sideinfo up, int16 stereo PCM down per granule
     wire_bytes = B * (2 * 576 * 2 + 160 + 576 * 4)
@@ -116,6 +205,9 @@ def main() -> None:
         "step_ms": round(step_ms, 2),
         "granules_per_sec": round(granules / elapsed, 1),
         "projected_pcie_e2e_rtf": round(pcie_rtf, 1),
+        "e2e_serving_rtf_this_harness": round(e2e_rtf, 1),
+        "native_singlecore_frames_per_sec": round(native_fps, 1),
+        "reference_binary_frames_per_sec": round(ref_fps, 1),
         "tunnel_h2d_gbps": round(h2d_gbps, 3),
         "note": ("device-resident decode rate; this harness attaches the "
                  "TPU via a network tunnel whose wire bandwidth is not "

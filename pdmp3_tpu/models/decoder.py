@@ -154,6 +154,93 @@ def frame_to_batches(fds: list[FrameData]) -> list[GranuleBatch]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Raw-SoA entry point: the serving pipeline uploads the native frontend's
+# step tensors (ix/scf_l/scf_s/meta, laid out per pdmp3.h PDMP3_META_*) as
+# FOUR host->device transfers per frame and unpacks/slices on device —
+# transfer count, not bytes, dominates on high-latency interconnects.
+# ---------------------------------------------------------------------------
+
+_META_WORDS = 32
+
+
+def _batch_from_meta(ix, scf_l, scf_s, meta, active):
+    m = meta
+    return GranuleBatch(
+        ix=ix, scf_l=scf_l, scf_s=scf_s.reshape(scf_s.shape[0], 2, 13, 3),
+        layout=m[:, 0:2], block_type=m[:, 2:4], win_switch=m[:, 4:6],
+        mixed=m[:, 6:8], global_gain=m[:, 8:10], scalefac_scale=m[:, 10:12],
+        preflag=m[:, 12:14], count1=m[:, 14:16],
+        subblock_gain=m[:, 16:22].reshape(-1, 2, 3),
+        ms_flag=m[:, 22], is_flag=m[:, 23],
+        nch=jnp.maximum(m[:, 24], 1), active=active)
+
+
+@functools.partial(jax.jit, static_argnames=("exact", "bug_compat"))
+def decode_frame_soa(ix2, scf_l2, scf_s2, meta2, active, state,
+                     exact: bool = False, bug_compat: bool = True):
+    """Decode a whole frame (two granule steps) from the native frontend's
+    SoA tensors: ix2 i16 [2,B,2,576], scf_l2 u8 [2,B,2,22], scf_s2 u8
+    [2,B,2,39], meta2 i32 [2,B,32], active i32 [B].
+    Returns (pcm i16 [B,1152,2], new_state)."""
+    outs = []
+    for gr in range(2):
+        batch = _batch_from_meta(ix2[gr], scf_l2[gr], scf_s2[gr],
+                                 meta2[gr], active)
+        pcm, state = decode_granules.__wrapped__(batch, state, exact,
+                                                 bug_compat)
+        outs.append(pcm)
+    return jnp.concatenate(outs, axis=1), state
+
+
+def soa_layout(B: int) -> dict:
+    """Byte offsets of the packed single-buffer wire format: one
+    host->device transfer per frame step (transfer *count*, not bytes,
+    dominates on high-latency interconnects)."""
+    off = {}
+    pos = 0
+
+    def sec(name, nbytes):
+        nonlocal pos
+        off[name] = (pos, nbytes)
+        pos += (nbytes + 3) & ~3  # 4-byte align
+
+    sec("ix", 2 * B * 2 * 576 * 2)
+    sec("scf_l", 2 * B * 2 * 22)
+    sec("scf_s", 2 * B * 2 * 39)
+    sec("meta", 2 * B * _META_WORDS * 4)
+    sec("active", B * 4)
+    off["total"] = pos
+    return off
+
+
+@functools.partial(jax.jit, static_argnames=("B", "exact", "bug_compat"))
+def decode_frame_packed(buf, state, B: int, exact: bool = False,
+                        bug_compat: bool = True):
+    """decode_frame_soa over the packed single-buffer wire format
+    (buf: uint8 [soa_layout(B)['total']])."""
+    off = soa_layout(B)
+
+    def sect(name, dtype, shape):
+        o, n = off[name]
+        raw = jax.lax.dynamic_slice_in_dim(buf, o, n)
+        if dtype == jnp.int16:
+            v = jax.lax.bitcast_convert_type(raw.reshape(-1, 2), jnp.int16)
+        elif dtype == jnp.int32:
+            v = jax.lax.bitcast_convert_type(raw.reshape(-1, 4), jnp.int32)
+        else:
+            v = raw
+        return v.reshape(shape)
+
+    ix2 = sect("ix", jnp.int16, (2, B, 2, 576))
+    scf_l2 = sect("scf_l", jnp.uint8, (2, B, 2, 22))
+    scf_s2 = sect("scf_s", jnp.uint8, (2, B, 2, 39))
+    meta2 = sect("meta", jnp.int32, (2, B, _META_WORDS))
+    active = sect("active", jnp.int32, (B,))
+    return decode_frame_soa.__wrapped__(ix2, scf_l2, scf_s2, meta2, active,
+                                        state, exact, bug_compat)
+
+
 class JaxDSP:
     """Single-stream DSP adapter with the OracleDSP interface, so the
     streaming API (api.PDMP3) can run its backend on TPU."""

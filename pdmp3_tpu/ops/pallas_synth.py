@@ -126,7 +126,7 @@ def _kernel(xw_ref, store_ref, v_ref, bt4_ref, act4_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_slots",))
 def synthesis_pipeline(x, store, v_blocks, win_switch, block_type, mixed,
-                       nch, active, block_slots: int = 128):
+                       nch, active, block_slots: int = 16):
     """Fused back half: x [B,2,576] (post-antialias) -> (pcm i16 [B,576,2],
     new_store, new_v).  Pads B up to a block_slots multiple."""
     from . import dsp

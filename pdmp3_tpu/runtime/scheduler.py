@@ -43,12 +43,21 @@ class StreamDecoder:
         for h in self.handles:
             h.open_feed()
         self.state = M.init_state(n_slots)
-        # frame step tensors: [2 granules][B][...]
-        self.ix = np.zeros((2, n_slots, 2, 576), np.int16)
-        self.scf_l = np.zeros((2, n_slots, 2, 22), np.uint8)
-        self.scf_s = np.zeros((2, n_slots, 2, 39), np.uint8)
-        self.meta = np.zeros((2, n_slots, _META), np.int32)
-        self.active = np.zeros(n_slots, np.int32)
+        # frame step tensors live as views into ONE packed wire buffer:
+        # the native parse writes in place and the device upload is a
+        # single transfer (models.decoder.soa_layout)
+        lay = M.soa_layout(n_slots)
+        self.wire = np.zeros(lay["total"], np.uint8)
+
+        def view(name, dtype, shape):
+            o, n = lay[name]
+            return self.wire[o:o + n].view(dtype).reshape(shape)
+
+        self.ix = view("ix", np.int16, (2, n_slots, 2, 576))
+        self.scf_l = view("scf_l", np.uint8, (2, n_slots, 2, 22))
+        self.scf_s = view("scf_s", np.uint8, (2, n_slots, 2, 39))
+        self.meta = view("meta", np.int32, (2, n_slots, _META))
+        self.active = view("active", np.int32, (n_slots,))
         self._fn = lib().pdmp3_parse_step
         self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_void_p, C.c_void_p,
                              C.c_void_p, C.c_void_p, C.c_void_p]
@@ -74,12 +83,13 @@ class StreamDecoder:
                         self.active.ctypes.data_as(C.c_void_p))
 
     def _granule_batch(self, gr: int) -> M.GranuleBatch:
+        # narrow wire dtypes (i16 spectra, u8 scalefacs) — the DSP ops
+        # promote internally; halves H2D bytes per step
         m = self.meta[gr]
         return M.GranuleBatch(
-            ix=jnp.asarray(self.ix[gr].astype(np.int32)),
-            scf_l=jnp.asarray(self.scf_l[gr].astype(np.int32)),
-            scf_s=jnp.asarray(self.scf_s[gr].astype(np.int32)
-                              .reshape(self.n, 2, 13, 3)),
+            ix=jnp.asarray(self.ix[gr]),
+            scf_l=jnp.asarray(self.scf_l[gr]),
+            scf_s=jnp.asarray(self.scf_s[gr].reshape(self.n, 2, 13, 3)),
             layout=jnp.asarray(m[:, _M_LAYOUT:_M_LAYOUT + 2]),
             block_type=jnp.asarray(m[:, _M_BT:_M_BT + 2]),
             win_switch=jnp.asarray(m[:, _M_WSF:_M_WSF + 2]),
@@ -98,19 +108,19 @@ class StreamDecoder:
 
     # ---- device side ----
 
-    def decode_step(self) -> np.ndarray | None:
+    def decode_step(self, fetch: bool = True):
         """Decode the parsed frame (2 granule steps).  Returns interleaved
         PCM int16 [B, 1152, 2] (zeros for inactive slots), or None if no
-        slot was active."""
+        slot was active.  fetch=False keeps the PCM on device (jax array) —
+        the serving configuration, where a downstream consumer pulls PCM
+        asynchronously."""
         if not self.active.any():
             return None
-        outs = []
-        for gr in range(2):
-            pcm, self.state = M.decode_granules(
-                self._granule_batch(gr), self.state, exact=self.exact,
-                bug_compat=self.bug_compat)
-            outs.append(pcm)
-        return np.concatenate([np.asarray(o) for o in outs], axis=1)
+        import jax
+        pcm, self.state = M.decode_frame_packed(
+            jax.device_put(self.wire), self.state, B=self.n,
+            exact=self.exact, bug_compat=self.bug_compat)
+        return np.asarray(pcm) if fetch else pcm
 
     def nch(self, slot: int) -> int:
         return max(int(self.meta[0, slot, _M_NCH]), 1)
