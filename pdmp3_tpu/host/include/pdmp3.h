@@ -111,6 +111,13 @@ int pdmp3_parse_step(pdmp3_handle *const *ids, size_t n_slots, int16_t *ix,
                      uint8_t *scf_l, uint8_t *scf_s, int32_t *meta,
                      int32_t *active);
 
+/* Multithreaded variant: fan the per-slot parses over n_threads host
+ * cores (0 = hardware concurrency).  Slots are independent streams, so
+ * this scales the host Huffman frontend linearly with cores. */
+int pdmp3_parse_step_mt(pdmp3_handle *const *ids, size_t n_slots,
+                        int n_threads, int16_t *ix, uint8_t *scf_l,
+                        uint8_t *scf_s, int32_t *meta, int32_t *active);
+
 /* Bytes buffered / free in the 16 KiB input ring. */
 unsigned pdmp3_inbuf_filled(pdmp3_handle *id);
 unsigned pdmp3_inbuf_free(pdmp3_handle *id);

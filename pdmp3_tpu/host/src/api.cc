@@ -2,15 +2,16 @@
 //
 // Return-code protocol, input-cursor rollback, NEW_FORMAT handshake and
 // partial-frame draining match the reference (pdmp3.c:2301-2535,
-// 2540-2589).  The CLI writes <file>.raw (the reference's OUTPUT_RAW
-// configuration, pdmp3.c:2222-2258); OSS output is intentionally not
-// compiled in (no /dev/dsp in deployment targets), the hook is
-// audio_write below.
+// 2540-2589).  Sinks are runtime-selected (instead of the reference's
+// compile-time OUTPUT_SOUND/OUTPUT_RAW): <file>.raw / stdout by default,
+// OSS /dev/dsp when a device argument is given (pdmp3.c:2222-2298).
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <new>
 #include <type_traits>
+#include <thread>
+#include <vector>
 
 #include "internal.h"
 
@@ -104,11 +105,11 @@ int pdmp3_parse_frame_soa(pdmp3_handle *id, size_t slot, size_t n_slots,
   return PDMP3_OK;
 }
 
-int pdmp3_parse_step(pdmp3_handle *const *ids, size_t n_slots, int16_t *ix,
-                     uint8_t *scf_l, uint8_t *scf_s, int32_t *meta,
-                     int32_t *active) {
+static int parse_range(pdmp3_handle *const *ids, size_t lo, size_t hi,
+                       size_t n_slots, int16_t *ix, uint8_t *scf_l,
+                       uint8_t *scf_s, int32_t *meta, int32_t *active) {
   int n_active = 0;
-  for (size_t s = 0; s < n_slots; s++) {
+  for (size_t s = lo; s < hi; s++) {
     active[s] = 0;
     pdmp3_handle *id = ids[s];
     if (!id || id->fp.in.filled() < 2 * 576) continue;
@@ -118,6 +119,40 @@ int pdmp3_parse_step(pdmp3_handle *const *ids, size_t n_slots, int16_t *ix,
       n_active++;
     }
   }
+  return n_active;
+}
+
+int pdmp3_parse_step(pdmp3_handle *const *ids, size_t n_slots, int16_t *ix,
+                     uint8_t *scf_l, uint8_t *scf_s, int32_t *meta,
+                     int32_t *active) {
+  return parse_range(ids, 0, n_slots, n_slots, ix, scf_l, scf_s, meta,
+                     active);
+}
+
+int pdmp3_parse_step_mt(pdmp3_handle *const *ids, size_t n_slots,
+                        int n_threads, int16_t *ix, uint8_t *scf_l,
+                        uint8_t *scf_s, int32_t *meta, int32_t *active) {
+  if (n_threads <= 0)
+    n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 1 || n_slots < 64)
+    return pdmp3_parse_step(ids, n_slots, ix, scf_l, scf_s, meta, active);
+  // slots/handles are fully independent — embarrassingly parallel host
+  // Huffman fan-out (SURVEY.md §7: the frontend must outrun the TPU)
+  std::vector<std::thread> pool;
+  std::vector<int> counts((size_t)n_threads, 0);
+  size_t chunk = (n_slots + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    size_t lo = (size_t)t * chunk;
+    size_t hi = lo + chunk < n_slots ? lo + chunk : n_slots;
+    if (lo >= hi) break;
+    pool.emplace_back([=, &counts] {
+      counts[(size_t)t] = parse_range(ids, lo, hi, n_slots, ix, scf_l,
+                                      scf_s, meta, active);
+    });
+  }
+  int n_active = 0;
+  for (auto &th : pool) th.join();
+  for (int c : counts) n_active += c;
   return n_active;
 }
 
@@ -220,23 +255,72 @@ int pdmp3_getformat(pdmp3_handle *id, long *rate, int *channels,
 }
 
 // ---- CLI player (pdmp3.c:2540-2589) ----
+//
+// Sinks (pdmp3.c:2222-2298): raw PCM to <file>.raw / stdout, and an OSS
+// /dev/dsp sink when a device argument is given (runtime-selected instead
+// of the reference's compile-time OUTPUT_SOUND/OUTPUT_RAW flags).
 
-static void audio_write(const char *filename, const unsigned char *samples,
-                        size_t nbytes, FILE **sink) {
-  if (!*sink) {
+#ifdef __linux__
+#include <fcntl.h>
+#include <sys/ioctl.h>
+#include <unistd.h>
+#if __has_include(<sys/soundcard.h>)
+#include <sys/soundcard.h>
+#define PDMP3_HAVE_OSS 1
+#endif
+#endif
+
+struct AudioSink {
+  FILE *file = nullptr;
+  int oss_fd = -1;
+  long oss_rate = 0;
+};
+
+static void audio_write(pdmp3_handle *id, const char *audio_name,
+                        const char *filename, const unsigned char *samples,
+                        size_t nbytes, AudioSink *sink) {
+#ifdef PDMP3_HAVE_OSS
+  if (audio_name) {  // OSS output (pdmp3.c:2264-2293)
+    if (sink->oss_fd < 0) {
+      sink->oss_fd = open(audio_name, O_WRONLY, 0);
+      if (sink->oss_fd < 0) {
+        perror(audio_name);
+        exit(-1);
+      }
+      int format = AFMT_S16_LE, stereo = 2;
+      ioctl(sink->oss_fd, SNDCTL_DSP_SETFMT, &format);
+      ioctl(sink->oss_fd, SNDCTL_DSP_CHANNELS, &stereo);
+    }
+    long rate = kSampleRates[id->fp.hdr.sampling_frequency];
+    if (sink->oss_rate != rate) {
+      sink->oss_rate = rate;
+      int speed = (int)rate;
+      ioctl(sink->oss_fd, SNDCTL_DSP_SPEED, &speed);
+    }
+    if (nbytes && write(sink->oss_fd, samples, nbytes) != (ssize_t)nbytes) {
+      fprintf(stderr, "Unable to write audio data\n");
+      exit(-1);
+    }
+    return;
+  }
+#else
+  (void)audio_name;
+  (void)id;
+#endif
+  if (!sink->file) {
     if (strcmp(filename, "-") == 0) {
-      *sink = stdout;
+      sink->file = stdout;
     } else {
       char fname[1024];
       snprintf(fname, sizeof fname, "%s.raw", filename);
-      *sink = fopen(fname, "wb");
-      if (!*sink) {
+      sink->file = fopen(fname, "wb");
+      if (!sink->file) {
         perror(fname);
         exit(-1);
       }
     }
   }
-  if (nbytes && fwrite(samples, 1, nbytes, *sink) != nbytes) {
+  if (nbytes && fwrite(samples, 1, nbytes, sink->file) != nbytes) {
     fprintf(stderr, "Unable to write raw data\n");
     exit(-1);
   }
@@ -244,7 +328,8 @@ static void audio_write(const char *filename, const unsigned char *samples,
 
 void pdmp3(char *const *mp3s) {
   static unsigned char out[kInbufSize];
-  if (*mp3s && !strncmp("/dev/dsp", *mp3s, 8)) mp3s++;  // device arg unused
+  const char *audio_name = nullptr;
+  if (*mp3s && !strncmp("/dev/dsp", *mp3s, 8)) audio_name = *mp3s++;
   pdmp3_handle *id = pdmp3_new(nullptr, nullptr);
   if (!id) {
     fprintf(stderr, "Cannot open stream API (out of memory)\n");
@@ -257,12 +342,12 @@ void pdmp3(char *const *mp3s) {
       fprintf(stderr, "Cannot open file %s\n", filename);
       exit(0);
     }
-    FILE *sink = nullptr;
+    AudioSink sink;
     pdmp3_open_feed(id);
     size_t done;
     int res;
     while ((res = pdmp3_read(id, out, sizeof out, &done)) != PDMP3_ERR) {
-      audio_write(filename, out, done, &sink);
+      audio_write(id, audio_name, filename, out, done, &sink);
       if (res == PDMP3_NEED_MORE) {
         unsigned char in[4096];
         size_t n = fread(in, 1, sizeof in, fp);
@@ -270,7 +355,8 @@ void pdmp3(char *const *mp3s) {
         pdmp3_feed(id, in, n);
       }
     }
-    if (sink && sink != stdout) fclose(sink);
+    if (sink.file && sink.file != stdout) fclose(sink.file);
+    if (sink.oss_fd >= 0) close(sink.oss_fd);
     if (fp != stdin) fclose(fp);
   }
   pdmp3_delete(id);

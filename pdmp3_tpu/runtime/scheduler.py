@@ -35,10 +35,11 @@ class StreamDecoder:
     """N-slot batched decoder over the native frontend + TPU backend."""
 
     def __init__(self, n_slots: int, exact: bool = False,
-                 bug_compat: bool = True):
+                 bug_compat: bool = True, parse_threads: int = 1):
         self.n = n_slots
         self.exact = exact
         self.bug_compat = bug_compat
+        self.parse_threads = parse_threads
         self.handles = [NativePDMP3() for _ in range(n_slots)]
         for h in self.handles:
             h.open_feed()
@@ -58,9 +59,9 @@ class StreamDecoder:
         self.scf_s = view("scf_s", np.uint8, (2, n_slots, 2, 39))
         self.meta = view("meta", np.int32, (2, n_slots, _META))
         self.active = view("active", np.int32, (n_slots,))
-        self._fn = lib().pdmp3_parse_step
-        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_void_p, C.c_void_p,
-                             C.c_void_p, C.c_void_p, C.c_void_p]
+        self._fn = lib().pdmp3_parse_step_mt
+        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int, C.c_void_p,
+                             C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
         self._handle_arr = (C.c_void_p * n_slots)(
             *[h._h for h in self.handles])
 
@@ -75,7 +76,7 @@ class StreamDecoder:
     def parse_step(self) -> int:
         """Parse one frame per slot into the step tensors (one native call
         for the whole batch).  Returns the number of active slots."""
-        return self._fn(self._handle_arr, self.n,
+        return self._fn(self._handle_arr, self.n, self.parse_threads,
                         self.ix.ctypes.data_as(C.c_void_p),
                         self.scf_l.ctypes.data_as(C.c_void_p),
                         self.scf_s.ctypes.data_as(C.c_void_p),

@@ -1,0 +1,62 @@
+"""Pod-scale serving: the stream scheduler sharded over a device mesh.
+
+BASELINE.json configs[4] (100k concurrent streams on a pod): slots are
+sharded over the mesh's stream axis with NamedSharding; the recurrent DSP
+state never leaves its device, the per-step SoA tensors upload sharded,
+and the decode step runs SPMD (no collectives on the decode path — the
+psum telemetry in parallel/sharding.py is the only cross-chip traffic).
+
+On a real pod each host runs the native frontend for its local shard of
+streams (one process per host, jax distributed init); this class expresses
+the single-controller form, which is also what the virtual-device tests
+exercise.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import decoder as M
+from ..parallel.sharding import STREAM_AXIS, batch_sharding, make_mesh
+from .scheduler import StreamDecoder
+
+
+class ShardedStreamDecoder(StreamDecoder):
+    """StreamDecoder whose device state + step tensors are sharded over a
+    mesh.  n_slots must be a multiple of the mesh size."""
+
+    def __init__(self, n_slots: int, mesh=None, exact: bool = False,
+                 bug_compat: bool = True, parse_threads: int = 0):
+        super().__init__(n_slots, exact=exact, bug_compat=bug_compat,
+                         parse_threads=parse_threads)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        assert n_slots % self.mesh.size == 0, (n_slots, self.mesh.size)
+        shard = lambda x: jax.device_put(
+            x, batch_sharding(self.mesh, x.ndim))
+        self.state = M.DecoderState(store=shard(self.state.store),
+                                    v_blocks=shard(self.state.v_blocks))
+
+    def decode_step(self, fetch: bool = True):
+        if not self.active.any():
+            return None
+        # upload the per-granule tensors sharded on the slot axis (axis 1
+        # of the [2, B, ...] step tensors)
+        def put(x):
+            sh = jax.sharding.NamedSharding(
+                self.mesh,
+                jax.sharding.PartitionSpec(None, STREAM_AXIS,
+                                           *([None] * (x.ndim - 2))))
+            return jax.device_put(x, sh)
+
+        ix2 = put(self.ix)
+        scf_l2 = put(self.scf_l)
+        scf_s2 = put(self.scf_s)
+        meta2 = put(self.meta)
+        active = jax.device_put(
+            self.active, batch_sharding(self.mesh, 1))
+        with self.mesh:
+            pcm, self.state = M.decode_frame_soa(
+                ix2, scf_l2, scf_s2, meta2, active, self.state,
+                exact=self.exact, bug_compat=self.bug_compat)
+        return np.asarray(pcm) if fetch else pcm
