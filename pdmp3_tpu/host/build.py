@@ -17,7 +17,7 @@ LIB = os.path.join(BUILD_DIR, "libpdmp3host.so")
 CLI = os.path.join(BUILD_DIR, "pdmp3")
 
 SRCS = ["tables.cc", "frame.cc", "dsp.cc", "api.cc"]
-CXXFLAGS = ["-std=c++17", "-O2", "-Wall", "-Wextra", "-fPIC", "-pthread",
+CXXFLAGS = ["-std=c++17", "-O3", "-Wall", "-Wextra", "-fPIC", "-pthread",
             "-ffp-contract=off", "-fno-fast-math"]
 
 

@@ -118,6 +118,14 @@ int pdmp3_parse_step_mt(pdmp3_handle *const *ids, size_t n_slots,
                         int n_threads, int16_t *ix, uint8_t *scf_l,
                         uint8_t *scf_s, int32_t *meta, int32_t *active);
 
+/* Offline whole-stream parse: feed `data` and parse every frame natively
+ * (no per-frame FFI round trips).  Tensors are laid out with n_slots =
+ * max_frames and slot = frame index, i.e. [2][max_frames][...].  Returns
+ * the number of frames parsed (<= max_frames). */
+long pdmp3_parse_stream(pdmp3_handle *id, const unsigned char *data,
+                        size_t size, size_t max_frames, int16_t *ix,
+                        uint8_t *scf_l, uint8_t *scf_s, int32_t *meta);
+
 /* Bytes buffered / free in the 16 KiB input ring. */
 unsigned pdmp3_inbuf_filled(pdmp3_handle *id);
 unsigned pdmp3_inbuf_free(pdmp3_handle *id);

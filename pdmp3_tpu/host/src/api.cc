@@ -105,6 +105,33 @@ int pdmp3_parse_frame_soa(pdmp3_handle *id, size_t slot, size_t n_slots,
   return PDMP3_OK;
 }
 
+long pdmp3_parse_stream(pdmp3_handle *id, const unsigned char *data,
+                        size_t size, size_t max_frames, int16_t *ix,
+                        uint8_t *scf_l, uint8_t *scf_s, int32_t *meta) {
+  if (!id) return -1;
+  pdmp3_open_feed(id);
+  size_t pos = 0, t = 0;
+  while (t < max_frames) {
+    while (pos < size) {
+      unsigned free_b = id->fp.in.free_space();
+      if (free_b < 4096) break;
+      size_t n = size - pos < free_b ? size - pos : free_b;
+      if (n > 8192) n = 8192;
+      if (pdmp3_feed(id, data + pos, n) != PDMP3_OK) break;
+      pos += n;
+    }
+    int r = pdmp3_parse_frame_soa(id, t, max_frames, ix, scf_l, scf_s,
+                                  meta);
+    if (r == PDMP3_OK) {
+      t++;
+      continue;
+    }
+    if (r == PDMP3_ERR) break;
+    if (pos >= size || id->fp.in.free_space() == 0) break;  // starved
+  }
+  return (long)t;
+}
+
 static int parse_range(pdmp3_handle *const *ids, size_t lo, size_t hi,
                        size_t n_slots, int16_t *ix, uint8_t *scf_l,
                        uint8_t *scf_s, int32_t *meta, int32_t *active) {

@@ -77,3 +77,18 @@ def test_garbage_stream_isolated(corpus):
     want = native_decode_file(corpus[2])
     got = b"".join(out)
     assert got[:len(want)] == want
+
+
+def test_offline_scan_decode_equals_native(corpus):
+    """Whole-corpus lax.scan decode (one dispatch) == per-file native."""
+    from pdmp3_tpu.models.offline import decode_files_scan
+    got = decode_files_scan(corpus)
+    for i, data in enumerate(corpus):
+        want = native_decode_file(data)
+        a = np.frombuffer(got[i], "<i2")
+        b = np.frombuffer(want, "<i2")
+        n = min(len(a), len(b))
+        assert n >= len(b) - 2 * 1152 * 2  # scan may decode trailing frames
+        d = np.abs(a[:n].astype(np.int32) - b[:n].astype(np.int32))
+        assert d.max() <= 1  # fast-precision path
+        assert (d != 0).mean() < 0.01
