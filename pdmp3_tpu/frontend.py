@@ -104,7 +104,7 @@ class Frontend:
         self.main_byte = 0   # byte cursor into main_vec
         self.main_idx = 0    # bit index 0-7
         self.main_top = 0
-        self.side_vec = np.zeros(32 + 4, np.uint32)
+        self.side_vec = np.zeros(32 + 48, np.uint32)
         self.side_byte = 0
         self.side_idx = 0
         self.header = Header()

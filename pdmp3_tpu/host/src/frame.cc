@@ -151,9 +151,8 @@ int FrameParser::get_main_data(unsigned size, unsigned begin) {
   auto fill = [&](unsigned off, unsigned n) {
     for (unsigned i = 0; i < n; i++) {
       uint32_t v = in.get_byte();
-      if (v == kEof) return;
+      if (v == kEof) return;  // Get_Bytes parity: stale tail kept
       res.bytes[off + i] = (uint8_t)v;
-      res.eof[off + i] = 0;
     }
   };
   if (begin > res.top) {
@@ -163,7 +162,6 @@ int FrameParser::get_main_data(unsigned size, unsigned begin) {
     return PDMP3_NEED_MORE;
   }
   std::memmove(res.bytes, res.bytes + res.top - begin, begin);
-  std::memmove(res.eof, res.eof + res.top - begin, begin);
   fill(begin, size);
   res.set_pos(0);
   res.top = begin + size;

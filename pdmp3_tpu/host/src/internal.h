@@ -87,49 +87,45 @@ struct InRing {
 
 // ---- bit reservoir (pdmp3.c:1096-1122, 1489-1541) ----
 //
-// Byte array plus an EOF flag per byte: multi-bit reads reproduce the
-// reference's word-OR flood (an EOF byte saturates its own and all higher
-// lanes of the 32-bit window), single-bit reads see only the low byte.
+// The reference reads reservoir bits byte-wise with a word-OR window
+// (pdmp3.c:1504-1526); since Get_Bytes never stores EOF sentinels into the
+// reservoir (pdmp3.c:1076-1086), the stream is plain MSB-first bytes and a
+// single unaligned big-endian 64-bit load serves every read (n <= 56),
+// branch-free.  The +16 tail padding covers window overreads of the stale
+// region past `top` (the reference reads the same stale bytes).
 struct Reservoir {
-  uint8_t bytes[2048 + 8] = {0};
-  uint8_t eof[2048 + 8] = {0};
+  uint8_t bytes[2048 + 16] = {0};
   unsigned byte_pos = 0;  // cursor
   unsigned bit_idx = 0;   // 0-7
   unsigned top = 0;
 
-  uint32_t word(unsigned i) const { return eof[i] ? kEof : bytes[i]; }
-
+  uint64_t window() const {
+    uint64_t w;
+    std::memcpy(&w, bytes + byte_pos, 8);
+    return __builtin_bswap64(w);
+  }
   unsigned get_bit() {
-    unsigned b = (word(byte_pos) >> (7 - bit_idx)) & 1u;
+    unsigned b = (bytes[byte_pos] >> (7 - bit_idx)) & 1u;
     bit_idx++;
     byte_pos += bit_idx >> 3;
     bit_idx &= 7;
     return b;
   }
-  unsigned get_bits(unsigned n) {  // n <= 24; flood-window semantics
+  unsigned get_bits(unsigned n) {  // n <= 24
     if (n == 0) return 0;
-    uint32_t w = (word(byte_pos) << 24) | (word(byte_pos + 1) << 16) |
-                 (word(byte_pos + 2) << 8) | word(byte_pos + 3);
-    w <<= bit_idx;
-    w >>= 32 - n;
+    uint32_t v = (uint32_t)((window() << bit_idx) >> (64 - n));
     bit_idx += n;
     byte_pos += bit_idx >> 3;
     bit_idx &= 7;
-    return w;
+    return v;
   }
   unsigned pos() const { return byte_pos * 8 + bit_idx; }
   void set_pos(unsigned bitpos) {
     byte_pos = bitpos >> 3;
     bit_idx = bitpos & 7;
   }
-  // peek n bits with per-bit (low byte) semantics, no cursor movement
-  uint32_t peek_bits(unsigned n) const {
-    unsigned nbytes = (bit_idx + n + 7) >> 3;
-    uint64_t w = 0;
-    for (unsigned k = 0; k < nbytes; k++)
-      w = (w << 8) | (eof[byte_pos + k] ? 0xFFu : bytes[byte_pos + k]);
-    return (uint32_t)((w >> (nbytes * 8 - bit_idx - n)) &
-                      ((1u << n) - 1u));
+  uint32_t peek_bits(unsigned n) const {  // no cursor movement
+    return (uint32_t)((window() << bit_idx) >> (64 - n));
   }
   void advance(unsigned n) {
     bit_idx += n;
@@ -140,7 +136,10 @@ struct Reservoir {
 
 // ---- side-info bit reader (pdmp3.c:1547-1586) ----
 struct SideBuf {
-  uint8_t bytes[36 + 8] = {0};
+  // padded: the reference's stale-cursor side-info quirk (EOF during the
+  // side-info read keeps the previous bit cursor, pdmp3.c:1576-1586) can
+  // run a full 32-byte parse from a cursor near the end of the buffer
+  uint8_t bytes[32 + 48] = {0};
   unsigned byte_pos = 0, bit_idx = 0;
   unsigned get_bits(unsigned n) {
     uint32_t w = ((uint32_t)bytes[byte_pos] << 24) |

@@ -442,7 +442,7 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
                 vary_padding: bool = False, stuffing: int = 0,
                 stereo_extent_ch1: float = 1.0, intensity_pos: bool = False,
                 scfsi: bool = False, leading_garbage: int = 0,
-                amp: int = 6) -> bytes:
+                amp: int = 6, vbr: bool = False) -> bytes:
     """Convenience builder for one homogeneous test stream."""
     rng = random.Random(seed)
     block_cycle = {"long": ["long"], "short": ["short"], "mixed": ["mixed"],
@@ -479,7 +479,9 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
                    for g in range(2) for c in range(nch)):
                 scf[:] = 0
             fs = FrameSpec(
-                bitrate_index=bitrate_index, sampling_frequency=sfreq,
+                bitrate_index=(rng.choice([5, 7, 9, 11, 12, 14]) if vbr
+                               else bitrate_index),
+                sampling_frequency=sfreq,
                 padding=(f % 2 if vary_padding else 0), protection=protection,
                 mode=mode, mode_extension=mode_extension,
                 granules=grans, scfsi=scf)

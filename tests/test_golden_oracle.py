@@ -107,3 +107,86 @@ def test_short_block_intensity_bug_compat():
     spec = decode_file(
         stream, dsp=OracleDSP(bug_compat_short_intensity=False))
     assert spec != ref
+
+
+def test_vbr_with_reservoir():
+    """True VBR (per-frame bitrate) with bit-reservoir chaining."""
+    stream = mp3gen.make_stream(n_frames=30, seed=61, blocks="varied",
+                                vbr=True, use_reservoir=True,
+                                vary_padding=True)
+    assert_bit_exact(stream)
+
+
+def _first_oob_frame(stream: bytes) -> int | None:
+    """Frame index (in decode order) of the first granule whose count1
+    exceeds the last transmitted scalefactor band (long band 21 / short
+    band 12) — the point where the reference decoder reads out of bounds
+    (pdmp3.c:1896-1902 with 21-entry scalefac arrays) and bit-parity is
+    no longer defined.  None if the stream never hits it."""
+    from pdmp3_tpu.api import PDMP3
+    from pdmp3_tpu import tables as TT
+    h = PDMP3()
+    h.open_feed()
+    pos = 0
+    t = 0
+    while True:
+        pos0 = h.fe.processed
+        mark0 = h.fe.istart
+        res, fd = h.fe.read_frame()
+        if res == TT.OK:
+            s = fd.side
+            sf = fd.header.sampling_frequency
+            for gr in range(2):
+                for ch in range(fd.header.nch):
+                    short = (s.win_switch_flag[gr][ch]
+                             and s.block_type[gr][ch] == 2)
+                    limit = (3 * int(TT.SFB_SHORT[sf][12]) if short
+                             else int(TT.SFB_LONG[sf][21]))
+                    if int(s.count1[gr][ch]) > limit:
+                        return t
+            t += 1
+            continue
+        h.fe.processed = pos0
+        h.fe.istart = mark0
+        if pos >= len(stream):
+            return None
+        free = h.fe.inbuf_free()
+        n = min(free, 4096, len(stream) - pos)
+        if n == 0:
+            return None
+        h.feed(stream[pos:pos + n])
+        pos += n
+
+
+def test_midstream_corruption_resync():
+    """Corrupt bytes mid-stream: decoders resync identically.  Bit parity
+    holds up to any frame that drives the reference into its
+    out-of-bounds scalefactor reads (count1 past the last band —
+    undefined in the reference, policy-zeroed here); our two
+    implementations must stay consistent throughout."""
+    import random
+    from pdmp3_tpu.host import native_decode_file
+    stream = bytearray(mp3gen.make_stream(n_frames=20, seed=62,
+                                          blocks="long"))
+    rng = random.Random(0)
+    start = len(stream) // 3
+    for i in range(start, start + 40):
+        stream[i] = rng.randrange(256)
+    stream = bytes(stream)
+    ref = reference_decode(stream)
+    mine = decode_file(stream)
+    nat = native_decode_file(stream)
+    assert mine == nat  # implementation self-consistency, always
+    oob = _first_oob_frame(stream)
+    if oob is None:
+        assert mine == ref
+    else:
+        n = oob * 2304 * 2  # stereo frames before the OOB frame
+        assert mine[:n] == ref[:n]
+
+
+def test_truncated_stream():
+    full = mp3gen.make_stream(n_frames=10, seed=63, blocks="varied")
+    for cut in (len(full) // 2, len(full) - 100, 1500):
+        stream = full[:cut]
+        assert decode_file(stream) == reference_decode(stream), cut

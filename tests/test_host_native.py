@@ -146,3 +146,23 @@ def test_native_short_intensity_bug_compat():
                                 mode_extension=1, stereo_extent_ch1=0.3,
                                 intensity_pos=True)
     assert native_decode_file(stream) == reference_decode(stream)
+
+
+def test_native_vbr_and_corruption():
+    stream = mp3gen.make_stream(n_frames=30, seed=61, blocks="varied",
+                                vbr=True, use_reservoir=True)
+    assert native_decode_file(stream) == reference_decode(stream)
+    # corruption: native must equal the Python implementation everywhere;
+    # vs the reference, parity is defined only until a frame drives it
+    # into OOB scalefactor reads (see test_golden_oracle)
+    broken = bytearray(stream)
+    for i in range(len(broken) // 3, len(broken) // 3 + 40):
+        broken[i] ^= 0xA5
+    broken = bytes(broken)
+    nat = native_decode_file(broken)
+    assert nat == decode_file(broken)
+    from tests.test_golden_oracle import _first_oob_frame
+    oob = _first_oob_frame(broken)
+    ref = reference_decode(broken)
+    n = len(ref) if oob is None else oob * 2304 * 2
+    assert nat[:n] == ref[:n]
