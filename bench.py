@@ -148,25 +148,38 @@ def main() -> None:
     from pdmp3_tpu.models import decoder as M
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+
+    import functools
 
     pool = build_pool()
-    dev_pool = [jax.device_put(tile_batch(b, B)) for b in pool[:6]]
+    dev_pool = [jax.device_put(tile_batch(b, B)) for b in pool[:4]]
     state = M.init_state(B)
 
-    def step_fn(batch, state):
-        return M.decode_granules(batch, state, exact=False)
+    # 16 granule steps per dispatch: amortizes the per-call latency of the
+    # tunnel-attached device (state threaded through, donated in place)
+    K = 16
+
+    @functools.partial(jax.jit, donate_argnames=("state",))
+    def step_fn(b0, b1, b2, b3, state):
+        outs = []
+        for k in range(K):
+            pcm, state = M.decode_granules.__wrapped__(
+                (b0, b1, b2, b3)[k % 4], state, False, True)
+            outs.append(pcm)
+        return outs, state
 
     # warmup + compile
-    pcm, state = step_fn(dev_pool[0], state)
-    pcm.block_until_ready()
+    outs, state = step_fn(*dev_pool, state)
+    jax.block_until_ready(outs)
 
     # timed loop: device-resident, state threaded, PCM materialized in HBM
     t0 = time.perf_counter()
-    for i in range(steps):
-        pcm, state = step_fn(dev_pool[i % len(dev_pool)], state)
-    pcm.block_until_ready()
+    for i in range(max(1, steps // K)):
+        outs, state = step_fn(*dev_pool, state)
+    jax.block_until_ready(outs)
     elapsed = time.perf_counter() - t0
+    steps = max(1, steps // K) * K
 
     granules = B * steps
     audio_seconds = granules * 576 / 44100.0
