@@ -91,9 +91,15 @@ class FrameData:
 
 
 class Frontend:
-    """Streaming MP3 frame parser with reference-identical state machine."""
+    """Streaming MP3 frame parser with reference-identical state machine.
 
-    def __init__(self):
+    count1_table_b_spec: decode count1table_select=1 quads with the REAL
+    ISO table B tree instead of emulating the reference's stale-pointer
+    bug (see tables.HuffTable.ref_broken).  Default off for bit parity.
+    """
+
+    def __init__(self, count1_table_b_spec: bool = False):
+        self.count1_table_b_spec = count1_table_b_spec
         self.inbuf = bytearray(T.INBUF_SIZE)
         self.istart = 0
         self.iend = 0
@@ -471,7 +477,7 @@ class Frontend:
         return x, y
 
     def _huff_quad(self, tab) -> tuple[int, int, int, int]:
-        if tab.ref_broken:
+        if tab.ref_broken and not self.count1_table_b_spec:
             q = 3  # reference's stale table-33 pointer: 0-bit leaf (2,3)
         else:
             _, q = self._peek_decode(tab)

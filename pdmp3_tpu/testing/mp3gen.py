@@ -263,6 +263,21 @@ def _write_huffman(bw: BitWriter, g: GranuleSpec, sfreq: int) -> None:
         if ay > 0:
             bw.put(1 if y < 0 else 0, 1)
     # count1 quads
+    if g.count1table_select == 1 and getattr(g, "count1_spec", False):
+        # true ISO table B: every quad is a 4-bit code + sign bits
+        emap = enc[33]
+        for q in range(g.n_quads):
+            i = big2 + 4 * q
+            v4 = [int(g.values[i + k]) for k in range(4)]
+            key = 0
+            for k in range(4):
+                key = (key << 1) | (1 if v4[k] != 0 else 0)
+            code, length = emap[(0, key)]
+            bw.put(code, length)
+            for k in range(4):
+                if v4[k] != 0:
+                    bw.put(1 if v4[k] < 0 else 0, 1)
+        return
     if g.count1table_select == 1:
         # Encode for the reference's broken table-33 path (stale pointer,
         # pdmp3.c:569): each quad is (0,0,±1,±1) = just two sign bits.

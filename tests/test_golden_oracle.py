@@ -190,3 +190,74 @@ def test_truncated_stream():
     for cut in (len(full) // 2, len(full) - 100, 1500):
         stream = full[:cut]
         assert decode_file(stream) == reference_decode(stream), cut
+
+
+def test_format_change_midstream():
+    """Concatenated streams with different rates/modes: the decoder (like
+    the reference) keeps going, re-reading the header per frame."""
+    a = mp3gen.make_stream(n_frames=6, seed=70, blocks="long", sfreq=0,
+                           mode=1, mode_extension=2)
+    b = mp3gen.make_stream(n_frames=6, seed=71, blocks="short", sfreq=1,
+                           mode=3)
+    c = mp3gen.make_stream(n_frames=6, seed=72, blocks="varied", sfreq=2,
+                           bitrate_index=14)
+    assert_bit_exact(a + b + c)
+
+
+def test_layer12_and_mpeg2_frames_skipped():
+    """Layer I/II and MPEG-2 (id=0) headers must be skipped by the sync
+    search exactly like the reference (pdmp3.c:1293-1331)."""
+    good = mp3gen.make_stream(n_frames=6, seed=73, blocks="long")
+    # valid-looking MPEG1 Layer II header + payload bytes
+    l2 = bytes([0xFF, 0xFD, 0x90, 0x00]) + bytes(100)
+    # MPEG-2 (id=0) Layer III header
+    m2 = bytes([0xFF, 0xE3, 0x90, 0x00]) + bytes(80)
+    stream = l2 + m2 + good[:2000] + l2 + good[2000:]
+    assert_bit_exact(stream)
+
+
+def test_count1_table_b_spec_mode():
+    """Spec-correct table B decode (the capability the reference's stale
+    pointer bug forecloses): quads encoded with the real ISO tree round-
+    trip through Frontend(count1_table_b_spec=True)."""
+    import random
+    from pdmp3_tpu.frontend import Frontend
+    from pdmp3_tpu import tables as TT
+
+    rng = random.Random(4)
+    frames = []
+    intended = []
+    for _ in range(4):
+        grans = []
+        for gr in range(2):
+            row = []
+            for ch in range(2):
+                g = mp3gen.make_granule(rng, sfreq=0, block="long",
+                                        max_lines=100)
+                g.count1table_select = 1
+                g.count1_spec = True
+                big2 = g.big_values * 2
+                g.values[big2:] = 0
+                for q in range(g.n_quads):
+                    i = big2 + 4 * q
+                    for k in range(4):
+                        g.values[i + k] = rng.choice([-1, 0, 1])
+                row.append(g)
+            grans.append(row)
+        frames.append(mp3gen.FrameSpec(granules=grans,
+                                       scfsi=np.zeros((2, 4), np.int32)))
+        intended.append(grans)
+    stream = mp3gen.assemble_stream(frames, rng=rng, use_reservoir=False)
+
+    fe = Frontend(count1_table_b_spec=True)
+    fe.feed(stream)
+    for t, grans in enumerate(intended):
+        res, fd = fe.read_frame()
+        assert res == 0, t
+        for gr in range(2):
+            for ch in range(2):
+                g = grans[gr][ch]
+                n = g.big_values * 2 + 4 * g.n_quads
+                np.testing.assert_array_equal(
+                    fd.ix[gr][ch][:n], g.values[:n],
+                    err_msg=f"frame {t} gr {gr} ch {ch}")
