@@ -218,16 +218,6 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     return (tmp1 * tmp2) * tmp3
 
 
-@functools.lru_cache(maxsize=1)
-def _perm_matrices() -> np.ndarray:
-    """P[l, p, q] = 1 where reordered line p reads raw line q."""
-    P = np.zeros((T.N_LAYOUTS, 576, 576), np.float32)
-    rows = np.arange(576)
-    for lay in range(T.N_LAYOUTS):
-        P[lay, rows, _MAPS["reorder"][lay]] = 1.0
-    return P
-
-
 def reorder(xr, layout):
     """Short-block reorder (pdmp3.c:1786-1823) as constant-index
     permutations + one-hot select: long layouts (0,3,6) are identity; the

@@ -45,7 +45,6 @@ def _requantize(fd: FrameData, gr: int, ch: int) -> np.ndarray:
     mag = np.minimum(np.abs(ix), 8206)
     tmp3 = sign * T.POW43[mag]  # f32 mul (sign flip is exact)
 
-    sf_shift = 1 if s.scalefac_scale[gr][ch] else 0  # quarters per unit: 2 or 4
     quarters_per_unit = 4 if s.scalefac_scale[gr][ch] else 2
 
     pretab22 = np.concatenate([T.PRETAB, [0]]).astype(np.int32)

@@ -83,30 +83,6 @@ class StreamDecoder:
                         self.meta.ctypes.data_as(C.c_void_p),
                         self.active.ctypes.data_as(C.c_void_p))
 
-    def _granule_batch(self, gr: int) -> M.GranuleBatch:
-        # narrow wire dtypes (i16 spectra, u8 scalefacs) — the DSP ops
-        # promote internally; halves H2D bytes per step
-        m = self.meta[gr]
-        return M.GranuleBatch(
-            ix=jnp.asarray(self.ix[gr]),
-            scf_l=jnp.asarray(self.scf_l[gr]),
-            scf_s=jnp.asarray(self.scf_s[gr].reshape(self.n, 2, 13, 3)),
-            layout=jnp.asarray(m[:, _M_LAYOUT:_M_LAYOUT + 2]),
-            block_type=jnp.asarray(m[:, _M_BT:_M_BT + 2]),
-            win_switch=jnp.asarray(m[:, _M_WSF:_M_WSF + 2]),
-            mixed=jnp.asarray(m[:, _M_MIXED:_M_MIXED + 2]),
-            global_gain=jnp.asarray(m[:, _M_GG:_M_GG + 2]),
-            scalefac_scale=jnp.asarray(m[:, _M_SFS:_M_SFS + 2]),
-            preflag=jnp.asarray(m[:, _M_PRE:_M_PRE + 2]),
-            subblock_gain=jnp.asarray(
-                m[:, _M_SBG:_M_SBG + 6].reshape(self.n, 2, 3)),
-            count1=jnp.asarray(m[:, _M_C1:_M_C1 + 2]),
-            ms_flag=jnp.asarray(m[:, _M_MS]),
-            is_flag=jnp.asarray(m[:, _M_IS]),
-            nch=jnp.asarray(np.maximum(m[:, _M_NCH], 1)),
-            active=jnp.asarray(self.active),
-        )
-
     # ---- device side ----
 
     def decode_step(self, fetch: bool = True):
