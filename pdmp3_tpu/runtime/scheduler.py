@@ -48,21 +48,34 @@ class StreamDecoder:
         # the native parse writes in place and the device upload is a
         # single transfer (models.decoder.soa_layout)
         lay = M.soa_layout(n_slots)
-        self.wire = np.zeros(lay["total"], np.uint8)
+        # double-buffered wire: the device upload of step t is async, so
+        # the host parses step t+1 into the other buffer (overlap without
+        # racing the in-flight transfer)
+        self._wires = [np.zeros(lay["total"], np.uint8) for _ in range(2)]
+        self._cur = 0
+        self._lay = lay
+        self._bind_views()
+        self._finish_init()
+
+    def _bind_views(self):
+        lay = self._lay
+        self.wire = self._wires[self._cur]
 
         def view(name, dtype, shape):
             o, n = lay[name]
             return self.wire[o:o + n].view(dtype).reshape(shape)
 
-        self.ix = view("ix", np.int16, (2, n_slots, 2, 576))
-        self.scf_l = view("scf_l", np.uint8, (2, n_slots, 2, 22))
-        self.scf_s = view("scf_s", np.uint8, (2, n_slots, 2, 39))
-        self.meta = view("meta", np.int32, (2, n_slots, _META))
-        self.active = view("active", np.int32, (n_slots,))
+        self.ix = view("ix", np.int16, (2, self.n, 2, 576))
+        self.scf_l = view("scf_l", np.uint8, (2, self.n, 2, 22))
+        self.scf_s = view("scf_s", np.uint8, (2, self.n, 2, 39))
+        self.meta = view("meta", np.int32, (2, self.n, _META))
+        self.active = view("active", np.int32, (self.n,))
+
+    def _finish_init(self):
         self._fn = lib().pdmp3_parse_step_mt
         self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int, C.c_void_p,
                              C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
-        self._handle_arr = (C.c_void_p * n_slots)(
+        self._handle_arr = (C.c_void_p * self.n)(
             *[h._h for h in self.handles])
 
     # ---- host side ----
@@ -97,6 +110,14 @@ class StreamDecoder:
         pcm, self.state = M.decode_frame_packed(
             jax.device_put(self.wire), self.state, B=self.n,
             exact=self.exact, bug_compat=self.bug_compat)
+        # swap to the other wire buffer for the next parse (the upload of
+        # this one may still be in flight); carry the just-decoded step's
+        # active/meta over so post-decode queries keep working
+        act, meta = self.active.copy(), self.meta.copy()
+        self._cur ^= 1
+        self._bind_views()
+        self.active[:] = act
+        self.meta[:] = meta
         return np.asarray(pcm) if fetch else pcm
 
     def nch(self, slot: int) -> int:

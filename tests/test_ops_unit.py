@@ -1,0 +1,135 @@
+"""Op-level unit tests: every batched DSP stage against its oracle stage,
+over randomized parsed granules (exact mode => bitwise equality)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pdmp3_tpu import oracle as O
+from pdmp3_tpu import tables as T
+from pdmp3_tpu.frontend import Frontend
+from pdmp3_tpu.models import decoder as M
+from pdmp3_tpu.ops import dsp
+from pdmp3_tpu.testing import mp3gen
+
+
+@pytest.fixture(scope="module")
+def parsed():
+    """A diverse batch of parsed granules + their FrameData."""
+    fds = []
+    for i, kw in enumerate([
+        dict(blocks="long"),
+        dict(blocks="short", sfreq=1),
+        dict(blocks="mixed", sfreq=2),
+        dict(blocks="varied", mode=1, mode_extension=2),
+        dict(blocks="long", mode=1, mode_extension=3,
+             stereo_extent_ch1=0.3, intensity_pos=True),
+        dict(blocks="long", mode=3),
+        dict(blocks="short", stuffing=4),
+        dict(blocks="varied", use_reservoir=True, scfsi=True),
+    ]):
+        s = mp3gen.make_stream(n_frames=3, seed=700 + i, **kw)
+        fe = Frontend()
+        fe.feed(s)
+        res, fd = fe.read_frame()
+        assert res == 0
+        fds.append(fd)
+    return fds, M.frame_to_batches(fds)[0]
+
+
+def test_requantize_unit(parsed):
+    fds, b = parsed
+    got = np.asarray(dsp.requantize(b.ix, b.scf_l, b.scf_s, b.layout,
+                                    b.global_gain, b.scalefac_scale,
+                                    b.preflag, b.subblock_gain, exact=True))
+    for i, fd in enumerate(fds):
+        for ch in range(fd.header.nch):
+            want = O._requantize(fd, 0, ch)
+            np.testing.assert_array_equal(got[i, ch], want,
+                                          err_msg=f"slot {i} ch {ch}")
+
+
+def test_reorder_unit(parsed):
+    fds, b = parsed
+    rng = np.random.RandomState(0)
+    x = rng.randn(len(fds), 2, 576).astype(np.float32)
+    got = np.asarray(dsp.reorder(jnp.asarray(x), b.layout))
+    for i, fd in enumerate(fds):
+        for ch in range(2):
+            want = O._reorder(fd, 0, ch, x[i, ch])
+            np.testing.assert_array_equal(got[i, ch], want)
+
+
+def test_stereo_unit(parsed):
+    fds, b = parsed
+    rng = np.random.RandomState(1)
+    x = (rng.randn(len(fds), 2, 576) * 0.1).astype(np.float32)
+    got = np.asarray(dsp.stereo(jnp.asarray(x), b.layout, b.scf_l, b.scf_s,
+                                b.count1, b.ms_flag, b.is_flag, exact=True,
+                                bug_compat_short_intensity=True))
+    for i, fd in enumerate(fds):
+        want = x[i].copy()
+        O._stereo(fd, 0, want, bug_compat_short_intensity=True)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"slot {i}")
+
+
+def test_antialias_unit(parsed):
+    fds, b = parsed
+    rng = np.random.RandomState(2)
+    x = rng.randn(len(fds), 2, 576).astype(np.float32)
+    got = np.asarray(dsp.antialias(jnp.asarray(x), b.layout, b.win_switch,
+                                   b.block_type, b.mixed))
+    for i, fd in enumerate(fds):
+        want = x[i].copy()
+        for ch in range(2):
+            O._antialias(fd, 0, ch, want[ch])
+        np.testing.assert_array_equal(got[i], want, err_msg=f"slot {i}")
+
+
+def test_hybrid_and_synthesis_unit(parsed):
+    fds, b = parsed
+    B = len(fds)
+    rng = np.random.RandomState(3)
+    x = (rng.randn(B, 2, 576) * 0.1).astype(np.float32)
+    store0 = (rng.randn(B, 2, 32, 18) * 0.05).astype(np.float32)
+    xt, store = dsp.hybrid_synthesis(jnp.asarray(x), jnp.asarray(store0),
+                                     b.win_switch, b.block_type, b.mixed,
+                                     exact=True)
+    xt = np.asarray(xt)
+    store = np.asarray(store)
+    for i, fd in enumerate(fds):
+        o = O.OracleDSP()
+        o.store[:] = store0[i]
+        want = x[i].copy()
+        for ch in range(2):
+            o._hybrid_synthesis(fd, 0, ch, want[ch])
+        np.testing.assert_array_equal(xt[i].reshape(2, 576), want,
+                                      err_msg=f"slot {i} x_time")
+        np.testing.assert_array_equal(store[i], o.store,
+                                      err_msg=f"slot {i} store")
+
+    # freq inversion + polyphase + quantize against the oracle synthesis
+    fi = dsp.freq_invert(jnp.asarray(xt))
+    v0 = (rng.randn(B, 2, 15, 64) * 0.05).astype(np.float32)
+    sums, v = dsp.subband_synthesis(fi, jnp.asarray(v0), exact=True)
+    pcm = np.asarray(dsp.quantize_pack(sums, b.nch, exact=True))
+    for i, fd in enumerate(fds):
+        o = O.OracleDSP()
+        # oracle v_vec layout: v[64k:64k+64] holds the block of step
+        # -(k+1) pre-granule; our carry is oldest-first, so step -(k+1)
+        # is v0[..., 14-k] (the 16th-oldest slot is never read)
+        for k in range(15):
+            o.v_vec[:, 64 * k:64 * (k + 1)] = v0[i, :, 14 - k]
+        xo = xt[i].reshape(2, 576).copy()
+        out = np.zeros((2, 576), np.uint32)
+        for ch in range(2):
+            o._freq_inversion(xo[ch])
+        for ch in range(fd.header.nch):
+            o._subband_synthesis(fd, 0, ch, xo[ch], out[0])
+        want_l = ((out[0] >> 16) & 0xFFFF).astype(np.uint16)
+        want_r = (out[0] & 0xFFFF).astype(np.uint16)
+        if fd.header.nch == 1:
+            want_r = want_l
+        np.testing.assert_array_equal(
+            pcm[i, :, 0].astype(np.uint16), want_l, err_msg=f"slot {i} L")
+        np.testing.assert_array_equal(
+            pcm[i, :, 1].astype(np.uint16), want_r, err_msg=f"slot {i} R")
