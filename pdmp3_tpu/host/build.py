@@ -20,6 +20,9 @@ SRCS = ["tables.cc", "frame.cc", "dsp.cc", "api.cc"]
 CXXFLAGS = ["-std=c++17", "-O3", "-Wall", "-Wextra", "-fPIC", "-pthread",
             "-ffp-contract=off", "-fno-fast-math"]
 
+# sanitizer builds (SURVEY.md §5): PDMP3_SANITIZE=address|undefined|thread
+_SAN = os.environ.get("PDMP3_SANITIZE")
+
 
 def _mtime(path: str) -> float:
     return os.path.getmtime(path) if os.path.exists(path) else -1.0
@@ -28,6 +31,23 @@ def _mtime(path: str) -> float:
 def _stale(target: str, deps: list[str]) -> bool:
     t = _mtime(target)
     return t < 0 or any(_mtime(d) > t for d in deps)
+
+
+def sanitizer_cli(kind: str = "address") -> str:
+    """Build (cached) a sanitizer-instrumented CLI for memory-safety
+    verification of the frontend/DSP on hostile inputs."""
+    src_dir = os.path.join(HOST_DIR, "src")
+    ensure_built()
+    exe = os.path.join(BUILD_DIR, f"pdmp3_{kind[:4]}")
+    srcs = [os.path.join(src_dir, s) for s in SRCS + ["main.cc"]]
+    if _stale(exe, srcs):
+        flags = [f for f in CXXFLAGS if f != "-O3"] + [
+            "-O1", "-g", f"-fsanitize={kind},undefined"
+            if kind == "address" else f"-fsanitize={kind}",
+            "-fno-omit-frame-pointer"]
+        subprocess.run(["g++", *flags, "-o", exe, *srcs], check=True,
+                       capture_output=True)
+    return exe
 
 
 def ensure_built(verbose: bool = False) -> str:

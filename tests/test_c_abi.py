@@ -109,3 +109,33 @@ def test_free_format_rejected():
     hdr = bytes([0xFF, 0xFA, 0x00, 0x00])  # L3, bitrate_index=0
     stream = (hdr + bytes(400)) * 4
     assert native_decode_file(stream) == reference_decode(stream) == b""
+
+
+def test_memory_safety_under_asan():
+    """The native decoder must be memory-clean under ASan+UBSan on
+    hostile inputs (the reference has OOB reads/writes on these —
+    docs/DESIGN.md §6)."""
+    import random
+    from pdmp3_tpu.host.build import sanitizer_cli
+    exe = sanitizer_cli("address")
+    rng = random.Random(7)
+    cases = []
+    base = mp3gen.make_stream(n_frames=12, seed=95, blocks="varied",
+                              vbr=True, use_reservoir=True)
+    cases.append(base)
+    b = bytearray(base)
+    for i in range(0, len(b), 37):       # heavy corruption
+        b[i] ^= rng.randrange(256)
+    cases.append(bytes(b))
+    cases.append(bytes(rng.randrange(256) for _ in range(8000)))  # noise
+    cases.append(base[: len(base) // 2])  # truncation
+    import tempfile
+    for i, data in enumerate(cases):
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "x.mp3")
+            with open(p, "wb") as f:
+                f.write(data)
+            r = subprocess.run([exe, p], cwd=d, capture_output=True,
+                               timeout=120)
+            assert b"ERROR" not in r.stderr, (i, r.stderr[:2000])
+            assert r.returncode == 0, (i, r.returncode, r.stderr[:2000])
