@@ -232,8 +232,10 @@ def main() -> None:
         "reference_binary_frames_per_sec": round(ref_fps, 1),
         "tunnel_h2d_gbps": round(h2d_gbps, 3),
         "note": ("device-resident decode rate; this harness attaches the "
-                 "TPU via a network tunnel whose wire bandwidth is not "
-                 "representative of a production PCIe host"),
+                 "TPU via a network tunnel whose real-data wire bandwidth "
+                 "(~30 MB/s uncompressible) caps any transfer-inclusive "
+                 "number here at a few hundred x — 2-3 orders below a "
+                 "production PCIe host, where the wire ceiling is ~59000x"),
         "precision": "fast(f32-MXU); exact mode (bit-exact vs reference C) "
                      "available",
     }))

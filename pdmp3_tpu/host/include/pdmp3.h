@@ -118,6 +118,25 @@ int pdmp3_parse_step_mt(pdmp3_handle *const *ids, size_t n_slots,
                         int n_threads, int16_t *ix, uint8_t *scf_l,
                         uint8_t *scf_s, int32_t *meta, int32_t *active);
 
+/* Multi-frame variant: parse up to frames_per_step sequential frames per
+ * slot into tensors laid out [F][2][n_slots][...]; active is [F][n_slots]
+ * (a slot's later frames stay inactive after its first failure).  Lets
+ * the device decode F frames per dispatch, amortizing per-call latency. */
+int pdmp3_parse_step_multi(pdmp3_handle *const *ids, size_t n_slots,
+                           int n_threads, size_t frames_per_step,
+                           int16_t *ix, uint8_t *scf_l, uint8_t *scf_s,
+                           int32_t *meta, int32_t *active);
+
+/* All-int16 wire variant (scalefacs/meta/active widened to int16): the
+ * serving pipeline's single uploaded buffer is consumed on the device by
+ * pure slicing, no byte recombination.  Section layouts as
+ * pdmp3_parse_step_multi; meta SAMPLE_RATE is stored divided by 25 to
+ * fit int16. */
+int pdmp3_parse_step_wire16(pdmp3_handle *const *ids, size_t n_slots,
+                            int n_threads, size_t frames_per_step,
+                            int16_t *ix, int16_t *scf_l, int16_t *scf_s,
+                            int16_t *meta, int16_t *active);
+
 /* Offline whole-stream parse: feed `data` and parse every frame natively
  * (no per-frame FFI round trips).  Tensors are laid out with n_slots =
  * max_frames and slot = frame index, i.e. [2][max_frames][...].  Returns

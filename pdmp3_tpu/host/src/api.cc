@@ -132,18 +132,116 @@ long pdmp3_parse_stream(pdmp3_handle *id, const unsigned char *data,
   return (long)t;
 }
 
+// int16 wire variant: every section (spectra, scalefacs, meta, active) is
+// int16 so the device consumes the single uploaded buffer with pure
+// slicing — no byte recombination (which tiles catastrophically on TPU).
+static int parse_range16(pdmp3_handle *const *ids, size_t lo, size_t hi,
+                         size_t n_slots, size_t frames, int16_t *ix,
+                         int16_t *scf_l, int16_t *scf_s, int16_t *meta,
+                         int16_t *active) {
+  const size_t six = 2 * n_slots * 2 * 576;
+  const size_t sl = 2 * n_slots * 2 * 22;
+  const size_t ss = 2 * n_slots * 2 * 39;
+  const size_t sm = 2 * n_slots * PDMP3_META_WORDS;
+  int n_active = 0;
+  pdmp3_granules g;
+  for (size_t s = lo; s < hi; s++) {
+    pdmp3_handle *id = ids[s];
+    for (size_t f = 0; f < frames; f++) {
+      active[f * n_slots + s] = 0;
+      if (!id || id->fp.in.filled() < 2 * 576) continue;
+      if (pdmp3_parse_frame(id, &g) != PDMP3_OK) break;
+      for (int gr = 0; gr < 2; gr++) {
+        size_t base = f * six + (size_t)gr * n_slots * 2 * 576 +
+                      s * 2 * 576;
+        std::memcpy(ix + base, g.ix[gr], sizeof g.ix[gr]);
+        int16_t *pl = scf_l + f * sl + ((size_t)gr * n_slots + s) * 2 * 22;
+        int16_t *ps = scf_s + f * ss + ((size_t)gr * n_slots + s) * 2 * 39;
+        for (int ch = 0; ch < 2; ch++) {
+          for (int k = 0; k < 22; k++)
+            pl[ch * 22 + k] = (int16_t)g.scf_l[gr][ch][k];
+          const uint8_t *src = &g.scf_s[gr][ch][0][0];
+          for (int k = 0; k < 39; k++) ps[ch * 39 + k] = (int16_t)src[k];
+        }
+        int16_t *m = meta + f * sm +
+                     ((size_t)gr * n_slots + s) * PDMP3_META_WORDS;
+        for (int ch = 0; ch < 2; ch++) {
+          m[PDMP3_META_LAYOUT + ch] = (int16_t)g.layout[gr][ch];
+          m[PDMP3_META_BLOCK_TYPE + ch] = (int16_t)g.block_type[gr][ch];
+          m[PDMP3_META_WIN_SWITCH + ch] = (int16_t)g.win_switch[gr][ch];
+          m[PDMP3_META_MIXED + ch] = (int16_t)g.mixed[gr][ch];
+          m[PDMP3_META_GLOBAL_GAIN + ch] = (int16_t)g.global_gain[gr][ch];
+          m[PDMP3_META_SCALEFAC_SCALE + ch] =
+              (int16_t)g.scalefac_scale[gr][ch];
+          m[PDMP3_META_PREFLAG + ch] = (int16_t)g.preflag[gr][ch];
+          m[PDMP3_META_COUNT1 + ch] = (int16_t)g.count1[gr][ch];
+          for (int w = 0; w < 3; w++)
+            m[PDMP3_META_SUBBLOCK_GAIN + ch * 3 + w] =
+                (int16_t)g.subblock_gain[gr][ch][w];
+        }
+        m[PDMP3_META_MS] = (int16_t)g.ms_flag;
+        m[PDMP3_META_IS] = (int16_t)g.is_flag;
+        m[PDMP3_META_NCH] = (int16_t)g.nch;
+        m[PDMP3_META_SAMPLE_RATE] = (int16_t)(g.sample_rate / 25);
+      }
+      active[f * n_slots + s] = 1;
+      n_active++;
+    }
+  }
+  return n_active;
+}
+
+int pdmp3_parse_step_wire16(pdmp3_handle *const *ids, size_t n_slots,
+                            int n_threads, size_t frames_per_step,
+                            int16_t *ix, int16_t *scf_l, int16_t *scf_s,
+                            int16_t *meta, int16_t *active) {
+  if (n_threads <= 0)
+    n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 1 || n_slots < 64)
+    return parse_range16(ids, 0, n_slots, n_slots, frames_per_step, ix,
+                         scf_l, scf_s, meta, active);
+  std::vector<std::thread> pool;
+  std::vector<int> counts((size_t)n_threads, 0);
+  size_t chunk = (n_slots + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    size_t lo = (size_t)t * chunk;
+    size_t hi = lo + chunk < n_slots ? lo + chunk : n_slots;
+    if (lo >= hi) break;
+    pool.emplace_back([=, &counts] {
+      counts[(size_t)t] = parse_range16(ids, lo, hi, n_slots,
+                                        frames_per_step, ix, scf_l, scf_s,
+                                        meta, active);
+    });
+  }
+  int n_active = 0;
+  for (auto &th : pool) th.join();
+  for (int c : counts) n_active += c;
+  return n_active;
+}
+
 static int parse_range(pdmp3_handle *const *ids, size_t lo, size_t hi,
-                       size_t n_slots, int16_t *ix, uint8_t *scf_l,
-                       uint8_t *scf_s, int32_t *meta, int32_t *active) {
+                       size_t n_slots, size_t frames, int16_t *ix,
+                       uint8_t *scf_l, uint8_t *scf_s, int32_t *meta,
+                       int32_t *active) {
+  // per-slot frame-step tensor strides (layout [F][2][n_slots][...])
+  const size_t six = 2 * n_slots * 2 * 576;
+  const size_t sl = 2 * n_slots * 2 * 22;
+  const size_t ss = 2 * n_slots * 2 * 39;
+  const size_t sm = 2 * n_slots * PDMP3_META_WORDS;
   int n_active = 0;
   for (size_t s = lo; s < hi; s++) {
-    active[s] = 0;
     pdmp3_handle *id = ids[s];
-    if (!id || id->fp.in.filled() < 2 * 576) continue;
-    if (pdmp3_parse_frame_soa(id, s, n_slots, ix, scf_l, scf_s, meta) ==
-        PDMP3_OK) {
-      active[s] = 1;
-      n_active++;
+    for (size_t f = 0; f < frames; f++) {
+      active[f * n_slots + s] = 0;
+      if (!id || id->fp.in.filled() < 2 * 576) continue;
+      if (pdmp3_parse_frame_soa(id, s, n_slots, ix + f * six,
+                                scf_l + f * sl, scf_s + f * ss,
+                                meta + f * sm) == PDMP3_OK) {
+        active[f * n_slots + s] = 1;
+        n_active++;
+      } else {
+        break;  // frames are sequential per stream
+      }
     }
   }
   return n_active;
@@ -152,17 +250,19 @@ static int parse_range(pdmp3_handle *const *ids, size_t lo, size_t hi,
 int pdmp3_parse_step(pdmp3_handle *const *ids, size_t n_slots, int16_t *ix,
                      uint8_t *scf_l, uint8_t *scf_s, int32_t *meta,
                      int32_t *active) {
-  return parse_range(ids, 0, n_slots, n_slots, ix, scf_l, scf_s, meta,
+  return parse_range(ids, 0, n_slots, n_slots, 1, ix, scf_l, scf_s, meta,
                      active);
 }
 
-int pdmp3_parse_step_mt(pdmp3_handle *const *ids, size_t n_slots,
-                        int n_threads, int16_t *ix, uint8_t *scf_l,
-                        uint8_t *scf_s, int32_t *meta, int32_t *active) {
+int pdmp3_parse_step_multi(pdmp3_handle *const *ids, size_t n_slots,
+                           int n_threads, size_t frames_per_step,
+                           int16_t *ix, uint8_t *scf_l, uint8_t *scf_s,
+                           int32_t *meta, int32_t *active) {
   if (n_threads <= 0)
     n_threads = (int)std::thread::hardware_concurrency();
   if (n_threads <= 1 || n_slots < 64)
-    return pdmp3_parse_step(ids, n_slots, ix, scf_l, scf_s, meta, active);
+    return parse_range(ids, 0, n_slots, n_slots, frames_per_step, ix,
+                       scf_l, scf_s, meta, active);
   // slots/handles are fully independent — embarrassingly parallel host
   // Huffman fan-out (SURVEY.md §7: the frontend must outrun the TPU)
   std::vector<std::thread> pool;
@@ -173,14 +273,22 @@ int pdmp3_parse_step_mt(pdmp3_handle *const *ids, size_t n_slots,
     size_t hi = lo + chunk < n_slots ? lo + chunk : n_slots;
     if (lo >= hi) break;
     pool.emplace_back([=, &counts] {
-      counts[(size_t)t] = parse_range(ids, lo, hi, n_slots, ix, scf_l,
-                                      scf_s, meta, active);
+      counts[(size_t)t] = parse_range(ids, lo, hi, n_slots,
+                                      frames_per_step, ix, scf_l, scf_s,
+                                      meta, active);
     });
   }
   int n_active = 0;
   for (auto &th : pool) th.join();
   for (int c : counts) n_active += c;
   return n_active;
+}
+
+int pdmp3_parse_step_mt(pdmp3_handle *const *ids, size_t n_slots,
+                        int n_threads, int16_t *ix, uint8_t *scf_l,
+                        uint8_t *scf_s, int32_t *meta, int32_t *active) {
+  return pdmp3_parse_step_multi(ids, n_slots, n_threads, 1, ix, scf_l,
+                                scf_s, meta, active);
 }
 
 // Convert_Frame_S16 (pdmp3.c:2307-2345)

@@ -193,52 +193,56 @@ def decode_frame_soa(ix2, scf_l2, scf_s2, meta2, active, state,
     return jnp.concatenate(outs, axis=1), state
 
 
-def soa_layout(B: int) -> dict:
-    """Byte offsets of the packed single-buffer wire format: one
-    host->device transfer per frame step (transfer *count*, not bytes,
-    dominates on high-latency interconnects)."""
+def soa_layout(B: int, F: int = 1) -> dict:
+    """Element offsets (int16 units) of the packed single-buffer wire
+    format covering F sequential frames per slot: ONE host->device
+    transfer per device dispatch (transfer *count*, not bytes, dominates
+    on high-latency interconnects).  Every section is int16 — including
+    scalefactors and meta words — so the device consumes the buffer by
+    pure slicing; byte recombination tiles catastrophically on TPU."""
     off = {}
     pos = 0
 
-    def sec(name, nbytes):
+    def sec(name, nelems):
         nonlocal pos
-        off[name] = (pos, nbytes)
-        pos += (nbytes + 3) & ~3  # 4-byte align
+        off[name] = (pos, nelems)
+        pos += (nelems + 1) & ~1  # keep 4-byte alignment
 
-    sec("ix", 2 * B * 2 * 576 * 2)
-    sec("scf_l", 2 * B * 2 * 22)
-    sec("scf_s", 2 * B * 2 * 39)
-    sec("meta", 2 * B * _META_WORDS * 4)
-    sec("active", B * 4)
+    sec("ix", F * 2 * B * 2 * 576)
+    sec("scf_l", F * 2 * B * 2 * 22)
+    sec("scf_s", F * 2 * B * 2 * 39)
+    sec("meta", F * 2 * B * _META_WORDS)
+    sec("active", F * B)
     off["total"] = pos
     return off
 
 
-@functools.partial(jax.jit, static_argnames=("B", "exact", "bug_compat"))
-def decode_frame_packed(buf, state, B: int, exact: bool = False,
-                        bug_compat: bool = True):
-    """decode_frame_soa over the packed single-buffer wire format
-    (buf: uint8 [soa_layout(B)['total']])."""
-    off = soa_layout(B)
+@functools.partial(jax.jit,
+                   static_argnames=("B", "F", "exact", "bug_compat"))
+def decode_frame_packed(buf, state, B: int, F: int = 1,
+                        exact: bool = False, bug_compat: bool = True):
+    """decode_frame_soa over the packed single-buffer wire format, F
+    frames per dispatch (buf: int16 [soa_layout(B, F)['total']]).
+    Returns (pcm i16 [B, F*1152, 2], new_state)."""
+    off = soa_layout(B, F)
 
-    def sect(name, dtype, shape):
+    def sect(name, shape):
         o, n = off[name]
-        raw = jax.lax.dynamic_slice_in_dim(buf, o, n)
-        if dtype == jnp.int16:
-            v = jax.lax.bitcast_convert_type(raw.reshape(-1, 2), jnp.int16)
-        elif dtype == jnp.int32:
-            v = jax.lax.bitcast_convert_type(raw.reshape(-1, 4), jnp.int32)
-        else:
-            v = raw
-        return v.reshape(shape)
+        return jax.lax.dynamic_slice_in_dim(buf, o, n).reshape(shape)
 
-    ix2 = sect("ix", jnp.int16, (2, B, 2, 576))
-    scf_l2 = sect("scf_l", jnp.uint8, (2, B, 2, 22))
-    scf_s2 = sect("scf_s", jnp.uint8, (2, B, 2, 39))
-    meta2 = sect("meta", jnp.int32, (2, B, _META_WORDS))
-    active = sect("active", jnp.int32, (B,))
-    return decode_frame_soa.__wrapped__(ix2, scf_l2, scf_s2, meta2, active,
-                                        state, exact, bug_compat)
+    ix = sect("ix", (F, 2, B, 2, 576))
+    scf_l = sect("scf_l", (F, 2, B, 2, 22))
+    scf_s = sect("scf_s", (F, 2, B, 2, 39))
+    meta = sect("meta", (F, 2, B, _META_WORDS)).astype(jnp.int32)
+    active = sect("active", (F, B)).astype(jnp.int32)
+    pcms = []
+    for f in range(F):
+        pcm, state = decode_frame_soa.__wrapped__(
+            ix[f], scf_l[f], scf_s[f], meta[f], active[f], state, exact,
+            bug_compat)
+        pcms.append(pcm)
+    out = pcms[0] if F == 1 else jnp.concatenate(pcms, axis=1)
+    return out, state
 
 
 class JaxDSP:

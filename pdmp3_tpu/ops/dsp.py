@@ -122,9 +122,6 @@ def _gather2(table: np.ndarray, idx: jnp.ndarray, lo_bits: int
                       precision=_HIGH, preferred_element_type=F32)
 
 
-_POW43_2D = None
-
-
 def _pow43(mag: jnp.ndarray, exact: bool) -> jnp.ndarray:
     """x^(4/3) for integer magnitudes 0..8206 (pdmp3.c:971-1018).
 

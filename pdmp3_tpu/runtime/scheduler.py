@@ -35,11 +35,13 @@ class StreamDecoder:
     """N-slot batched decoder over the native frontend + TPU backend."""
 
     def __init__(self, n_slots: int, exact: bool = False,
-                 bug_compat: bool = True, parse_threads: int = 1):
+                 bug_compat: bool = True, parse_threads: int = 1,
+                 frames_per_step: int = 1):
         self.n = n_slots
         self.exact = exact
         self.bug_compat = bug_compat
         self.parse_threads = parse_threads
+        self.F = frames_per_step
         self.handles = [NativePDMP3() for _ in range(n_slots)]
         for h in self.handles:
             h.open_feed()
@@ -47,11 +49,11 @@ class StreamDecoder:
         # frame step tensors live as views into ONE packed wire buffer:
         # the native parse writes in place and the device upload is a
         # single transfer (models.decoder.soa_layout)
-        lay = M.soa_layout(n_slots)
+        lay = M.soa_layout(n_slots, frames_per_step)
         # double-buffered wire: the device upload of step t is async, so
         # the host parses step t+1 into the other buffer (overlap without
         # racing the in-flight transfer)
-        self._wires = [np.zeros(lay["total"], np.uint8) for _ in range(2)]
+        self._wires = [np.zeros(lay["total"], np.int16) for _ in range(2)]
         self._cur = 0
         self._lay = lay
         self._bind_views()
@@ -61,20 +63,24 @@ class StreamDecoder:
         lay = self._lay
         self.wire = self._wires[self._cur]
 
-        def view(name, dtype, shape):
+        def view(name, shape):
             o, n = lay[name]
-            return self.wire[o:o + n].view(dtype).reshape(shape)
+            return self.wire[o:o + n].reshape(shape)
 
-        self.ix = view("ix", np.int16, (2, self.n, 2, 576))
-        self.scf_l = view("scf_l", np.uint8, (2, self.n, 2, 22))
-        self.scf_s = view("scf_s", np.uint8, (2, self.n, 2, 39))
-        self.meta = view("meta", np.int32, (2, self.n, _META))
-        self.active = view("active", np.int32, (self.n,))
+        F = self.F
+        self.ix = view("ix", (F * 2, self.n, 2, 576))
+        self.scf_l = view("scf_l", (F * 2, self.n, 2, 22))
+        self.scf_s = view("scf_s", (F * 2, self.n, 2, 39))
+        self.meta = view("meta", (F * 2, self.n, _META))
+        # [B] for the classic one-frame step, [F,B] for multi-frame
+        self.active = view("active",
+                           (self.n,) if F == 1 else (F, self.n))
 
     def _finish_init(self):
-        self._fn = lib().pdmp3_parse_step_mt
-        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int, C.c_void_p,
-                             C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
+        self._fn = lib().pdmp3_parse_step_wire16
+        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int, C.c_size_t,
+                             C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+                             C.c_void_p]
         self._handle_arr = (C.c_void_p * self.n)(
             *[h._h for h in self.handles])
 
@@ -90,6 +96,7 @@ class StreamDecoder:
         """Parse one frame per slot into the step tensors (one native call
         for the whole batch).  Returns the number of active slots."""
         return self._fn(self._handle_arr, self.n, self.parse_threads,
+                        self.F,
                         self.ix.ctypes.data_as(C.c_void_p),
                         self.scf_l.ctypes.data_as(C.c_void_p),
                         self.scf_s.ctypes.data_as(C.c_void_p),
@@ -100,7 +107,8 @@ class StreamDecoder:
 
     def decode_step(self, fetch: bool = True):
         """Decode the parsed frame (2 granule steps).  Returns interleaved
-        PCM int16 [B, 1152, 2] (zeros for inactive slots), or None if no
+        PCM int16 [B, frames_per_step*1152, 2] (zeros for inactive
+        slots/frames), or None if no
         slot was active.  fetch=False keeps the PCM on device (jax array) —
         the serving configuration, where a downstream consumer pulls PCM
         asynchronously."""
@@ -108,7 +116,7 @@ class StreamDecoder:
             return None
         import jax
         pcm, self.state = M.decode_frame_packed(
-            jax.device_put(self.wire), self.state, B=self.n,
+            jax.device_put(self.wire), self.state, B=self.n, F=self.F,
             exact=self.exact, bug_compat=self.bug_compat)
         # swap to the other wire buffer for the next parse (the upload of
         # this one may still be in flight); carry the just-decoded step's

@@ -92,3 +92,29 @@ def test_offline_scan_decode_equals_native(corpus):
         d = np.abs(a[:n].astype(np.int32) - b[:n].astype(np.int32))
         assert d.max() <= 1  # fast-precision path
         assert (d != 0).mean() < 0.01
+
+
+def test_multi_frame_step(corpus):
+    """frames_per_step>1: F frames decode per dispatch, equal to the
+    native per-file decode."""
+    dec = StreamDecoder(2, exact=True, frames_per_step=3)
+    dec.feed(0, corpus[0])
+    dec.feed(1, corpus[4])  # mono
+    out = [[], []]
+    for _ in range(4):
+        if dec.parse_step() == 0:
+            break
+        pcm = dec.decode_step()  # [B, 3*1152, 2]
+        for s in range(2):
+            for f in range(3):
+                if dec.active[f, s]:
+                    out[s].append(
+                        pcm[s, f * 1152:(f + 1) * 1152].tobytes())
+    for s, src in enumerate((corpus[0], corpus[4])):
+        want = native_decode_file(src)
+        got = b"".join(out[s])
+        if s == 1:  # mono: native emits 1ch, batch emits duplicated 2ch
+            a = np.frombuffer(got, "<i2").reshape(-1, 2)
+            assert (a[:, 0] == a[:, 1]).all()
+            got = a[:, 0].tobytes()
+        assert got[:len(want)] == want[:len(got)], f"stream {s}"
