@@ -262,12 +262,46 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
                      : is_pos < region_2_start ? si.table_select[gr][ch][1]
                                                : si.table_select[gr][ch][2]);
     int32_t x, y;
-    huff_pair(res, tnum, &x, &y);
     int lb = kHuffLinbits[tnum];
-    if (lb && x == 15) x += (int32_t)res.get_bits(lb);
-    if (x > 0 && res.get_bit()) x = -x;
-    if (lb && y == 15) y += (int32_t)res.get_bits(lb);
-    if (y > 0 && res.get_bit()) y = -y;
+    int maxlen = kHuffMaxlen[tnum];
+    if (lb == 0 && maxlen != 0) {
+      // fast path (no linbits): one 64-bit window covers the codeword
+      // (<=19 bits) and both sign bits — single load, single advance
+      uint64_t win = (res.window() << res.bit_idx);
+      uint32_t p9 = (uint32_t)(win >> (64 - PDMP3_HUFF_PRIMARY_BITS));
+      uint16_t e = kHuffPrimary[tnum][p9];
+      unsigned len, payload;
+      if (e & 0x8000u) {
+        int d2 = e & 0x7FFF;
+        int ext = kHuffEscExt[d2];
+        uint32_t b2 = (uint32_t)(
+            (win << PDMP3_HUFF_PRIMARY_BITS) >> (64 - ext));
+        uint16_t e2 = kHuffSecondary[kHuffEscOff[d2] + (int)b2];
+        len = e2 >> 8;
+        payload = e2 & 0xFF;
+      } else {
+        len = e >> 8;
+        payload = e & 0xFF;
+      }
+      x = (payload >> 4) & 0xF;
+      y = payload & 0xF;
+      unsigned adv = len;
+      if (x > 0) {
+        if ((win >> (63 - adv)) & 1) x = -x;
+        adv++;
+      }
+      if (y > 0) {
+        if ((win >> (63 - adv)) & 1) y = -y;
+        adv++;
+      }
+      res.advance(adv);
+    } else {
+      huff_pair(res, tnum, &x, &y);
+      if (lb && x == 15) x += (int32_t)res.get_bits(lb);
+      if (x > 0 && res.get_bit()) x = -x;
+      if (lb && y == 15) y += (int32_t)res.get_bits(lb);
+      if (y > 0 && res.get_bit()) y = -y;
+    }
     if (is_pos < 576) line[is_pos] = (int16_t)x;
     if (is_pos + 1 < 576) line[is_pos + 1] = (int16_t)y;
     is_pos += 2;
@@ -284,16 +318,22 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
       x = res.get_bit() ? -1 : 1;
       y = res.get_bit() ? -1 : 1;
     } else {
-      int32_t hx, q;
-      huff_pair(res, 32, &hx, &q);
+      // table A quads: codeword (<=6 bits) + up to 4 sign bits in one
+      // 64-bit window
+      uint64_t win = (res.window() << res.bit_idx);
+      uint32_t p9 = (uint32_t)(win >> (64 - PDMP3_HUFF_PRIMARY_BITS));
+      uint16_t e = kHuffPrimary[32][p9];
+      unsigned len = e >> 8, q = e & 0xF;
       v = (q >> 3) & 1;
       w = (q >> 2) & 1;
       x = (q >> 1) & 1;
       y = q & 1;
-      if (v && res.get_bit()) v = -v;
-      if (w && res.get_bit()) w = -w;
-      if (x && res.get_bit()) x = -x;
-      if (y && res.get_bit()) y = -y;
+      unsigned adv = len;
+      if (v) { if ((win >> (63 - adv)) & 1) v = -v; adv++; }
+      if (w) { if ((win >> (63 - adv)) & 1) w = -w; adv++; }
+      if (x) { if ((win >> (63 - adv)) & 1) x = -x; adv++; }
+      if (y) { if ((win >> (63 - adv)) & 1) y = -y; adv++; }
+      res.advance(adv);
     }
     line[is_pos++] = (int16_t)v;
     if (is_pos >= 576) break;
