@@ -116,6 +116,13 @@ class Frontend:
         self.header = Header()
         self.side = SideInfo()
         self.new_header = 0
+        # Scalefactor arrays persist across frames like the reference's
+        # g_main_data (pdmp3.c:96-101, never cleared by open_feed): stale
+        # entries are read back via scfsi copies and via the sfb21-slot
+        # alias below.  Zero-init matches the reference CLI's fresh
+        # (mmap-zeroed) first allocation.
+        self.scalefac_l = np.zeros((2, 2, 22), np.int32)
+        self.scalefac_s = np.zeros((2, 2, 13, 3), np.int32)
 
     # ---- input ring buffer (pdmp3.c:1062-1086, 2391-2423) ----
 
@@ -514,16 +521,34 @@ class Frontend:
         res = self._read_side_info()
         if res != T.OK:
             return T.ERR, None
-        scalefac_l = np.zeros((2, 2, 22), np.int32)
-        scalefac_s = np.zeros((2, 2, 13, 3), np.int32)
+        scalefac_l = self.scalefac_l
+        scalefac_s = self.scalefac_s
         ix = np.zeros((2, 2, 576), np.int32)
         res = self._read_main(scalefac_l, scalefac_s, ix)
         if res != T.OK:
             return res, None
+        # sfb21-region policy slot: the reference's requantizer reads
+        # scalefac_l[gr][ch][21] out of bounds when count1 exceeds band 21
+        # (pdmp3.c:1896-1902); by struct layout that aliases the NEXT
+        # granule-channel's scalefac 0 (and scalefac_s[0][0][0][0] for the
+        # last one), with pretab[21] == 0.0 in the reference binary.
+        flat = [scalefac_l[0][0], scalefac_l[0][1], scalefac_l[1][0],
+                scalefac_l[1][1]]
+        for k in range(3):
+            flat[k][21] = flat[k + 1][0]
+        scalefac_l[1][1][21] = scalefac_s[0][0][0][0]
+        # same aliasing for the short band-12 slot: scalefac_s[g][c][12][w]
+        # reads the next granule-channel's [0][w]; the last aliases float
+        # bits of is[0][0] (unbounded, left at policy 0 — see DESIGN.md §6)
+        flats = [scalefac_s[0][0], scalefac_s[0][1], scalefac_s[1][0]]
+        nxt = [scalefac_s[0][1], scalefac_s[1][0], scalefac_s[1][1]]
+        for k in range(3):
+            flats[k][12] = nxt[k][0]
         import copy
         side = copy.deepcopy(self.side)
         header = copy.deepcopy(self.header)
-        return T.OK, FrameData(header, side, scalefac_l, scalefac_s, ix)
+        return T.OK, FrameData(header, side, scalefac_l.copy(),
+                               scalefac_s.copy(), ix)
 
     def reset(self) -> None:
         """pdmp3_open_feed semantics (pdmp3.c:2369-2384)."""

@@ -169,23 +169,24 @@ int FrameParser::get_main_data(unsigned size, unsigned begin) {
 }
 
 void FrameParser::read_scalefactors(int gr, int ch, pdmp3_granules *g) {
+  (void)g;
   // incl. scfsi long-block sharing (pdmp3.c:1376-1435)
   int slen1 = kScalefacSizes[si.scalefac_compress[gr][ch]][0];
   int slen2 = kScalefacSizes[si.scalefac_compress[gr][ch]][1];
   if (si.win_switch[gr][ch] && si.block_type[gr][ch] == 2) {
     if (si.mixed[gr][ch]) {
       for (int b = 0; b < 8; b++)
-        g->scf_l[gr][ch][b] = (uint8_t)res.get_bits(slen1);
+        scf_l_state[gr][ch][b] = (uint8_t)res.get_bits(slen1);
       for (int b = 3; b < 12; b++) {
         int nb = b < 6 ? slen1 : slen2;
         for (int w = 0; w < 3; w++)
-          g->scf_s[gr][ch][b][w] = (uint8_t)res.get_bits(nb);
+          scf_s_state[gr][ch][b][w] = (uint8_t)res.get_bits(nb);
       }
     } else {
       for (int b = 0; b < 12; b++) {
         int nb = b < 6 ? slen1 : slen2;
         for (int w = 0; w < 3; w++)
-          g->scf_s[gr][ch][b][w] = (uint8_t)res.get_bits(nb);
+          scf_s_state[gr][ch][b][w] = (uint8_t)res.get_bits(nb);
       }
     }
   } else {
@@ -196,10 +197,10 @@ void FrameParser::read_scalefactors(int gr, int ch, pdmp3_granules *g) {
       int sl = grp[gi][2] ? slen2 : slen1;
       if (si.scfsi[ch][gi] == 0 || gr == 0) {
         for (int b = lo; b < hi; b++)
-          g->scf_l[gr][ch][b] = (uint8_t)res.get_bits(sl);
+          scf_l_state[gr][ch][b] = (uint8_t)res.get_bits(sl);
       } else if (si.scfsi[ch][gi] == 1 && gr == 1) {
         for (int b = lo; b < hi; b++)
-          g->scf_l[1][ch][b] = g->scf_l[0][ch][b];
+          scf_l_state[1][ch][b] = scf_l_state[0][ch][b];
       }
     }
   }
@@ -365,6 +366,21 @@ int FrameParser::read_main(pdmp3_granules *g) {
       read_huffman(part_2_start, gr, ch, g);
     }
   }
+  // sfb21 alias slots (pdmp3.c:1896-1902 OOB read emulation): by struct
+  // layout scalefac_l[gr][ch][21] aliases the next granule-channel's
+  // scalefac 0; the last aliases scalefac_s[0][0][0][0]; pretab[21] is
+  // 0.0 in the reference binary's rodata
+  scf_l_state[0][0][21] = scf_l_state[0][1][0];
+  scf_l_state[0][1][21] = scf_l_state[1][0][0];
+  scf_l_state[1][0][21] = scf_l_state[1][1][0];
+  scf_l_state[1][1][21] = scf_s_state[0][0][0][0];
+  for (int w = 0; w < 3; w++) {  // short band-12 slot, same aliasing
+    scf_s_state[0][0][12][w] = scf_s_state[0][1][0][w];
+    scf_s_state[0][1][12][w] = scf_s_state[1][0][0][w];
+    scf_s_state[1][0][12][w] = scf_s_state[1][1][0][w];
+  }
+  std::memcpy(g->scf_l, scf_l_state, sizeof scf_l_state);
+  std::memcpy(g->scf_s, scf_s_state, sizeof scf_s_state);
   return PDMP3_OK;
 }
 

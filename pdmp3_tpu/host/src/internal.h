@@ -196,6 +196,10 @@ struct FrameParser {
   FrameHeader hdr;
   SideInfo si;
   int new_header = 0;
+  // scalefactors persist across frames like the reference's g_main_data
+  // (stale entries feed scfsi copies and the sfb21 alias slot)
+  uint8_t scf_l_state[2][2][22] = {};
+  uint8_t scf_s_state[2][2][13][3] = {};
 
   void reset();                 // pdmp3_open_feed semantics
   int read_header();            // sync scan + field checks

@@ -261,3 +261,18 @@ def test_count1_table_b_spec_mode():
                 np.testing.assert_array_equal(
                     fd.ix[gr][ch][:n], g.values[:n],
                     err_msg=f"frame {t} gr {gr} ch {ch}")
+
+
+def test_starved_big_frames_320k_32k():
+    """320 kbps @ 32 kHz frames (1440 B) exceed the reference's 1152-byte
+    read gate, so the CLI feed pattern starves mid-frame reads; the
+    garbage tail can push count1 past band 21/12, taking the reference
+    through its struct-aliased OOB scalefactor reads — emulated via
+    persistent scalefactor state + alias slots (docs/DESIGN.md §6)."""
+    for seed, blocks, mode, ext in ((60188, "long", 2, 0),
+                                    (60307, "varied", 1, 2)):
+        stream = mp3gen.make_stream(n_frames=8, seed=seed, sfreq=2,
+                                    bitrate_index=14, mode=mode,
+                                    mode_extension=ext, blocks=blocks,
+                                    use_reservoir=True, amp=20)
+        assert_bit_exact(stream)
