@@ -544,6 +544,10 @@ class Frontend:
         nxt = [scalefac_s[0][1], scalefac_s[1][0], scalefac_s[1][1]]
         for k in range(3):
             flats[k][12] = nxt[k][0]
+        # the last granule-channel's band-12 slot aliases float BITS of
+        # is[0][0] — a huge unsigned scalefactor whose gain underflows to
+        # +0.0; sentinel 63 maps to the zeroed gain-table region
+        scalefac_s[1][1][12][:] = 63
         import copy
         side = copy.deepcopy(self.side)
         header = copy.deepcopy(self.header)

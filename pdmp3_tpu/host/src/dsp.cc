@@ -25,7 +25,7 @@ inline float pow43_signed(int v) {
 }
 
 void requantize(const pdmp3_granules &g, int gr, int ch, int lay,
-                float x[576]) {
+                float x[576], const float *prev_gr0_ch0) {
   // pdmp3.c:1829-1905, 2117-2152 — all 576 lines (zeros stay +0.0)
   const LayoutMaps &m = layout_maps();
   int qpu = g.scalefac_scale[gr][ch] ? 4 : 2;
@@ -36,8 +36,16 @@ void requantize(const pdmp3_granules &g, int gr, int ch, int lay,
     float t1, t2;
     if (m.is_short[lay][i]) {
       int w = m.win[lay][i];
-      int scf = g.scf_s[gr][ch][sfb > 12 ? 12 : sfb][w];
-      t1 = kGainQuarter[qpu * scf];
+      uint32_t scf = g.scf_s[gr][ch][sfb > 12 ? 12 : sfb][w];
+      if (sfb >= 12 && gr == 1 && ch == 1 && prev_gr0_ch0) {
+        // reference OOB: scalefac_s[1][1][12][w] reads the float BITS of
+        // is[0][0][w] post-DSP as an unsigned scalefactor (DESIGN.md §6)
+        std::memcpy(&scf, &prev_gr0_ch0[w], 4);
+      }
+      uint64_t qq = (uint64_t)qpu * scf;  // quarter-steps (scf may be
+                                          // a full 32-bit bit pattern)
+      t1 = qq < 100 ? kGainQuarter[qq]
+                    : (float)std::pow(2.0, -0.25 * (double)qq);
       t2 = kGainGlobal[gg - 210 - 8 * g.subblock_gain[gr][ch][w] +
                        kGainGlobalOff];
     } else {
@@ -148,11 +156,12 @@ void imdct_win(const float in[18], float out[36], int bt) {
 
 void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576]) {
   int nch = g.nch;
+  float prev_gr0_ch0[3] = {0, 0, 0};
   for (int gr = 0; gr < 2; gr++) {
     float x[2][576] = {};
     for (int ch = 0; ch < nch; ch++) {
       int lay = g.layout[gr][ch];
-      requantize(g, gr, ch, lay, x[ch]);
+      requantize(g, gr, ch, lay, x[ch], gr == 1 ? prev_gr0_ch0 : nullptr);
       if (g.win_switch[gr][ch] && g.block_type[gr][ch] == 2)
         reorder(lay, x[ch]);
     }
@@ -209,6 +218,7 @@ void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576]) {
         }
       }
     }
+    for (int k = 0; k < 3; k++) prev_gr0_ch0[k] = x[0][k];
   }
 }
 

@@ -378,6 +378,9 @@ int FrameParser::read_main(pdmp3_granules *g) {
     scf_s_state[0][0][12][w] = scf_s_state[0][1][0][w];
     scf_s_state[0][1][12][w] = scf_s_state[1][0][0][w];
     scf_s_state[1][0][12][w] = scf_s_state[1][1][0][w];
+    // last granule-channel aliases float bits of is[0][0]: gain
+    // underflows to +0.0 — sentinel 63 hits the zeroed gain-table region
+    scf_s_state[1][1][12][w] = 63;
   }
   std::memcpy(g->scf_l, scf_l_state, sizeof scf_l_state);
   std::memcpy(g->scf_s, scf_s_state, sizeof scf_s_state);

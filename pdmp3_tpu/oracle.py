@@ -23,7 +23,8 @@ from .frontend import FrameData
 F32 = np.float32
 
 
-def _requantize(fd: FrameData, gr: int, ch: int) -> np.ndarray:
+def _requantize(fd: FrameData, gr: int, ch: int,
+                prev_gr0_ch0: np.ndarray | None = None) -> np.ndarray:
     """pdmp3.c:1829-1905, 2117-2152. Returns float32[576].
 
     Requantizes all 576 lines unconditionally: lines at/above count1 are
@@ -60,11 +61,25 @@ def _requantize(fd: FrameData, gr: int, ch: int) -> np.ndarray:
     # short lines (clamp sfb: long layouts carry band ids up to 21 but the
     # short gather is masked out by `short == 0` there)
     sfb_s = np.minimum(sfb, 12)
-    q_short = quarters_per_unit * scf_s[sfb_s, win]
+    scf_s_eff = scf_s.astype(np.int64)
+    if gr == 1 and ch == 1 and prev_gr0_ch0 is not None:
+        # reference OOB: scalefac_s[1][1][12][w] reads the float BITS of
+        # is[0][0][w] (granule 0 channel 0, post-DSP) as an unsigned
+        # scalefactor (docs/DESIGN.md §6)
+        bits = prev_gr0_ch0[:3].view(np.uint32).astype(np.int64)
+        scf_s_eff[12] = bits
+    q_short = quarters_per_unit * scf_s_eff[sfb_s, win]
     sbg = s.subblock_gain[gr][ch]  # [3]
     e_short = int(s.global_gain[gr][ch]) - 210 - 8 * sbg[win]
     tmp2_short = T.GAIN_GLOBAL[e_short + T.GAIN_GLOBAL_OFF]
-    tmp1_short = T.GAIN_QUARTER_DOWN[q_short]
+    # gains for the (possibly huge) bit-pattern scalefactors: exact
+    # double pow(2, -q/4) rounded to f32 (underflows to +0.0 like the
+    # reference's libm call)
+    tmp1_short = np.where(
+        q_short < 100,
+        T.GAIN_QUARTER_DOWN[np.minimum(q_short, 99)],
+        np.power(2.0, -0.25 * np.minimum(q_short, 6000).astype(np.float64))
+        .astype(F32))
 
     tmp1 = np.where(short == 1, tmp1_short, tmp1_long).astype(F32)
     tmp2 = np.where(short == 1, tmp2_short,
@@ -220,10 +235,11 @@ class OracleDSP:
         """Full Decode_L3 (pdmp3.c:1024-1060) -> packed PCM uint32[2,576]."""
         nch = fd.header.nch
         out = np.zeros((2, 576), np.uint32)
+        prev = None
         for gr in range(2):
             x = np.zeros((2, 576), F32)
             for ch in range(nch):
-                xr = _requantize(fd, gr, ch)
+                xr = _requantize(fd, gr, ch, prev_gr0_ch0=prev)
                 x[ch] = _reorder(fd, gr, ch, xr)
             _stereo(fd, gr, x, self.bug_compat)
             for ch in range(nch):
@@ -231,6 +247,7 @@ class OracleDSP:
                 self._hybrid_synthesis(fd, gr, ch, x[ch])
                 self._freq_inversion(x[ch])
                 self._subband_synthesis(fd, gr, ch, x[ch], out[gr])
+            prev = x[0].copy()  # is[0][0] as gr1's requantizer sees it
         return out
 
     def _hybrid_synthesis(self, fd: FrameData, gr: int, ch: int,

@@ -118,44 +118,58 @@ def test_vbr_with_reservoir():
 
 
 def _first_oob_frame(stream: bytes) -> int | None:
-    """Frame index (in decode order) of the first granule whose count1
-    exceeds the last transmitted scalefactor band (long band 21 / short
-    band 12) — the point where the reference decoder reads out of bounds
-    (pdmp3.c:1896-1902 with 21-entry scalefac arrays) and bit-parity is
-    no longer defined.  None if the stream never hits it."""
+    """PCM byte offset at which bit-parity with the reference stops being
+    defined: the start of the first decoded frame where any granule's
+    spectrum extent escapes the defined region — count1/big_values past
+    576 lines (the reference overflows is[] and corrupts its own handle,
+    pdmp3.c:2078-2088).  The in-bounds scalefactor OOB aliasing (count1
+    past band 21/12 but <= 576) is emulated exactly and needs no carve-
+    out.  Instruments the exact decode_file feed/read loop: in starved
+    regimes the parse results depend on feed boundaries.  None if the
+    stream never hits it."""
     from pdmp3_tpu.api import PDMP3
     from pdmp3_tpu import tables as TT
-    h = PDMP3()
+
+    oob_at = None
+
+    class Spy(PDMP3):
+        def read(self, outsize):
+            nonlocal oob_at
+            orig = self.fe.read_frame
+
+            def spy():
+                nonlocal oob_at
+                res, fd = orig()
+                if res == TT.OK and oob_at is None:
+                    s = fd.side
+                    for gr in range(2):
+                        for ch in range(fd.header.nch):
+                            if (int(s.count1[gr][ch]) > 576
+                                    or int(s.big_values[gr][ch]) * 2 > 576):
+                                oob_at = self._pcm_bytes
+                    self._pcm_bytes += 1152 * 2 * fd.header.nch
+                return res, fd
+
+            self.fe.read_frame = spy
+            try:
+                return super().read(outsize)
+            finally:
+                self.fe.read_frame = orig
+
+    h = Spy()
+    h._pcm_bytes = 0
     h.open_feed()
     pos = 0
-    t = 0
     while True:
-        pos0 = h.fe.processed
-        mark0 = h.fe.istart
-        res, fd = h.fe.read_frame()
-        if res == TT.OK:
-            s = fd.side
-            sf = fd.header.sampling_frequency
-            for gr in range(2):
-                for ch in range(fd.header.nch):
-                    short = (s.win_switch_flag[gr][ch]
-                             and s.block_type[gr][ch] == 2)
-                    limit = (3 * int(TT.SFB_SHORT[sf][12]) if short
-                             else int(TT.SFB_LONG[sf][21]))
-                    if int(s.count1[gr][ch]) > limit:
-                        return t
-            t += 1
-            continue
-        h.fe.processed = pos0
-        h.fe.istart = mark0
-        if pos >= len(stream):
-            return None
-        free = h.fe.inbuf_free()
-        n = min(free, 4096, len(stream) - pos)
-        if n == 0:
-            return None
-        h.feed(stream[pos:pos + n])
-        pos += n
+        res, _ = h.read(TT.INBUF_SIZE)
+        if res == TT.ERR or oob_at is not None:
+            break
+        if res == TT.NEED_MORE:
+            if pos >= len(stream):
+                break
+            h.feed(stream[pos:pos + 4096])
+            pos += 4096
+    return oob_at
 
 
 def test_midstream_corruption_resync():
@@ -181,8 +195,7 @@ def test_midstream_corruption_resync():
     if oob is None:
         assert mine == ref
     else:
-        n = oob * 2304 * 2  # stereo frames before the OOB frame
-        assert mine[:n] == ref[:n]
+        assert mine[:oob] == ref[:oob]
 
 
 def test_truncated_stream():

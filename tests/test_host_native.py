@@ -164,5 +164,5 @@ def test_native_vbr_and_corruption():
     from tests.test_golden_oracle import _first_oob_frame
     oob = _first_oob_frame(broken)
     ref = reference_decode(broken)
-    n = len(ref) if oob is None else oob * 2304 * 2
+    n = len(ref) if oob is None else oob
     assert nat[:n] == ref[:n]

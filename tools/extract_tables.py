@@ -209,6 +209,11 @@ def computed_tables() -> dict:
     # pow(2, 0.25*(g-210-8*sbg)) for g-210-8*sbg in [-266, 45].
     quarter_down = np.array([math.pow(2.0, -0.25 * q) for q in range(256)],
                             np.float32)
+    # Valid streams never exceed q = 4*(15+3) = 72; entries past 100 are
+    # repurposed as exact +0.0 so the frontends can mark the reference's
+    # "scalefactor read from float bits" OOB case (a huge unsigned whose
+    # pow(2,-huge) underflows to +0.0) with a sentinel scalefactor of 63.
+    quarter_down[100:] = 0.0
     gg_exp = np.arange(-266, 46)
     gain_global = np.array([math.pow(2.0, 0.25 * float(e)) for e in gg_exp],
                            np.float32)
