@@ -33,9 +33,6 @@ def _random_config(rng: random.Random) -> dict:
         if ext & 1:
             cfg["intensity_pos"] = True
             cfg["stereo_extent_ch1"] = rng.uniform(0.2, 0.8)
-            # short-block intensity hits the reference's UB transcription
-            # bug path only for long blocks we keep parity
-            cfg["blocks"] = "long"
     return cfg
 
 
