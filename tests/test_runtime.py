@@ -118,3 +118,10 @@ def test_multi_frame_step(corpus):
             assert (a[:, 0] == a[:, 1]).all()
             got = a[:, 0].tobytes()
         assert got[:len(want)] == want[:len(got)], f"stream {s}"
+
+
+def test_batched_files_grouped_slots(corpus):
+    """n_slots < len(files): round-robin grouping must still match."""
+    got = decode_files_batched(corpus, n_slots=2, exact=True)
+    for i, data in enumerate(corpus):
+        assert got[i] == native_decode_file(data), f"file {i}"
