@@ -30,6 +30,7 @@ class ShardedStreamDecoder(StreamDecoder):
                  bug_compat: bool = True, parse_threads: int = 0):
         super().__init__(n_slots, exact=exact, bug_compat=bug_compat,
                          parse_threads=parse_threads)
+        assert self.F == 1, "sharded serving uses one frame per step"
         self.mesh = mesh if mesh is not None else make_mesh()
         assert n_slots % self.mesh.size == 0, (n_slots, self.mesh.size)
         shard = lambda x: jax.device_put(
