@@ -17,6 +17,20 @@ namespace {
 
 constexpr double kInvSqrt2 = 0.70710678118654752440;
 
+// Transposed matrixing window so the 64-output loop reads columns
+// contiguously (function-local static: safe vs cross-TU init order).
+struct NwinT {
+  float t[32][64];
+  NwinT() {
+    for (int i = 0; i < 64; i++)
+      for (int j = 0; j < 32; j++) t[j][i] = kSynthNwin[i][j];
+  }
+};
+inline const float (*nwin_t())[64] {
+  static const NwinT nt;
+  return nt.t;
+}
+
 inline float pow43_signed(int v) {
   int a = v < 0 ? -v : v;
   if (a > 8206) a = 8206;
@@ -133,22 +147,32 @@ void antialias(const pdmp3_granules &g, int gr, int ch, float x[576]) {
 }
 
 void imdct_win(const float in[18], float out[36], int bt) {
-  // pdmp3.c:1649-1700 (sequential-m accumulation order)
+  // pdmp3.c:1649-1700.  The loops run output-outer in the reference; here
+  // they run reduction-outer with per-output accumulators so the output
+  // axis vectorizes — each output still adds its terms in the same mm
+  // order with the same operands, so every sum is bit-identical.
   for (int i = 0; i < 36; i++) out[i] = 0.0f;
   if (bt == 2) {
     for (int i3 = 0; i3 < 3; i3++) {
-      for (int p = 0; p < 12; p++) {
-        float sum = 0.0f;
-        for (int mm = 0; mm < 6; mm++) sum += in[i3 + 3 * mm] * kCosN12[mm][p];
-        out[6 * i3 + p + 6] += sum * kImdctWin[2][p];
+      float sums[12];
+      for (int p = 0; p < 12; p++) sums[p] = 0.0f;
+      for (int mm = 0; mm < 6; mm++) {
+        float s = in[i3 + 3 * mm];
+        const float *row = kCosN12[mm];
+        for (int p = 0; p < 12; p++) sums[p] += s * row[p];
       }
+      for (int p = 0; p < 12; p++)
+        out[6 * i3 + p + 6] += sums[p] * kImdctWin[2][p];
     }
   } else {
-    for (int p = 0; p < 36; p++) {
-      float sum = 0.0f;
-      for (int mm = 0; mm < 18; mm++) sum += in[mm] * kCosN36[mm][p];
-      out[p] = sum * kImdctWin[bt][p];
+    float sums[36];
+    for (int p = 0; p < 36; p++) sums[p] = 0.0f;
+    for (int mm = 0; mm < 18; mm++) {
+      float s = in[mm];
+      const float *row = kCosN36[mm];
+      for (int p = 0; p < 36; p++) sums[p] += s * row[p];
     }
+    for (int p = 0; p < 36; p++) out[p] = sums[p] * kImdctWin[bt][p];
   }
 }
 
@@ -183,27 +207,38 @@ void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576]) {
       // frequency inversion (pdmp3.c:1738-1746)
       for (int sb = 1; sb < 32; sb += 2)
         for (int i = 1; i < 18; i += 2) x[ch][sb * 18 + i] = -x[ch][sb * 18 + i];
-      // polyphase synthesis (pdmp3.c:1978-2045)
-      float *vv = v[ch];
+      // polyphase synthesis (pdmp3.c:1978-2045).  The reference shifts a
+      // 1024-float buffer down by 64 every matrixing and gathers a 512-tap
+      // window; we keep the FIFO as a ring of 16 blocks and accumulate the
+      // D-window directly from the ring.  Per output sample i the 16 FIR
+      // terms are added in the same j=0..15 order with identical float
+      // operands, so the PCM is bit-identical.
+      float(*vb)[64] = v[ch];
+      int &vh = vhead[ch];
       for (int ss = 0; ss < 18; ss++) {
-        std::memmove(vv + 64, vv, (1024 - 64) * sizeof(float));
+        vh = (vh + 15) & 15;  // ring-decrement: new block becomes age 0
         float s_vec[32];
         for (int i = 0; i < 32; i++) s_vec[i] = x[ch][i * 18 + ss];
-        for (int i = 0; i < 64; i++) {
-          float sum = 0.0f;
-          for (int j = 0; j < 32; j++) sum += kSynthNwin[i][j] * s_vec[j];
-          vv[i] = sum;
+        // matrixing, reduction-outer (same j order per output → bit-exact)
+        float *nb = vb[vh];
+        const float(*nt)[64] = nwin_t();
+        for (int i = 0; i < 64; i++) nb[i] = 0.0f;
+        for (int j = 0; j < 32; j++) {
+          float sj = s_vec[j];
+          const float *col = nt[j];
+          for (int i = 0; i < 64; i++) nb[i] += col[i] * sj;
         }
-        float u[512];
-        for (int i = 0; i < 8; i++)
-          for (int j = 0; j < 32; j++) {
-            u[(i << 6) + j] = vv[(i << 7) + j];
-            u[(i << 6) + j + 32] = vv[(i << 7) + j + 96];
-          }
-        for (int i = 0; i < 512; i++) u[i] = u[i] * kSynthD[i];
+        // FIR term j reads the block of age j: even j at offsets [0,32),
+        // odd j at [32,64) (the reference's u[] gather, pdmp3.c:2005-2012)
+        float sums[32];
+        for (int i = 0; i < 32; i++) sums[i] = 0.0f;
+        for (int j = 0; j < 16; j++) {
+          const float *bj = vb[(vh + j) & 15] + ((j & 1) << 5);
+          const float *dj = kSynthD + (j << 5);
+          for (int i = 0; i < 32; i++) sums[i] += bj[i] * dj[i];
+        }
         for (int i = 0; i < 32; i++) {
-          float sum = 0.0f;
-          for (int j = 0; j < 16; j++) sum += u[(j << 5) + i];
+          float sum = sums[i];
           int32_t samp = (int32_t)((double)sum * 32767.0);
           if (samp > 32767) samp = 32767;
           else if (samp < -32767) samp = -32767;

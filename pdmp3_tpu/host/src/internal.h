@@ -216,10 +216,15 @@ struct FrameParser {
 // ---- scalar bit-exact DSP (cf. oracle.py; pdmp3.c:1649-2045) ----
 struct ScalarDsp {
   float store[2][32][18] = {};
-  float v[2][1024] = {};
+  // Polyphase FIFO as a ring of 16 64-float matrixing blocks (newest at
+  // vhead) instead of the reference's shift-down-by-64 buffer
+  // (pdmp3.c:1983-1998) — same values, no 3.8KB memmove per matrixing.
+  float v[2][16][64] = {};
+  int vhead[2] = {0, 0};
   void reset() {
     std::memset(store, 0, sizeof store);
     std::memset(v, 0, sizeof v);
+    vhead[0] = vhead[1] = 0;
   }
   void decode_frame(const pdmp3_granules &g, uint32_t out[2][576]);
 };
