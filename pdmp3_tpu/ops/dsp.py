@@ -439,7 +439,12 @@ def quantize_pack(sums, nch, exact: bool = True):
         scaled = sums.astype(jnp.float64) * 32767.0
     else:
         scaled = sums * F32(32767.0)
-    samp = jnp.clip(jnp.trunc(scaled), -32767.0, 32767.0).astype(jnp.int32)
+    # (int32_t)(sum*32767.0) (pdmp3.c:2028) has cvttsd2si semantics: NaN or
+    # out-of-int32-range -> INT32_MIN, which the clip maps to -32767.
+    t = jnp.trunc(scaled)
+    oob = jnp.isnan(scaled) | (t < -2147483648.0) | (t > 2147483647.0)
+    samp = jnp.where(oob, scaled.dtype.type(-32767.0),
+                     jnp.clip(t, -32767.0, 32767.0)).astype(jnp.int32)
     pcm = samp.reshape(B, 2, 576).transpose(0, 2, 1)   # [B,576,ch]
     left = pcm[..., 0]
     right = jnp.where((nch == 1)[:, None], left, pcm[..., 1])

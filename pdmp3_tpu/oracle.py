@@ -290,7 +290,13 @@ class OracleDSP:
             acc = np.zeros(32, F32)
             for j in range(16):
                 acc = acc + u[j]
-            samp = np.trunc(acc.astype(np.float64) * 32767.0).astype(np.int64)
+            # (int32_t)(sum*32767.0) (pdmp3.c:2028): cvttsd2si semantics —
+            # NaN or out-of-int32-range converts to INT32_MIN, which the
+            # clip then maps to -32767 (full-scale overdrive wraps negative)
+            t = np.trunc(acc.astype(np.float64) * 32767.0)
+            with np.errstate(invalid="ignore"):
+                oob = ~((t >= -2147483648.0) & (t <= 2147483647.0))
+            samp = np.where(oob, -2147483648.0, t).astype(np.int64)
             samp = np.clip(samp, -32767, 32767).astype(np.int64) & 0xFFFF
             samp = samp.astype(np.uint32)
             o = slice(32 * ss, 32 * ss + 32)

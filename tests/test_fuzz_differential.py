@@ -1,6 +1,16 @@
 """Randomized differential fuzzing: many random format combinations, every
 stream decoded by the reference binary, the native C++ decoder, and the
-NumPy oracle — all three must agree bit-for-bit."""
+NumPy oracle — all three must agree bit-for-bit.
+
+Valid streams can drive the reference into its is[]-overflow regime: the
+4096-byte feed chunking starves a frame mid-main-data, Get_Bytes leaves a
+stale reservoir tail ((void) cast, pdmp3.c:1105/1116), and the resync then
+parses Huffman bytes as a header whose big_values overflow is[] and corrupt
+the reference's own handle (the packaged .so build of the reference
+segfaults on such streams).  Past that point the reference's output is
+undefined, so the contract weakens to: bit-exact prefix up to the first
+OOB frame (detected by the instrumented replica in test_golden_oracle),
+memory safety on our side."""
 import random
 
 import pytest
@@ -9,6 +19,8 @@ from pdmp3_tpu import decode_file
 from pdmp3_tpu.host import native_decode_file
 from pdmp3_tpu.testing import mp3gen
 from pdmp3_tpu.testing.golden import reference_decode
+
+from test_golden_oracle import _first_oob_frame
 
 
 def _random_config(rng: random.Random) -> dict:
@@ -45,5 +57,44 @@ def test_fuzz_three_way_bit_exact(seed):
     except (AssertionError, RuntimeError):
         pytest.skip(f"generator infeasible for {cfg}")
     ref = reference_decode(stream)
-    assert native_decode_file(stream) == ref, cfg
-    assert decode_file(stream) == ref, cfg
+    nat = native_decode_file(stream)
+    orc = decode_file(stream)
+    if nat == ref and orc == ref:
+        return
+    # reference entered its UB regime; require bit-exact prefix up to it
+    oob = _first_oob_frame(stream)
+    assert oob is not None, ("strict mismatch outside the OOB regime", cfg)
+    n = min(oob, len(ref))
+    assert nat[:n] == ref[:n], ("native prefix mismatch", cfg)
+    assert orc[:n] == ref[:n], ("oracle prefix mismatch", cfg)
+
+
+# Regression seeds found by long-soak fuzzing (the soak uses base 200000 for
+# the config RNG and 201000 for the stream seed).
+_SOAK_SEEDS = [
+    # 311/566: overdriven intensity-stereo samples where sum*32767 escapes
+    # int32 — the reference's (int32_t)(double) is cvttsd2si: the result
+    # wraps to INT32_MIN and clips to -32767 (pdmp3.c:2028-2030)
+    311, 566,
+    # 743: 320kbps@32kHz + reservoir starves frame 2 mid-main-data; the
+    # reference decodes it with a stale reservoir tail and then corrupts
+    # its handle on resync (prefix contract)
+    743,
+]
+
+
+@pytest.mark.parametrize("seed", _SOAK_SEEDS)
+def test_soak_regressions(seed):
+    rng = random.Random(200000 + seed)
+    cfg = _random_config(rng)
+    stream = mp3gen.make_stream(seed=201000 + seed, **cfg)
+    ref = reference_decode(stream)
+    nat = native_decode_file(stream)
+    orc = decode_file(stream)
+    if nat == ref and orc == ref:
+        return
+    oob = _first_oob_frame(stream)
+    assert oob is not None, ("strict mismatch outside the OOB regime", cfg)
+    n = min(oob, len(ref))
+    assert nat[:n] == ref[:n], ("native prefix mismatch", cfg)
+    assert orc[:n] == ref[:n], ("oracle prefix mismatch", cfg)
