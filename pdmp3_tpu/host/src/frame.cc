@@ -149,11 +149,8 @@ int FrameParser::get_main_data(unsigned size, unsigned begin) {
   // bit-reservoir assembly with underflow skip (pdmp3.c:1096-1122);
   // Get_Bytes parity: stop storing at EOF, leaving stale tail bytes
   auto fill = [&](unsigned off, unsigned n) {
-    for (unsigned i = 0; i < n; i++) {
-      uint32_t v = in.get_byte();
-      if (v == kEof) return;  // Get_Bytes parity: stale tail kept
-      res.bytes[off + i] = (uint8_t)v;
-    }
+    // bulk ring copy; short reads leave the stale tail (Get_Bytes parity)
+    in.get_bytes(res.bytes + off, n);
   };
   if (begin > res.top) {
     fill(res.top, size);
@@ -257,55 +254,73 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
         kSfbLong[sf][si.region0_count[gr][ch] + si.region1_count[gr][ch] + 2];
   }
   int big = (int)si.big_values[gr][ch] * 2;
+  // The table only changes at the two region boundaries: decode each
+  // region as one run with the table pointers hoisted out of the loop
+  // (read_huffman dominates parse time; this removes two compares and
+  // three table derefs per pair).
+  int ends[3], tnums[3];
+  {
+    int e0 = region_1_start < 0 ? 0 : region_1_start;
+    if (e0 > big) e0 = big;
+    int e1 = region_2_start < e0 ? e0 : region_2_start;
+    if (e1 > big) e1 = big;
+    ends[0] = e0; ends[1] = e1; ends[2] = big;
+    for (int r = 0; r < 3; r++) tnums[r] = (int)si.table_select[gr][ch][r];
+  }
+  bool guarded = big > 576;  // only corrupt streams; keep stores checked
   int is_pos = 0;
-  while (is_pos < big) {
-    int tnum = (int)(is_pos < region_1_start ? si.table_select[gr][ch][0]
-                     : is_pos < region_2_start ? si.table_select[gr][ch][1]
-                                               : si.table_select[gr][ch][2]);
-    int32_t x, y;
+  for (int r = 0; r < 3; r++) {
+    int end = ends[r], tnum = tnums[r];
     int lb = kHuffLinbits[tnum];
     int maxlen = kHuffMaxlen[tnum];
-    if (lb == 0 && maxlen != 0) {
+    if (lb == 0 && maxlen != 0 && !guarded) {
       // fast path (no linbits): one 64-bit window covers the codeword
       // (<=19 bits) and both sign bits — single load, single advance
-      uint64_t win = (res.window() << res.bit_idx);
-      uint32_t p9 = (uint32_t)(win >> (64 - PDMP3_HUFF_PRIMARY_BITS));
-      uint16_t e = kHuffPrimary[tnum][p9];
-      unsigned len, payload;
-      if (e & 0x8000u) {
-        int d2 = e & 0x7FFF;
-        int ext = kHuffEscExt[d2];
-        uint32_t b2 = (uint32_t)(
-            (win << PDMP3_HUFF_PRIMARY_BITS) >> (64 - ext));
-        uint16_t e2 = kHuffSecondary[kHuffEscOff[d2] + (int)b2];
-        len = e2 >> 8;
-        payload = e2 & 0xFF;
-      } else {
-        len = e >> 8;
-        payload = e & 0xFF;
+      const uint16_t *prim = kHuffPrimary[tnum];
+      for (; is_pos < end; is_pos += 2) {
+        uint64_t win = (res.window() << res.bit_idx);
+        uint32_t p9 = (uint32_t)(win >> (64 - PDMP3_HUFF_PRIMARY_BITS));
+        uint16_t e = prim[p9];
+        unsigned len, payload;
+        if (e & 0x8000u) {
+          int d2 = e & 0x7FFF;
+          int ext = kHuffEscExt[d2];
+          uint32_t b2 = (uint32_t)(
+              (win << PDMP3_HUFF_PRIMARY_BITS) >> (64 - ext));
+          uint16_t e2 = kHuffSecondary[kHuffEscOff[d2] + (int)b2];
+          len = e2 >> 8;
+          payload = e2 & 0xFF;
+        } else {
+          len = e >> 8;
+          payload = e & 0xFF;
+        }
+        int32_t x = (payload >> 4) & 0xF;
+        int32_t y = payload & 0xF;
+        unsigned adv = len;
+        if (x > 0) {
+          if ((win >> (63 - adv)) & 1) x = -x;
+          adv++;
+        }
+        if (y > 0) {
+          if ((win >> (63 - adv)) & 1) y = -y;
+          adv++;
+        }
+        res.advance(adv);
+        line[is_pos] = (int16_t)x;
+        line[is_pos + 1] = (int16_t)y;
       }
-      x = (payload >> 4) & 0xF;
-      y = payload & 0xF;
-      unsigned adv = len;
-      if (x > 0) {
-        if ((win >> (63 - adv)) & 1) x = -x;
-        adv++;
-      }
-      if (y > 0) {
-        if ((win >> (63 - adv)) & 1) y = -y;
-        adv++;
-      }
-      res.advance(adv);
     } else {
-      huff_pair(res, tnum, &x, &y);
-      if (lb && x == 15) x += (int32_t)res.get_bits(lb);
-      if (x > 0 && res.get_bit()) x = -x;
-      if (lb && y == 15) y += (int32_t)res.get_bits(lb);
-      if (y > 0 && res.get_bit()) y = -y;
+      for (; is_pos < end; is_pos += 2) {
+        int32_t x, y;
+        huff_pair(res, tnum, &x, &y);
+        if (lb && x == 15) x += (int32_t)res.get_bits(lb);
+        if (x > 0 && res.get_bit()) x = -x;
+        if (lb && y == 15) y += (int32_t)res.get_bits(lb);
+        if (y > 0 && res.get_bit()) y = -y;
+        if (is_pos < 576) line[is_pos] = (int16_t)x;
+        if (is_pos + 1 < 576) line[is_pos + 1] = (int16_t)y;
+      }
     }
-    if (is_pos < 576) line[is_pos] = (int16_t)x;
-    if (is_pos + 1 < 576) line[is_pos + 1] = (int16_t)y;
-    is_pos += 2;
   }
   bool table_b = si.count1table_select[gr][ch] != 0;
   is_pos = big;

@@ -82,6 +82,20 @@ struct InRing {
     processed++;
     return v;
   }
+  // Bulk get_byte: copies min(n, filled()) bytes into dst (at most two
+  // memcpy segments across the wrap) and returns the count — same cursor
+  // and `processed` effects as that many get_byte() calls.
+  unsigned get_bytes(uint8_t *dst, unsigned n) {
+    unsigned avail = filled();
+    if (n > avail) n = avail;
+    unsigned first = kInbufSize - istart;
+    if (first > n) first = n;
+    std::memcpy(dst, buf + istart, first);
+    std::memcpy(dst + first, buf, n - first);
+    istart = (istart + n) % kInbufSize;
+    processed += n;
+    return n;
+  }
   int feed(const uint8_t *in, size_t size);
 };
 
