@@ -115,7 +115,10 @@ long pdmp3_parse_stream(pdmp3_handle *id, const unsigned char *data,
     while (pos < size) {
       unsigned free_b = id->fp.in.free_space();
       if (free_b < 4096) break;
-      size_t n = size - pos < free_b ? size - pos : free_b;
+      // never fill the ring completely: istart == iend is indistinguishable
+      // from empty (reference parity, pdmp3.c:1062-1068), so an exactly-full
+      // ring would read back as 0 bytes and lose the whole buffer
+      size_t n = size - pos < free_b - 1 ? size - pos : free_b - 1;
       if (n > 8192) n = 8192;
       if (pdmp3_feed(id, data + pos, n) != PDMP3_OK) break;
       pos += n;

@@ -11,6 +11,8 @@ Streams shorter than T pad with inactive steps (state frozen, silence).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,8 +39,11 @@ def parse_corpus(files: list[bytes], chunk: int = 8192):
     nch = np.ones(B, np.int32)
     h = NativePDMP3()
     for b, data in enumerate(files):
-        # one native call parses the entire stream (pdmp3_parse_stream)
-        tmax = len(data) // 24 + 4  # frames are >= 24 bytes (32 kbps/48k)
+        # one native call parses the entire stream (pdmp3_parse_stream).
+        # Tight frame bound: the smallest MPEG-1 Layer III frame is
+        # 144*32000/48000 = 96 bytes (bitrate index 1 @ 48 kHz, no padding),
+        # so len/96 is a hard upper bound on the frame count.
+        tmax = len(data) // 96 + 4
         fi = np.empty((2, tmax, 2, 576), np.int16)
         fl = np.empty((2, tmax, 2, 22), np.uint8)
         fs = np.empty((2, tmax, 2, 39), np.uint8)
@@ -64,12 +69,13 @@ def parse_corpus(files: list[bytes], chunk: int = 8192):
     return ix, scf_l, scf_s, meta, active, nch
 
 
-@jax.jit
-def _scan_decode(ix, scf_l, scf_s, meta, active, state):
+@functools.partial(jax.jit, static_argnames=("exact", "bug_compat"))
+def _scan_decode(ix, scf_l, scf_s, meta, active, state,
+                 exact: bool = False, bug_compat: bool = True):
     def step(state, xs):
         ix2, scf_l2, scf_s2, meta2, act = xs
         pcm, state = M.decode_frame_soa.__wrapped__(
-            ix2, scf_l2, scf_s2, meta2, act, state, False, True)
+            ix2, scf_l2, scf_s2, meta2, act, state, exact, bug_compat)
         return state, pcm
 
     state, pcm = jax.lax.scan(step, state,
@@ -77,8 +83,13 @@ def _scan_decode(ix, scf_l, scf_s, meta, active, state):
     return pcm, state
 
 
-def decode_files_scan(files: list[bytes]) -> list[bytes]:
-    """Whole-corpus offline decode in one device dispatch."""
+def decode_files_scan(files: list[bytes], exact: bool = False,
+                      bug_compat: bool = True) -> list[bytes]:
+    """Whole-corpus offline decode in one device dispatch.
+
+    exact=True reproduces the reference decoder's PCM bit-for-bit (see
+    ops/dsp.py precision modes); exact=False is the MXU fast path (±1 LSB).
+    """
     ix, scf_l, scf_s, meta, active, nch = parse_corpus(files)
     B = len(files)
     if ix.shape[0] == 0:
@@ -86,7 +97,8 @@ def decode_files_scan(files: list[bytes]) -> list[bytes]:
     state = M.init_state(B)
     pcm, _ = _scan_decode(jnp.asarray(ix), jnp.asarray(scf_l),
                           jnp.asarray(scf_s), jnp.asarray(meta),
-                          jnp.asarray(active), state)
+                          jnp.asarray(active), state,
+                          exact=exact, bug_compat=bug_compat)
     pcm = np.asarray(pcm)  # [T, B, 1152, 2]
     out = []
     for b in range(B):

@@ -94,6 +94,17 @@ def test_offline_scan_decode_equals_native(corpus):
         assert (d != 0).mean() < 0.01
 
 
+def test_offline_scan_decode_exact_bit_equal(corpus):
+    """exact=True offline scan is bit-identical to the native decoder."""
+    from pdmp3_tpu.models.offline import decode_files_scan
+    got = decode_files_scan(corpus, exact=True)
+    for i, data in enumerate(corpus):
+        want = native_decode_file(data)
+        n = min(len(got[i]), len(want))
+        assert n >= len(want) - 2 * 1152 * 2 * 2
+        assert got[i][:n] == want[:n], f"file {i}"
+
+
 def test_multi_frame_step(corpus):
     """frames_per_step>1: F frames decode per dispatch, equal to the
     native per-file decode."""
