@@ -43,19 +43,27 @@ class GranuleBatch(NamedTuple):
     is_flag: jax.Array        # i32 [B]
     nch: jax.Array            # i32 [B]
     active: jax.Array         # i32 [B]: 0 = idle slot (state frozen)
+    gr1: jax.Array            # i32 [B]: 1 = this slot decodes granule 1
 
 
 class DecoderState(NamedTuple):
     """Per-slot recurrent DSP state (pdmp3.c:1755 store, :1983 v_vec —
-    function-static in the reference, correctly per-stream here)."""
+    function-static in the reference, correctly per-stream here).
+
+    prev_lines carries granule 0 channel 0's first 3 post-DSP lines into
+    the granule-1 step: the reference's scalefac_s[1][1][12][w] OOB read
+    aliases the float bits of is[0][0][w] (docs/DESIGN.md §6).  None is
+    accepted for compatibility (sentinel-63 zero-gain approximation)."""
     store: jax.Array          # f32 [B,2,32,18]
     v_blocks: jax.Array       # f32 [B,2,15,64] polyphase FIFO (oldest first)
+    prev_lines: jax.Array | None = None   # f32 [B,3]
 
 
 def init_state(batch_size: int) -> DecoderState:
     return DecoderState(
         store=jnp.zeros((batch_size, 2, 32, 18), jnp.float32),
         v_blocks=jnp.zeros((batch_size, 2, 15, 64), jnp.float32),
+        prev_lines=jnp.zeros((batch_size, 3), jnp.float32),
     )
 
 
@@ -70,7 +78,8 @@ def decode_granules(batch: GranuleBatch, state: DecoderState,
     """
     x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s, batch.layout,
                        batch.global_gain, batch.scalefac_scale,
-                       batch.preflag, batch.subblock_gain, exact=exact)
+                       batch.preflag, batch.subblock_gain, exact=exact,
+                       gr1=batch.gr1, prev_lines=state.prev_lines)
     x = dsp.reorder(x, batch.layout)
     x = dsp.stereo(x, batch.layout, batch.scf_l, batch.scf_s, batch.count1,
                    batch.ms_flag, batch.is_flag, exact=exact,
@@ -84,6 +93,12 @@ def decode_granules(batch: GranuleBatch, state: DecoderState,
     sums, v_blocks = dsp.subband_synthesis(x_time, state.v_blocks,
                                            exact=exact)
     pcm = dsp.quantize_pack(sums, batch.nch, exact=exact)
+    # granule-0 steps latch ch0's first 3 post-DSP lines for the next
+    # (granule-1) step's band-12 OOB scalefactor emulation
+    prev_lines = state.prev_lines
+    if prev_lines is not None:
+        prev_lines = jnp.where((batch.gr1 == 0)[:, None],
+                               x_time[:, 0, 0, :3], prev_lines)
     # idle slots (stream starved / finished) keep their recurrent state
     # frozen and emit silence — a malformed or stalled stream can never
     # poison its batch neighbours (SURVEY.md §5 failure isolation)
@@ -91,8 +106,12 @@ def decode_granules(batch: GranuleBatch, state: DecoderState,
     store = jnp.where((act != 0)[:, None, None, None], store, state.store)
     v_blocks = jnp.where((act != 0)[:, None, None, None], v_blocks,
                          state.v_blocks)
+    if prev_lines is not None:
+        prev_lines = jnp.where((act != 0)[:, None], prev_lines,
+                               state.prev_lines)
     pcm = jnp.where((act != 0)[:, None, None], pcm, 0)
-    return pcm, DecoderState(store=store, v_blocks=v_blocks)
+    return pcm, DecoderState(store=store, v_blocks=v_blocks,
+                             prev_lines=prev_lines)
 
 
 # ---------------------------------------------------------------------------
@@ -150,7 +169,8 @@ def frame_to_batches(fds: list[FrameData]) -> list[GranuleBatch]:
             count1=jnp.asarray(flat["count1"]),
             ms_flag=jnp.asarray(ms), is_flag=jnp.asarray(isf),
             nch=jnp.asarray(nch),
-            active=jnp.ones(B, jnp.int32)))
+            active=jnp.ones(B, jnp.int32),
+            gr1=jnp.full(B, gr, jnp.int32)))
     return out
 
 
@@ -164,8 +184,9 @@ def frame_to_batches(fds: list[FrameData]) -> list[GranuleBatch]:
 _META_WORDS = 32
 
 
-def _batch_from_meta(ix, scf_l, scf_s, meta, active):
+def _batch_from_meta(ix, scf_l, scf_s, meta, active, gr: int):
     m = meta
+    B = meta.shape[0]
     return GranuleBatch(
         ix=ix, scf_l=scf_l, scf_s=scf_s.reshape(scf_s.shape[0], 2, 13, 3),
         layout=m[:, 0:2], block_type=m[:, 2:4], win_switch=m[:, 4:6],
@@ -173,7 +194,8 @@ def _batch_from_meta(ix, scf_l, scf_s, meta, active):
         preflag=m[:, 12:14], count1=m[:, 14:16],
         subblock_gain=m[:, 16:22].reshape(-1, 2, 3),
         ms_flag=m[:, 22], is_flag=m[:, 23],
-        nch=jnp.maximum(m[:, 24], 1), active=active)
+        nch=jnp.maximum(m[:, 24], 1), active=active,
+        gr1=jnp.full(B, gr, jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("exact", "bug_compat"))
@@ -186,7 +208,7 @@ def decode_frame_soa(ix2, scf_l2, scf_s2, meta2, active, state,
     outs = []
     for gr in range(2):
         batch = _batch_from_meta(ix2[gr], scf_l2[gr], scf_s2[gr],
-                                 meta2[gr], active)
+                                 meta2[gr], active, gr)
         pcm, state = decode_granules.__wrapped__(batch, state, exact,
                                                  bug_compat)
         outs.append(pcm)

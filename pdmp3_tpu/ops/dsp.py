@@ -137,10 +137,19 @@ def _pow43(mag: jnp.ndarray, exact: bool) -> jnp.ndarray:
     return jnp.where(mag == 0, F32(0.0), v)
 
 
-def _gain_quarter(q: jnp.ndarray, exact: bool) -> jnp.ndarray:
-    """2^(-q/4) (requantize scalefactor gain, pdmp3.c:2127/2144)."""
+def _gain_quarter(q: jnp.ndarray, exact: bool,
+                  true_table: bool = False) -> jnp.ndarray:
+    """2^(-q/4) (requantize scalefactor gain, pdmp3.c:2127/2144).
+
+    true_table selects GAIN_QUARTER_TRUE (real values through the f32
+    underflow point, +0.0 for q >= 640 via the out-of-range one-hot) for
+    the band-12 OOB path; the default table carries the sentinel-63 zero
+    region instead.  Valid in-spec q never exceeds 72, where both agree.
+    The fast path keeps exp2 either way (±1 LSB budget).
+    """
     if exact:
-        return _gather2(np.asarray(T.GAIN_QUARTER_DOWN), q, 4)
+        tab = T.GAIN_QUARTER_TRUE if true_table else T.GAIN_QUARTER_DOWN
+        return _gather2(np.asarray(tab), q, 5 if true_table else 4)
     return jnp.exp2(q.astype(F32) * F32(-0.25))
 
 
@@ -168,7 +177,8 @@ def _pretab_line_map() -> np.ndarray:
 
 
 def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
-               preflag, subblock_gain, exact: bool = True):
+               preflag, subblock_gain, exact: bool = True,
+               gr1=None, prev_lines=None):
     """Dequantize Huffman integers to spectral floats.
 
     Reference: pdmp3.c:1829-1905 (drivers), 2117-2152 (per-sample):
@@ -180,10 +190,29 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     precision modes.  Processing all 576 lines is bit-identical to the
     reference's count1-bounded loops because lines above count1 are zero.
 
+    gr1 [B] i32 (1 = this slot decodes granule 1) + prev_lines [B,3] f32
+    (granule 0 channel 0's first 3 post-DSP lines) enable the exact
+    band-12 OOB emulation: the reference's scalefac_s[1][1][12][w] read
+    aliases the float BITS of is[0][0][w] (docs/DESIGN.md §6).  Without
+    them, the host's sentinel-63 scalefactor stands in (gain +0.0 — exact
+    unless the aliased sample is a tiny denormal or zero).
+
     Args: ix [B,2,576] i32; scf_l [B,2,22]; scf_s [B,2,13,3];
       layout/global_gain/scalefac_scale/preflag [B,2]; subblock_gain [B,2,3].
     Returns xr f32 [B,2,576].
     """
+    band12_bits = gr1 is not None and prev_lines is not None
+    if band12_bits:
+        bits = jax.lax.bitcast_convert_type(prev_lines, jnp.uint32)  # [B,3]
+        # any bits >= 640/qpu gives gain +0.0; clamp to keep the one-hot
+        # index width small and the f32 expansion exact (< 2^24)
+        scf12 = jnp.where(bits < 1024, bits,
+                          jnp.uint32(1024)).astype(jnp.int32)
+        scf_s = scf_s.astype(jnp.int32)  # wire may carry int16
+        cur = scf_s[:, 1, 12, :]
+        scf_s = scf_s.at[:, 1, 12, :].set(
+            jnp.where((gr1 != 0)[:, None], scf12, cur))
+
     lay_oh = _onehot(layout, T.N_LAYOUTS)            # [B,2,9]
     short = _map_select(_MAPS["is_short"], layout)   # [B,2,576]
 
@@ -203,7 +232,7 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     scf_s_flat = scf_s.reshape(*scf_s.shape[:-2], 39)
     scf_s_line = _expand(scf_s_flat, _expansion_sfb_s(), lay_oh)
     q_short = qpu * scf_s_line.astype(jnp.int32)
-    tmp1_short = _gain_quarter(q_short, exact)
+    tmp1_short = _gain_quarter(q_short, exact, true_table=band12_bits)
     sbg_line = _expand(subblock_gain, _expansion_const("win", 3), lay_oh)
     e_short = (global_gain[..., None] - 210 - 8 * sbg_line.astype(jnp.int32)
                + T.GAIN_GLOBAL_OFF)

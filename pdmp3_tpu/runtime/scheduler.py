@@ -139,15 +139,19 @@ class StreamDecoder:
             "handles": [h.save_state() for h in self.handles],
             "store": np.asarray(self.state.store),
             "v_blocks": np.asarray(self.state.v_blocks),
+            "prev_lines": np.asarray(self.state.prev_lines),
         }
 
     def restore_checkpoint(self, ckpt: dict) -> None:
         assert len(ckpt["handles"]) == self.n
         for h, blob in zip(self.handles, ckpt["handles"]):
             h.restore_state(blob)
+        prev = ckpt.get("prev_lines")
         self.state = M.DecoderState(
             store=jnp.asarray(ckpt["store"]),
-            v_blocks=jnp.asarray(ckpt["v_blocks"]))
+            v_blocks=jnp.asarray(ckpt["v_blocks"]),
+            prev_lines=(jnp.zeros((self.n, 3), jnp.float32)
+                        if prev is None else jnp.asarray(prev)))
 
 
 def decode_files_batched(files: list[bytes], n_slots: int | None = None,

@@ -36,7 +36,8 @@ class ShardedStreamDecoder(StreamDecoder):
         shard = lambda x: jax.device_put(
             x, batch_sharding(self.mesh, x.ndim))
         self.state = M.DecoderState(store=shard(self.state.store),
-                                    v_blocks=shard(self.state.v_blocks))
+                                    v_blocks=shard(self.state.v_blocks),
+                                    prev_lines=shard(self.state.prev_lines))
 
     def decode_step(self, fetch: bool = True):
         if not self.active.any():

@@ -104,6 +104,17 @@ GAIN_QUARTER_DOWN = _arr("gain_quarter_down")  # [256] f32: 2^(-q/4)
 GAIN_GLOBAL = _arr("gain_global")        # [312] f32: 2^((e-266)/4)
 GAIN_GLOBAL_OFF = 266
 
+# True 2^(-q/4) in double, rounded to f32 (the reference's live libm pow
+# at pdmp3.c:2144) — unlike GAIN_QUARTER_DOWN, entries >= 100 are NOT
+# repurposed as sentinel zeros.  640 entries cover every nonzero f32
+# result: 2^(-600/4) = 2^-150 already rounds to +0.0 (half the minimum
+# denormal, ties-to-even), and q >= 640 gives 2^-160 < that.  Used by the
+# batched requantizer's exact band-12 OOB path (scalefactor read from
+# float bits, docs/DESIGN.md §6), where q can be any uint32 bit pattern.
+GAIN_QUARTER_TRUE = np.power(
+    2.0, -0.25 * np.arange(640, dtype=np.float64)).astype(np.float32)
+GAIN_QUARTER_TRUE.setflags(write=False)
+
 
 # ---------------------------------------------------------------------------
 # Huffman codebooks & LUT decoders

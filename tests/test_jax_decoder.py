@@ -43,6 +43,78 @@ def test_jax_fast_within_1lsb(name):
     assert (d != 0).mean() < 0.01
 
 
+def _band12_zero_bits_stream() -> bytes:
+    """Directed fixture for the reference's band-12 OOB scalefactor read
+    (scalefac_s[1][1][12][w] aliases the float BITS of is[0][0][w],
+    pdmp3.c struct layout; docs/DESIGN.md §6) in the case where the
+    aliased sample is exactly +0.0: granule 0 is silent (frame 0, zero
+    overlap store => is[0][0][:] == +0.0 => bits 0 => gain 2^0 == 1), and
+    granule 1 is pure-short with spectrum extending into band 12.  The
+    sentinel-63 zero-gain approximation diverges here; the prev_lines
+    carry is required for bit-exactness."""
+    import random
+
+    def silent_long():
+        g = mp3gen.GranuleSpec()
+        g.scalefac_compress = 0
+        g.scalefac_l = np.zeros(21, np.int32)
+        g.scalefac_s = np.zeros((12, 3), np.int32)
+        g.values = np.zeros(576, np.int64)
+        g.big_values = 0
+        g.n_quads = 0
+        return g
+
+    def short_into_band12():
+        g = mp3gen.GranuleSpec()
+        g.block_type = 2
+        g.win_switch = 1
+        g.mixed = 0
+        g.global_gain = 200
+        g.scalefac_compress = 0         # slen (0,0): all scalefacs 0
+        g.region0_count, g.region1_count = 8, 12   # implicit for short
+        g.table_select = (1, 1, 0)
+        g.subblock_gain = (0, 0, 0)
+        g.scalefac_l = np.zeros(21, np.int32)
+        g.scalefac_s = np.zeros((12, 3), np.int32)
+        vals = np.zeros(576, np.int64)
+        vals[:560] = 1                   # 32 kHz short band 12 = lines 540+
+        g.values = vals
+        g.big_values = 280
+        g.n_quads = 0
+        return g
+
+    frames = []
+    for _ in range(3):
+        grans = [[silent_long(), silent_long()],
+                 [short_into_band12(), short_into_band12()]]
+        frames.append(mp3gen.FrameSpec(
+            bitrate_index=14, sampling_frequency=2, granules=grans,
+            scfsi=np.zeros((2, 4), np.int32)))
+    return mp3gen.assemble_stream(frames, rng=random.Random(1234),
+                                  use_reservoir=False)
+
+
+def test_jax_exact_band12_float_bits():
+    """JAX exact path reproduces the band-12 OOB float-bits gain
+    bit-exactly, including the zero-bits case the sentinel cannot cover
+    (VERDICT r1 item 4)."""
+    stream = _band12_zero_bits_stream()
+    ref = reference_decode(stream)
+    assert len(ref) > 0
+    mine = decode_file(stream, dsp=M.JaxDSP(exact=True))
+    assert mine == ref
+    # the starved 320k/32k streams reach the same OOB path with nonzero
+    # bit patterns (huge scalefactors -> +0.0 gains)
+    for seed, blocks, mode, ext in ((60188, "long", 2, 0),
+                                    (60307, "varied", 1, 2)):
+        s = mp3gen.make_stream(n_frames=8, seed=seed, sfreq=2,
+                               bitrate_index=14, mode=mode,
+                               mode_extension=ext, blocks=blocks,
+                               use_reservoir=True, amp=20)
+        assert decode_file(s, dsp=M.JaxDSP(exact=True)) \
+            == reference_decode(s)
+
+
 def _parse_frames(stream: bytes, n: int):
     fe = Frontend()
     fe.feed(stream)
