@@ -64,7 +64,16 @@ def lib() -> C.CDLL:
         _lib.pdmp3_state_size.restype = C.c_size_t
         _lib.pdmp3_state_save.argtypes = [C.c_void_p, C.c_void_p]
         _lib.pdmp3_state_restore.argtypes = [C.c_void_p, C.c_void_p]
+        _lib.pdmp3_set_profile.argtypes = [C.c_void_p, C.c_uint]
+        _lib.pdmp3_get_profile.argtypes = [C.c_void_p]
+        _lib.pdmp3_get_profile.restype = C.c_uint
     return _lib
+
+
+# decode-profile flags (pdmp3.h): default 0 = bit-exact reference-bug
+# emulation; see PDMP3_PROFILE_* docs
+PROFILE_COUNT1B_SPEC = 1
+PROFILE_SPEC_INTENSITY = 2
 
 
 class NativePDMP3:
@@ -108,6 +117,14 @@ class NativePDMP3:
         res = lib().pdmp3_getformat(self._h, C.byref(rate), C.byref(ch),
                                     C.byref(enc))
         return res, rate.value, ch.value, enc.value
+
+    def set_profile(self, flags: int) -> None:
+        """Select the decode profile (PROFILE_* flags; 0 = reference
+        parity).  Survives open_feed and checkpoints."""
+        lib().pdmp3_set_profile(self._h, flags)
+
+    def get_profile(self) -> int:
+        return lib().pdmp3_get_profile(self._h)
 
     def inbuf_filled(self) -> int:
         return lib().pdmp3_inbuf_filled(self._h)
@@ -158,9 +175,12 @@ class NativePDMP3:
         return out
 
 
-def native_decode_file(data: bytes, chunk: int = 4096) -> bytes:
+def native_decode_file(data: bytes, chunk: int = 4096,
+                       profile: int = 0) -> bytes:
     """CLI-equivalent loop through the native library."""
     h = NativePDMP3()
+    if profile:
+        h.set_profile(profile)
     h.open_feed()
     pos = 0
     out = []

@@ -161,6 +161,21 @@ void pdmp3_state_restore(pdmp3_handle *id, const void *buf);
 void pdmp3_dsp_frame(pdmp3_handle *id, const pdmp3_granules *g,
                      uint32_t out_words[2][576]);
 
+/* Decode-profile flags (default 0 = bit-exact reference-bug emulation):
+ *   PDMP3_PROFILE_COUNT1B_SPEC   decode count1table_select=1 quads with
+ *     the real ISO table B tree (4-bit code c -> quad 15-c) instead of
+ *     the reference's stale-pointer (0,0,±1,±1) bug (pdmp3.c:569,
+ *     1627-1635).
+ *   PDMP3_PROFILE_SPEC_INTENSITY spec-correct short-block intensity
+ *     panning (ratio tables, mirroring the long-block form) instead of
+ *     the reference's unsigned-assignment transcription bug
+ *     (pdmp3.c:2212-2213).
+ * The profile is part of the checkpoint blob. */
+#define PDMP3_PROFILE_COUNT1B_SPEC 1u
+#define PDMP3_PROFILE_SPEC_INTENSITY 2u
+void pdmp3_set_profile(pdmp3_handle *id, unsigned flags);
+unsigned pdmp3_get_profile(const pdmp3_handle *id);
+
 #ifdef __cplusplus
 }
 #endif

@@ -69,7 +69,15 @@ int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *g) {
 
 void pdmp3_dsp_frame(pdmp3_handle *id, const pdmp3_granules *g,
                      uint32_t out_words[2][576]) {
-  id->dsp.decode_frame(*g, out_words);
+  id->dsp.decode_frame(*g, out_words, id->fp.profile);
+}
+
+void pdmp3_set_profile(pdmp3_handle *id, unsigned flags) {
+  if (id) id->fp.profile = flags;
+}
+
+unsigned pdmp3_get_profile(const pdmp3_handle *id) {
+  return id ? id->fp.profile : 0;
 }
 
 int pdmp3_parse_frame_soa(pdmp3_handle *id, size_t slot, size_t n_slots,
@@ -338,7 +346,7 @@ int pdmp3_read(pdmp3_handle *id, unsigned char *outmemory, size_t outsize,
       pdmp3_granules g;
       res = id->fp.parse_frame(&g);
       if (res == PDMP3_OK || res == PDMP3_NEW_FORMAT) {
-        id->dsp.decode_frame(g, id->out);
+        id->dsp.decode_frame(g, id->out, id->fp.profile);
         size_t n = convert_s16(id, outmemory, outsize);
         outmemory += n;
         outsize -= n;

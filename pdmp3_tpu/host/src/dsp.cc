@@ -79,7 +79,8 @@ void reorder(int lay, float x[576]) {
   std::memcpy(x, tmp, sizeof tmp);
 }
 
-void stereo(const pdmp3_granules &g, int gr, float x[2][576]) {
+void stereo(const pdmp3_granules &g, int gr, float x[2][576],
+            bool spec_intensity = false) {
   // pdmp3.c:1911-1972, 2154-2220
   if (!g.ms_flag && !g.is_flag) return;
   if (g.ms_flag) {
@@ -107,11 +108,21 @@ void stereo(const pdmp3_granules &g, int gr, float x[2][576]) {
         int w = m.win[lay][i];
         is_pos = g.scf_s[gr][0][sfb > 12 ? 12 : sfb][w];
         if (is_pos == 7) continue;
-        // reference transcription bug (pdmp3.c:2212-2213): both channels
-        // become (float)(unsigned)trunc(left)
-        float u = (float)(uint32_t)(int64_t)x[0][i];
-        x[0][i] = u;
-        x[1][i] = u;
+        if (spec_intensity) {
+          // PDMP3_PROFILE_SPEC_INTENSITY: pan by the ratio tables like
+          // the long-block form (the math pdmp3.c:2190-2213 intended)
+          int p = is_pos > 7 ? 7 : is_pos;
+          float left = kIsRatioL[p] * x[0][i];
+          float right = kIsRatioR[p] * x[0][i];
+          x[0][i] = left;
+          x[1][i] = right;
+        } else {
+          // reference transcription bug (pdmp3.c:2212-2213): both
+          // channels become (float)(unsigned)trunc(left)
+          float u = (float)(uint32_t)(int64_t)x[0][i];
+          x[0][i] = u;
+          x[1][i] = u;
+        }
       } else {
         is_pos = g.scf_l[gr][0][sfb];
         if (is_pos == 7) continue;
@@ -178,7 +189,8 @@ void imdct_win(const float in[18], float out[36], int bt) {
 
 }  // namespace
 
-void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576]) {
+void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576],
+                             unsigned profile) {
   int nch = g.nch;
   float prev_gr0_ch0[3] = {0, 0, 0};
   for (int gr = 0; gr < 2; gr++) {
@@ -189,7 +201,7 @@ void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576]) {
       if (g.win_switch[gr][ch] && g.block_type[gr][ch] == 2)
         reorder(lay, x[ch]);
     }
-    stereo(g, gr, x);
+    stereo(g, gr, x, (profile & PDMP3_PROFILE_SPEC_INTENSITY) != 0);
     for (int ch = 0; ch < nch; ch++) {
       antialias(g, gr, ch, x[ch]);
       // hybrid synthesis: IMDCT + overlap-add (pdmp3.c:1752-1780)

@@ -326,7 +326,19 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
   is_pos = big;
   while (is_pos <= 572 && res.pos() <= bit_pos_end) {
     int32_t v, w, x, y;
-    if (table_b) {
+    if (table_b && (profile & PDMP3_PROFILE_COUNT1B_SPEC)) {
+      // spec profile: the REAL ISO count1 table B — every code is 4 bits,
+      // quad value = one's complement of the code — plus sign bits
+      uint32_t q = 15u - res.get_bits(4);
+      v = (q >> 3) & 1;
+      w = (q >> 2) & 1;
+      x = (q >> 1) & 1;
+      y = q & 1;
+      if (v && res.get_bit()) v = -v;
+      if (w && res.get_bit()) w = -w;
+      if (x && res.get_bit()) x = -x;
+      if (y && res.get_bit()) y = -y;
+    } else if (table_b) {
       // reference's stale table-33 pointer hits a 0-bit leaf (x=2,y=3):
       // every quad is (0,0,±1,±1), two sign bits (pdmp3.c:569, 1627-1635)
       v = 0;

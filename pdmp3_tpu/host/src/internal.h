@@ -210,6 +210,7 @@ struct FrameParser {
   FrameHeader hdr;
   SideInfo si;
   int new_header = 0;
+  unsigned profile = 0;  // PDMP3_PROFILE_* flags (0 = reference parity)
   // scalefactors persist across frames like the reference's g_main_data
   // (stale entries feed scfsi copies and the sfb21 alias slot)
   uint8_t scf_l_state[2][2][22] = {};
@@ -240,7 +241,8 @@ struct ScalarDsp {
     std::memset(v, 0, sizeof v);
     vhead[0] = vhead[1] = 0;
   }
-  void decode_frame(const pdmp3_granules &g, uint32_t out[2][576]);
+  void decode_frame(const pdmp3_granules &g, uint32_t out[2][576],
+                    unsigned profile = 0);
 };
 
 }  // namespace pdmp3host

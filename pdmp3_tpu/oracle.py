@@ -154,14 +154,12 @@ def _stereo(fd: FrameData, gr: int, x: np.ndarray,
                     x[1][lo:hi] = u
                 else:
                     # spec-correct math, mirroring the long-block form
-                    if is_pos == 6:
-                        rl, rr = F32(1.0), F32(0.0)
-                    else:
-                        r = T.IS_RATIOS[is_pos].astype(np.float64)
-                        rl = F32(r / (1.0 + r))
-                        rr = F32(1.0 / (1.0 + r))
-                    x[0][lo:hi] = rl * seg
-                    x[1][lo:hi] = rr * seg
+                    # (shared f32 ratio tables — same values the JAX and
+                    # native spec-intensity modes use)
+                    rl_t, rr_t = T.intensity_ratio_tables()
+                    p = min(is_pos, 7)
+                    x[0][lo:hi] = rl_t[p] * seg
+                    x[1][lo:hi] = rr_t[p] * seg
 
         if s.win_switch_flag[gr][0] and s.block_type[gr][0] == 2:
             if s.mixed_block_flag[gr][0]:

@@ -36,14 +36,22 @@ class StreamDecoder:
 
     def __init__(self, n_slots: int, exact: bool = False,
                  bug_compat: bool = True, parse_threads: int = 1,
-                 frames_per_step: int = 1):
+                 frames_per_step: int = 1, profile: int = 0):
+        from ..host import PROFILE_SPEC_INTENSITY
+
         self.n = n_slots
         self.exact = exact
-        self.bug_compat = bug_compat
+        # the native PROFILE_SPEC_INTENSITY flag maps to the device DSP's
+        # bug_compat switch; either spelling selects spec mode end-to-end
+        self.bug_compat = bug_compat and not (profile
+                                              & PROFILE_SPEC_INTENSITY)
         self.parse_threads = parse_threads
         self.F = frames_per_step
+        self.profile = profile
         self.handles = [NativePDMP3() for _ in range(n_slots)]
         for h in self.handles:
+            if profile:
+                h.set_profile(profile)
             h.open_feed()
         self.state = M.init_state(n_slots)
         # frame step tensors live as views into ONE packed wire buffer:

@@ -148,6 +148,115 @@ def test_native_short_intensity_bug_compat():
     assert native_decode_file(stream) == reference_decode(stream)
 
 
+def _table_b_spec_fixture():
+    """Frames whose count1 quads are encoded with the REAL ISO table B
+    (the capability the reference's stale-pointer bug forecloses)."""
+    import random
+    rng = random.Random(4)
+    frames, intended = [], []
+    for _ in range(4):
+        grans = []
+        for gr in range(2):
+            row = []
+            for ch in range(2):
+                g = mp3gen.make_granule(rng, sfreq=0, block="long",
+                                        max_lines=100)
+                g.count1table_select = 1
+                g.count1_spec = True
+                big2 = g.big_values * 2
+                g.values[big2:] = 0
+                for q in range(g.n_quads):
+                    i = big2 + 4 * q
+                    for k in range(4):
+                        g.values[i + k] = rng.choice([-1, 0, 1])
+                row.append(g)
+            grans.append(row)
+        frames.append(mp3gen.FrameSpec(granules=grans,
+                                       scfsi=np.zeros((2, 4), np.int32)))
+        intended.append(grans)
+    return mp3gen.assemble_stream(frames, rng=rng,
+                                  use_reservoir=False), intended
+
+
+def test_native_count1_table_b_spec_mode():
+    """PDMP3_PROFILE_COUNT1B_SPEC: the native frontend decodes real
+    table-B quads, matching both the intended values and the Python
+    spec-mode frontend (VERDICT r1 item 5)."""
+    from pdmp3_tpu.host import PROFILE_COUNT1B_SPEC
+
+    stream, intended = _table_b_spec_fixture()
+    h = NativePDMP3()
+    h.set_profile(PROFILE_COUNT1B_SPEC)
+    assert h.get_profile() == PROFILE_COUNT1B_SPEC
+    h.open_feed()
+    assert h.get_profile() == PROFILE_COUNT1B_SPEC  # survives open_feed
+    h.feed(stream)
+    fe = Frontend(count1_table_b_spec=True)
+    fe.feed(stream)
+    for t, grans in enumerate(intended):
+        res, out = h.parse_frame()
+        assert res == 0, t
+        pres, fd = fe.read_frame()
+        assert pres == 0, t
+        np.testing.assert_array_equal(out["ix"], fd.ix,
+                                      err_msg=f"frame {t} native vs python")
+        for gr in range(2):
+            for ch in range(2):
+                g = grans[gr][ch]
+                n = g.big_values * 2 + 4 * g.n_quads
+                np.testing.assert_array_equal(
+                    out["ix"][gr][ch][:n], g.values[:n],
+                    err_msg=f"frame {t} gr {gr} ch {ch}")
+
+
+def test_native_spec_intensity_profile():
+    """PDMP3_PROFILE_SPEC_INTENSITY: native spec decode matches the
+    oracle's spec mode and diverges from the reference's transcription
+    bug (VERDICT r1 item 5)."""
+    from pdmp3_tpu.host import PROFILE_SPEC_INTENSITY
+    from pdmp3_tpu.oracle import OracleDSP
+
+    stream = mp3gen.make_stream(n_frames=8, seed=99, blocks="short", mode=1,
+                                mode_extension=1, stereo_extent_ch1=0.3,
+                                intensity_pos=True)
+    spec = native_decode_file(stream, profile=PROFILE_SPEC_INTENSITY)
+    assert spec != reference_decode(stream)
+    want = decode_file(stream,
+                       dsp=OracleDSP(bug_compat_short_intensity=False))
+    assert spec == want
+
+
+def test_batch_spec_profile_end_to_end():
+    """StreamDecoder(profile=...) routes both spec flags through the
+    serving path: native parse (real table B) + device DSP
+    (bug_compat=False), equal to the native spec decode."""
+    from pdmp3_tpu.host import PROFILE_COUNT1B_SPEC, PROFILE_SPEC_INTENSITY
+    from pdmp3_tpu.runtime import StreamDecoder
+
+    prof = PROFILE_COUNT1B_SPEC | PROFILE_SPEC_INTENSITY
+    streams = [
+        _table_b_spec_fixture()[0],
+        mp3gen.make_stream(n_frames=6, seed=99, blocks="short", mode=1,
+                           mode_extension=1, stereo_extent_ch1=0.3,
+                           intensity_pos=True),
+    ]
+    dec = StreamDecoder(2, exact=True, profile=prof)
+    for s, data in enumerate(streams):
+        dec.feed(s, data)
+    out = [[] for _ in streams]
+    while dec.parse_step():
+        pcm = dec.decode_step()
+        for s in range(2):
+            if dec.active[s]:
+                out[s].append(pcm[s].tobytes())
+    for s, data in enumerate(streams):
+        want = native_decode_file(data, profile=prof)
+        got = b"".join(out[s])
+        n = min(len(got), len(want))
+        assert n >= len(want) - 2 * 4608
+        assert got[:n] == want[:n], f"stream {s}"
+
+
 def test_native_vbr_and_corruption():
     stream = mp3gen.make_stream(n_frames=30, seed=61, blocks="varied",
                                 vbr=True, use_reservoir=True)
