@@ -50,6 +50,26 @@ def sanitizer_cli(kind: str = "address") -> str:
     return exe
 
 
+def selftest_bin(sanitize: str | None = None) -> str:
+    """Build (cached) the threaded-frontend selftest driver
+    (src/selftest.cc), optionally under a sanitizer ('thread' for the
+    TSan race profile over pdmp3_parse_step_wire16)."""
+    src_dir = os.path.join(HOST_DIR, "src")
+    ensure_built()
+    tag = f"_{sanitize[:4]}" if sanitize else ""
+    exe = os.path.join(BUILD_DIR, f"pdmp3_selftest{tag}")
+    srcs = [os.path.join(src_dir, s) for s in SRCS + ["selftest.cc"]]
+    if _stale(exe, srcs):
+        flags = list(CXXFLAGS)
+        if sanitize:
+            flags = [f for f in flags if f != "-O3"] + [
+                "-O1", "-g", f"-fsanitize={sanitize}",
+                "-fno-omit-frame-pointer"]
+        subprocess.run(["g++", *flags, "-o", exe, *srcs], check=True,
+                       capture_output=True)
+    return exe
+
+
 def ensure_built(verbose: bool = False) -> str:
     src_dir = os.path.join(HOST_DIR, "src")
     inc = os.path.join(src_dir, "gen_tables.inc")
