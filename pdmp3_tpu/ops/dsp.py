@@ -50,6 +50,10 @@ _INV_SIGN = T.freq_inversion_sign()
 # ---------------------------------------------------------------------------
 
 _HIGH = jax.lax.Precision.HIGHEST
+# Single-pass bf16 matmul: EXACT whenever both operands are
+# bf16-representable (0/1 one-hots and integer tables <= 256), and 6x
+# cheaper than the HIGHEST bf16x3x2 decomposition on the MXU.
+_FAST = jax.lax.Precision.DEFAULT
 
 
 def _onehot(idx: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -60,9 +64,13 @@ def _map_select(table: np.ndarray, layout: jnp.ndarray,
                 out_int: bool = True) -> jnp.ndarray:
     """table[R, 576] selected by layout [...] -> [..., 576] via one-hot
     matmul (values < 2^24 so the f32 round-trip is exact)."""
-    t = jnp.asarray(np.asarray(table, np.float32))
+    t = np.asarray(table, np.float32)
+    # integer values <= 256 survive a single-pass bf16 matmul exactly;
+    # real-valued tables (e.g. IMDCT windows) must stay HIGHEST
+    prec = (_FAST if t.size and np.abs(t).max() <= 256
+            and np.array_equal(t, np.round(t)) else _HIGH)
     oh = _onehot(layout, t.shape[0])
-    out = jnp.einsum("...l,li->...i", oh, t, precision=_HIGH,
+    out = jnp.einsum("...l,li->...i", oh, jnp.asarray(t), precision=prec,
                      preferred_element_type=F32)
     return out.astype(jnp.int32) if out_int else out
 
@@ -92,18 +100,21 @@ def _expansion_sfb_s() -> np.ndarray:
     return E
 
 
-def _expand(values: jnp.ndarray, E: np.ndarray,
-            layout_oh: jnp.ndarray) -> jnp.ndarray:
+def _expand(values: jnp.ndarray, E: np.ndarray, layout_oh: jnp.ndarray,
+            precision=_HIGH) -> jnp.ndarray:
     """Per-line lookup keyed by (layout, line) into a per-slot parameter
     vector: out[..., i] = values[..., k(layout, i)].
 
     Contracted as t[...,l,k] = onehot_l * values_k (tiny), then
     out = t @ E[l,i,k] — one [9*width, 576] constant matmul on the MXU.
+    precision=_FAST (single-pass bf16) is exact for values <= 256 and
+    within the fast path's ±1 LSB budget otherwise (the only larger
+    values are band-12 bit patterns whose gains underflow to ~0).
     """
     t = jnp.einsum("...l,...k->...lk", layout_oh, values.astype(F32),
                    precision=_HIGH, preferred_element_type=F32)
     return jnp.einsum("...lk,lik->...i", t, jnp.asarray(E),
-                      precision=_HIGH, preferred_element_type=F32)
+                      precision=precision, preferred_element_type=F32)
 
 
 def _gather2(table: np.ndarray, idx: jnp.ndarray, lo_bits: int
@@ -126,15 +137,39 @@ def _pow43(mag: jnp.ndarray, exact: bool) -> jnp.ndarray:
     """x^(4/3) for integer magnitudes 0..8206 (pdmp3.c:971-1018).
 
     exact: two-level one-hot gather of the reference's frozen table.
-    fast: VPU transcendental exp2(log2(x)*4/3) — within ~2 ulp of the
-    table, which stays inside the fast path's ±1 LSB PCM budget.
+    fast: x * cbrt(x) with a Newton-refined cube root — TPU's raw
+    exp2(log2(x)*4/3) is only ~1e-4 accurate (measured up to 11 LSB of
+    PCM error); one Newton step from that seed lands within ~1 ulp of
+    the table, restoring the ±1 LSB budget at ~6 extra VPU ops.
     """
     if exact:
         return _gather2(np.asarray(T.POW43), mag, 7)
     m = mag.astype(F32)
     safe = jnp.maximum(m, F32(1.0))
-    v = jnp.exp2(jnp.log2(safe) * F32(4.0 / 3.0))
-    return jnp.where(mag == 0, F32(0.0), v)
+    c = jnp.exp2(jnp.log2(safe) * F32(1.0 / 3.0))
+    c = (F32(2.0) * c + safe / (c * c)) * F32(1.0 / 3.0)   # Newton
+    c = (F32(2.0) * c + safe / (c * c)) * F32(1.0 / 3.0)
+    return jnp.where(mag == 0, F32(0.0), m * c)
+
+
+def _pow2_int(n: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2^n for integer n via exponent-field construction (no
+    transcendental): +0.0 outside the normal range [-126, 127]."""
+    ok = (n >= -126) & (n <= 127)
+    bits = jnp.where(ok, (n + 127) << 23, 0).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(bits, F32)
+
+
+_QUARTER_DOWN4 = np.array([2.0 ** 0, 2.0 ** -0.25, 2.0 ** -0.5,
+                           2.0 ** -0.75], np.float32)
+_QUARTER_UP4 = np.array([2.0 ** 0, 2.0 ** 0.25, 2.0 ** 0.5,
+                         2.0 ** 0.75], np.float32)
+
+
+def _quarter_frac(d: jnp.ndarray, tab: np.ndarray) -> jnp.ndarray:
+    t = [F32(np.float32(v)) for v in tab]
+    return jnp.where(d == 0, t[0], jnp.where(d == 1, t[1],
+                     jnp.where(d == 2, t[2], t[3])))
 
 
 def _gain_quarter(q: jnp.ndarray, exact: bool,
@@ -145,19 +180,24 @@ def _gain_quarter(q: jnp.ndarray, exact: bool,
     underflow point, +0.0 for q >= 640 via the out-of-range one-hot) for
     the band-12 OOB path; the default table carries the sentinel-63 zero
     region instead.  Valid in-spec q never exceeds 72, where both agree.
-    The fast path keeps exp2 either way (±1 LSB budget).
+
+    fast: 2^(-q/4) = f32(2^(-(q&3)/4)) * 2^(-(q>>2)) — the power-of-two
+    scaling is exact, so the fast gain equals the table bit-for-bit for
+    every normal-range q (denormals flush to +0.0, inside the budget).
     """
     if exact:
         tab = T.GAIN_QUARTER_TRUE if true_table else T.GAIN_QUARTER_DOWN
         return _gather2(np.asarray(tab), q, 5 if true_table else 4)
-    return jnp.exp2(q.astype(F32) * F32(-0.25))
+    return _quarter_frac(q & 3, _QUARTER_DOWN4) * _pow2_int(-(q >> 2))
 
 
 def _gain_global(e: jnp.ndarray, exact: bool) -> jnp.ndarray:
     """2^((e-266)/4) (global gain, pdmp3.c:2128/2145)."""
     if exact:
         return _gather2(np.asarray(T.GAIN_GLOBAL), e, 4)
-    return jnp.exp2((e - T.GAIN_GLOBAL_OFF).astype(F32) * F32(0.25))
+    eo = e - T.GAIN_GLOBAL_OFF
+    # arithmetic >> floors negative e, keeping d = e & 3 in [0, 3]
+    return _quarter_frac(eo & 3, _QUARTER_UP4) * _pow2_int(eo >> 2)
 
 
 def _gather_map(table: np.ndarray, layout: jnp.ndarray) -> jnp.ndarray:
@@ -220,8 +260,9 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     mag = jnp.clip(jnp.abs(ix), 0, 8206)
     tmp3 = sign * _pow43(mag, exact)
 
+    prec = _HIGH if exact else _FAST
     qpu = (2 << scalefac_scale)[..., None]           # quarters per sf unit
-    scf_l_line = _expand(scf_l, _expansion_const("sfb", 22), lay_oh)
+    scf_l_line = _expand(scf_l, _expansion_const("sfb", 22), lay_oh, prec)
     pre_line = (_map_select(_pretab_line_map(), layout, out_int=False)
                 * preflag[..., None])
     q_long = qpu * (scf_l_line + pre_line).astype(jnp.int32)
@@ -230,10 +271,11 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     tmp2_long = _gain_global(e_long, exact)[..., None]
 
     scf_s_flat = scf_s.reshape(*scf_s.shape[:-2], 39)
-    scf_s_line = _expand(scf_s_flat, _expansion_sfb_s(), lay_oh)
+    scf_s_line = _expand(scf_s_flat, _expansion_sfb_s(), lay_oh, prec)
     q_short = qpu * scf_s_line.astype(jnp.int32)
     tmp1_short = _gain_quarter(q_short, exact, true_table=band12_bits)
-    sbg_line = _expand(subblock_gain, _expansion_const("win", 3), lay_oh)
+    sbg_line = _expand(subblock_gain, _expansion_const("win", 3), lay_oh,
+                       prec)
     e_short = (global_gain[..., None] - 210 - 8 * sbg_line.astype(jnp.int32)
                + T.GAIN_GLOBAL_OFF)
     tmp2_short = _gain_global(e_short, exact)
@@ -299,9 +341,12 @@ def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
     iok = _map_select(_SMAPS["intensity_ok"], lay0)
     short = _map_select(_MAPS["is_short"], lay0)
 
-    scf_l0 = _expand(scf_l[:, 0], _expansion_const("sfb", 22), lay0_oh)
+    # scalefactor values are <= 15 here (intensity positions), so the
+    # single-pass bf16 expansion is exact in both precision modes
+    scf_l0 = _expand(scf_l[:, 0], _expansion_const("sfb", 22), lay0_oh,
+                     _FAST)
     scf_s0 = _expand(scf_s[:, 0].reshape(-1, 39), _expansion_sfb_s(),
-                     lay0_oh)
+                     lay0_oh, _FAST)
     is_pos = jnp.where(short == 1, scf_s0, scf_l0).astype(jnp.int32)
 
     imask = ((is_flag[:, None] != 0) & (iok == 1)

@@ -1,5 +1,10 @@
-"""Fused Pallas back-half kernel vs the XLA stage pipeline (interpret mode
-on CPU; the compiled kernel is exercised on real TPU by bench.py)."""
+"""Fused feature-major Pallas kernel (ops/pallas_step.py) conformance.
+
+On this CPU test mesh the kernel runs in interpreter mode — the same
+kernel body with jnp semantics.  The compiled-on-TPU equivalence (both
+precision modes bit-identical to the XLA path at B=8192) is measured by
+bench.py on hardware and recorded in the bench artifact.
+"""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -7,85 +12,122 @@ import pytest
 
 from pdmp3_tpu.frontend import Frontend
 from pdmp3_tpu.models import decoder as M
-from pdmp3_tpu.ops import dsp
-from pdmp3_tpu.ops.pallas_synth import synthesis_pipeline
+from pdmp3_tpu.ops import pallas_step as PSF
 from pdmp3_tpu.testing import mp3gen
 
 
-def _batch(n=8):
-    streams = [mp3gen.make_stream(n_frames=3, seed=200 + i,
-                                  blocks=["long", "short", "mixed",
-                                          "varied"][i % 4],
-                                  mode=[0, 1, 3, 1][i % 4],
-                                  mode_extension=[0, 2, 0, 3][i % 4])
-               for i in range(n)]
-    fds = []
+def _frames(n_frames=3):
+    specs = [
+        dict(blocks="long", seed=10),
+        dict(blocks="short", seed=11),
+        dict(blocks="varied", seed=12, mode=1, mode_extension=2),
+        dict(blocks="mixed", seed=13, sfreq=2),
+        dict(blocks="long", seed=14, mode=3),          # mono
+        dict(blocks="varied", seed=15, sfreq=1, use_reservoir=True),
+        dict(blocks="short", seed=16, mode=1, mode_extension=3,
+             stereo_extent_ch1=0.3, intensity_pos=True),
+        dict(blocks="long", seed=17, bitrate_index=14),
+    ]
+    streams = [mp3gen.make_stream(n_frames=n_frames + 2, **sp)
+               for sp in specs]
+    out = []
     for s in streams:
         fe = Frontend()
         fe.feed(s)
-        res, fd = fe.read_frame()
-        assert res == 0
-        fds.append(fd)
-    return M.frame_to_batches(fds)[0]
+        fds = []
+        for _ in range(n_frames):
+            r, fd = fe.read_frame()
+            assert r == 0
+            fds.append(fd)
+        out.append(fds)
+    return out
 
 
-def _xla_back(x, st, b):
-    xt, store = dsp.hybrid_synthesis(x, st.store, b.win_switch,
-                                     b.block_type, b.mixed, exact=False)
-    xt = dsp.freq_invert(xt)
-    sums, v = dsp.subband_synthesis(xt, st.v_blocks, exact=False)
-    pcm = dsp.quantize_pack(sums, b.nch, exact=False)
-    act = b.active
-    pcm = jnp.where((act != 0)[:, None, None], pcm, 0)
-    store = jnp.where((act != 0)[:, None, None, None], store, st.store)
-    v = jnp.where((act != 0)[:, None, None, None], v, st.v_blocks)
-    return pcm, store, v
+def _run_paths(exact: bool, n_frames: int = 3):
+    frames = _frames(n_frames)
+    B = len(frames)
+    st_x = M.init_state(B)
+    st_p = PSF.init_pallas_state(B)
+    diffs = []
+    for t in range(n_frames):
+        fds = [frames[b][t] for b in range(B)]
+        for batch in M.frame_to_batches(fds):
+            px, st_x = M.decode_granules(batch, st_x, exact=exact)
+            pp, st_p = PSF.decode_granules_pallas(batch, st_p, exact=exact,
+                                                  block_lanes=8)
+            diffs.append((np.asarray(px, np.int64),
+                          np.asarray(pp, np.int64)))
+    return diffs, st_x, st_p
 
 
-def test_pallas_back_half_matches_xla():
-    b = _batch(8)
-    st = M.init_state(8)
-    # some inactive slots + nonzero incoming state
-    b = b._replace(active=jnp.asarray(np.array([1, 1, 0, 1, 1, 1, 1, 0],
-                                               np.int32)))
+def test_pallas_exact_bitwise_equals_xla():
+    """Exact mode: the kernel replays the reference accumulation order —
+    PCM is bit-identical to the (golden-proven) XLA exact path."""
+    diffs, st_x, st_p = _run_paths(exact=True)
+    for i, (a, b) in enumerate(diffs):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {i}")
+
+
+def test_pallas_fast_within_1lsb():
+    diffs, st_x, st_p = _run_paths(exact=False)
+    for i, (a, b) in enumerate(diffs):
+        d = np.abs(a - b)
+        assert d.max() <= 1, f"step {i}: max {d.max()}"
+        assert (d != 0).mean() < 0.01
+
+
+def test_pallas_state_roundtrip_and_carry():
+    """State layout conversion round-trips, and the prev_lines band-12
+    carry matches the XLA path through granule steps."""
+    _, st_x, st_p = _run_paths(exact=True, n_frames=2)
+    back = PSF.state_from_pallas(st_p)
+    np.testing.assert_array_equal(np.asarray(back.store),
+                                  np.asarray(st_x.store))
+    np.testing.assert_array_equal(np.asarray(back.v_blocks),
+                                  np.asarray(st_x.v_blocks))
+    np.testing.assert_array_equal(np.asarray(back.prev_lines),
+                                  np.asarray(st_x.prev_lines))
+    rt = PSF.state_to_pallas(back)
+    np.testing.assert_array_equal(np.asarray(rt.store_t),
+                                  np.asarray(st_p.store_t))
+
+
+def test_pallas_inactive_slots_frozen():
+    """Inactive slots keep their state frozen and emit silence."""
+    frames = _frames(1)
+    B = len(frames)
+    batch = M.frame_to_batches([frames[b][0] for b in range(B)])[0]
+    act = np.ones(B, np.int32)
+    act[2] = 0
+    act[5] = 0
+    batch = batch._replace(active=jnp.asarray(act))
     rng = np.random.RandomState(0)
-    st = M.DecoderState(
-        store=jnp.asarray(rng.randn(8, 2, 32, 18).astype(np.float32) * .1),
-        v_blocks=jnp.asarray(rng.randn(8, 2, 15, 64).astype(np.float32) * .1))
-    x = dsp.requantize(b.ix, b.scf_l, b.scf_s, b.layout, b.global_gain,
-                       b.scalefac_scale, b.preflag, b.subblock_gain,
-                       exact=False)
-    x = dsp.reorder(x, b.layout)
-    x = dsp.stereo(x, b.layout, b.scf_l, b.scf_s, b.count1, b.ms_flag,
-                   b.is_flag, exact=False)
-    x = dsp.antialias(x, b.layout, b.win_switch, b.block_type, b.mixed)
-
-    p1, s1, v1 = _xla_back(x, st, b)
-    p2, s2, v2 = synthesis_pipeline(x, st.store, st.v_blocks, b.win_switch,
-                                    b.block_type, b.mixed, b.nch, b.active,
-                                    block_slots=4)
-    assert np.abs(np.asarray(p1).astype(np.int32)
-                  - np.asarray(p2).astype(np.int32)).max() <= 1
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-7,
-                               atol=1e-7)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=2e-7,
-                               atol=1e-6)
-    # inactive slots: state must be frozen exactly
-    for slot in (2, 7):
-        np.testing.assert_array_equal(np.asarray(s2)[slot],
-                                      np.asarray(st.store)[slot])
-        np.testing.assert_array_equal(np.asarray(v2)[slot],
-                                      np.asarray(st.v_blocks)[slot])
-        assert (np.asarray(p2)[slot] == 0).all()
+    st0 = PSF.PallasState(
+        store_t=jnp.asarray(rng.randn(2, 18, 32, B).astype(np.float32)),
+        v_t=jnp.asarray(rng.randn(2, 15, 64, B).astype(np.float32)),
+        prev_lines=jnp.asarray(rng.randn(B, 3).astype(np.float32)))
+    pcm, st1 = PSF.decode_granules_pallas(batch, st0, exact=False,
+                                          block_lanes=8)
+    pcm = np.asarray(pcm)
+    for s in (2, 5):
+        assert (pcm[s] == 0).all()
+        np.testing.assert_array_equal(np.asarray(st1.store_t[..., s]),
+                                      np.asarray(st0.store_t[..., s]))
+        np.testing.assert_array_equal(np.asarray(st1.v_t[..., s]),
+                                      np.asarray(st0.v_t[..., s]))
+        np.testing.assert_array_equal(np.asarray(st1.prev_lines[s]),
+                                      np.asarray(st0.prev_lines[s]))
+    assert (pcm[0] != 0).any()
 
 
-def test_pallas_padding_path():
-    b = _batch(6)  # 6 is not a multiple of block_slots=4 -> padding
-    st = M.init_state(6)
-    x = jnp.asarray(np.random.RandomState(1)
-                    .randn(6, 2, 576).astype(np.float32) * 0.01)
-    p, s, v = synthesis_pipeline(x, st.store, st.v_blocks, b.win_switch,
-                                 b.block_type, b.mixed, b.nch, b.active,
-                                 block_slots=4)
-    assert p.shape == (6, 576, 2)
-    assert s.shape == (6, 2, 32, 18) and v.shape == (6, 2, 15, 64)
+def test_pallas_small_batch_fallback():
+    """B below block_lanes clamps the block to B (single-block grid)."""
+    frames = _frames(1)
+    fds = [frames[b][0] for b in range(5)]   # B=5 < block_lanes=8
+    batch = M.frame_to_batches(fds)[0]
+    st_p = PSF.init_pallas_state(5)
+    st_x = M.init_state(5)
+    pp, _ = PSF.decode_granules_pallas(batch, st_p, exact=True,
+                                       block_lanes=8)
+    px, _ = M.decode_granules(batch, st_x, exact=True)
+    np.testing.assert_array_equal(np.asarray(pp), np.asarray(px))
