@@ -172,11 +172,7 @@ def _attest_exact_vs_reference() -> bool:
     return ok
 
 
-def _bench_e2e(seconds: float = 8.0, B: int = 4096,
-               n_distinct: int = 128) -> float:
-    """Full pipeline: native frontend parse + packed upload + TPU decode,
-    over n_distinct genuinely different streams tiled across B slots."""
-    from pdmp3_tpu.runtime import StreamDecoder
+def _e2e_corpus(n_distinct: int = 128):
     from pdmp3_tpu.testing import mp3gen
 
     streams = []
@@ -194,7 +190,18 @@ def _bench_e2e(seconds: float = 8.0, B: int = 4096,
         except AssertionError:
             pass  # generator-infeasible (bitrate, sfreq, reservoir) combo
         i += 1
-    dec = StreamDecoder(B, exact=False)
+    return streams
+
+
+def _bench_e2e(streams, seconds: float = 8.0, B: int = 4096,
+               sparse: bool = False) -> tuple[float, float]:
+    """Full pipeline: native frontend parse + wire upload + TPU decode,
+    over genuinely different streams tiled across B slots.  Returns
+    (rtf, wire_bytes_per_granule)."""
+    from pdmp3_tpu.runtime import SparseStreamDecoder, StreamDecoder
+
+    n_distinct = len(streams)
+    dec = (SparseStreamDecoder if sparse else StreamDecoder)(B, exact=False)
     pos = [0] * B
     src = [streams[i % n_distinct] for i in range(B)]
     for s in range(B):
@@ -204,6 +211,7 @@ def _bench_e2e(seconds: float = 8.0, B: int = 4096,
     p = dec.decode_step(fetch=False)
     jax.block_until_ready(p)
     granules = 0
+    wire_bytes = 0
     last = None
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < seconds:
@@ -218,11 +226,14 @@ def _bench_e2e(seconds: float = 8.0, B: int = 4096,
         na = dec.parse_step()
         if na == 0:
             continue
+        wire_bytes += (dec.wire_bytes() if sparse
+                       else 2 * dec._lay["total"])
         last = dec.decode_step(fetch=False)
         granules += 2 * na
     if last is not None:
         jax.block_until_ready(last)
-    return granules * 576 / 44100.0 / (time.perf_counter() - t0)
+    el = time.perf_counter() - t0
+    return granules * 576 / 44100.0 / el, wire_bytes / max(granules, 1)
 
 
 def _bench_single_core(seconds: float = 3.0):
@@ -300,8 +311,12 @@ def main() -> None:
 
     # end-to-end serving pipeline in THIS harness (native host frontend,
     # one packed wire transfer per frame, device step); bounded by the
-    # single host core + tunnel, not by the design
-    e2e_rtf = _bench_e2e(seconds=8.0)
+    # single host core + tunnel, not by the design.  Dense wire vs the
+    # sparse count1-bounded wire (2-4x fewer bytes on the same streams).
+    e2e_streams = _e2e_corpus(128)
+    e2e_rtf, dense_bpg = _bench_e2e(e2e_streams, seconds=8.0)
+    e2e_rtf_sparse, sparse_bpg = _bench_e2e(e2e_streams, seconds=8.0,
+                                            sparse=True)
 
     # single-core comparison: native scalar decoder vs the reference binary
     native_fps, ref_fps = _bench_single_core()
@@ -332,6 +347,9 @@ def main() -> None:
         **attest,
         "projected_pcie_e2e_rtf": round(pcie_rtf, 1),
         "e2e_serving_rtf_this_harness": round(e2e_rtf, 1),
+        "e2e_serving_rtf_sparse_wire": round(e2e_rtf_sparse, 1),
+        "wire_bytes_per_granule_dense": round(dense_bpg, 1),
+        "wire_bytes_per_granule_sparse": round(sparse_bpg, 1),
         "e2e_distinct_streams": 128,
         "native_singlecore_frames_per_sec": round(native_fps, 1),
         "reference_binary_frames_per_sec": round(ref_fps, 1),

@@ -137,6 +137,28 @@ int pdmp3_parse_step_wire16(pdmp3_handle *const *ids, size_t n_slots,
                             int16_t *ix, int16_t *scf_l, int16_t *scf_s,
                             int16_t *meta, int16_t *active);
 
+/* Sparse count1-bounded wire: every granule's frequency lines are zero
+ * from count1 up (rzero, pdmp3.c:2108-2111), so the spectra ship as
+ * 128-line blocks covering only the nonzero prefix — typically 2-4x
+ * fewer wire bytes than the dense int16 wire.  Blocks are allocated
+ * contiguously from a shared cursor into ix_flat[cap_blocks][128]
+ * (thread-safe; placement varies across thread counts, the block table
+ * makes the device result deterministic).  Per (frame, gr, slot, ch) the
+ * table entry blk[4] is {start_lo, start_hi, n_blocks, 0} (start split
+ * into int16 halves; n_blocks = ceil(clamp(count1,0,576)/128) <= 5, 0
+ * for inactive slots and ch >= nch).  Other sections as
+ * pdmp3_parse_step_wire16.  cap_blocks must cover the worst case
+ * (frames_per_step*2*n_slots*2*5); *blocks_used returns the cursor so
+ * the caller uploads only the used prefix.  Returns active slot count. */
+int pdmp3_parse_step_wire16_sparse(pdmp3_handle *const *ids,
+                                   size_t n_slots, int n_threads,
+                                   size_t frames_per_step,
+                                   int16_t *ix_flat, size_t cap_blocks,
+                                   int16_t *blk, int16_t *scf_l,
+                                   int16_t *scf_s, int16_t *meta,
+                                   int16_t *active,
+                                   long long *blocks_used);
+
 /* Offline whole-stream parse: feed `data` and parse every frame natively
  * (no per-frame FFI round trips).  Tensors are laid out with n_slots =
  * max_frames and slot = frame index, i.e. [2][max_frames][...].  Returns

@@ -8,6 +8,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <atomic>
 #include <new>
 #include <type_traits>
 #include <thread>
@@ -146,6 +147,31 @@ long pdmp3_parse_stream(pdmp3_handle *id, const unsigned char *data,
 // int16 wire variant: every section (spectra, scalefacs, meta, active) is
 // int16 so the device consumes the single uploaded buffer with pure
 // slicing — no byte recombination (which tiles catastrophically on TPU).
+static void write_scf_meta16(const pdmp3_granules &g, int gr, int16_t *pl,
+                             int16_t *ps, int16_t *m) {
+  for (int ch = 0; ch < 2; ch++) {
+    for (int k = 0; k < 22; k++)
+      pl[ch * 22 + k] = (int16_t)g.scf_l[gr][ch][k];
+    const uint8_t *src = &g.scf_s[gr][ch][0][0];
+    for (int k = 0; k < 39; k++) ps[ch * 39 + k] = (int16_t)src[k];
+    m[PDMP3_META_LAYOUT + ch] = (int16_t)g.layout[gr][ch];
+    m[PDMP3_META_BLOCK_TYPE + ch] = (int16_t)g.block_type[gr][ch];
+    m[PDMP3_META_WIN_SWITCH + ch] = (int16_t)g.win_switch[gr][ch];
+    m[PDMP3_META_MIXED + ch] = (int16_t)g.mixed[gr][ch];
+    m[PDMP3_META_GLOBAL_GAIN + ch] = (int16_t)g.global_gain[gr][ch];
+    m[PDMP3_META_SCALEFAC_SCALE + ch] = (int16_t)g.scalefac_scale[gr][ch];
+    m[PDMP3_META_PREFLAG + ch] = (int16_t)g.preflag[gr][ch];
+    m[PDMP3_META_COUNT1 + ch] = (int16_t)g.count1[gr][ch];
+    for (int w = 0; w < 3; w++)
+      m[PDMP3_META_SUBBLOCK_GAIN + ch * 3 + w] =
+          (int16_t)g.subblock_gain[gr][ch][w];
+  }
+  m[PDMP3_META_MS] = (int16_t)g.ms_flag;
+  m[PDMP3_META_IS] = (int16_t)g.is_flag;
+  m[PDMP3_META_NCH] = (int16_t)g.nch;
+  m[PDMP3_META_SAMPLE_RATE] = (int16_t)(g.sample_rate / 25);
+}
+
 static int parse_range16(pdmp3_handle *const *ids, size_t lo, size_t hi,
                          size_t n_slots, size_t frames, int16_t *ix,
                          int16_t *scf_l, int16_t *scf_s, int16_t *meta,
@@ -161,39 +187,21 @@ static int parse_range16(pdmp3_handle *const *ids, size_t lo, size_t hi,
     for (size_t f = 0; f < frames; f++) {
       active[f * n_slots + s] = 0;
       if (!id || id->fp.in.filled() < 2 * 576) continue;
-      if (pdmp3_parse_frame(id, &g) != PDMP3_OK) break;
+      if (pdmp3_parse_frame(id, &g) != PDMP3_OK) {
+        // later frames stay inactive (double-buffered wire: stale
+        // active entries are the previous step's values)
+        for (size_t f2 = f + 1; f2 < frames; f2++)
+          active[f2 * n_slots + s] = 0;
+        break;
+      }
       for (int gr = 0; gr < 2; gr++) {
         size_t base = f * six + (size_t)gr * n_slots * 2 * 576 +
                       s * 2 * 576;
         std::memcpy(ix + base, g.ix[gr], sizeof g.ix[gr]);
-        int16_t *pl = scf_l + f * sl + ((size_t)gr * n_slots + s) * 2 * 22;
-        int16_t *ps = scf_s + f * ss + ((size_t)gr * n_slots + s) * 2 * 39;
-        for (int ch = 0; ch < 2; ch++) {
-          for (int k = 0; k < 22; k++)
-            pl[ch * 22 + k] = (int16_t)g.scf_l[gr][ch][k];
-          const uint8_t *src = &g.scf_s[gr][ch][0][0];
-          for (int k = 0; k < 39; k++) ps[ch * 39 + k] = (int16_t)src[k];
-        }
-        int16_t *m = meta + f * sm +
-                     ((size_t)gr * n_slots + s) * PDMP3_META_WORDS;
-        for (int ch = 0; ch < 2; ch++) {
-          m[PDMP3_META_LAYOUT + ch] = (int16_t)g.layout[gr][ch];
-          m[PDMP3_META_BLOCK_TYPE + ch] = (int16_t)g.block_type[gr][ch];
-          m[PDMP3_META_WIN_SWITCH + ch] = (int16_t)g.win_switch[gr][ch];
-          m[PDMP3_META_MIXED + ch] = (int16_t)g.mixed[gr][ch];
-          m[PDMP3_META_GLOBAL_GAIN + ch] = (int16_t)g.global_gain[gr][ch];
-          m[PDMP3_META_SCALEFAC_SCALE + ch] =
-              (int16_t)g.scalefac_scale[gr][ch];
-          m[PDMP3_META_PREFLAG + ch] = (int16_t)g.preflag[gr][ch];
-          m[PDMP3_META_COUNT1 + ch] = (int16_t)g.count1[gr][ch];
-          for (int w = 0; w < 3; w++)
-            m[PDMP3_META_SUBBLOCK_GAIN + ch * 3 + w] =
-                (int16_t)g.subblock_gain[gr][ch][w];
-        }
-        m[PDMP3_META_MS] = (int16_t)g.ms_flag;
-        m[PDMP3_META_IS] = (int16_t)g.is_flag;
-        m[PDMP3_META_NCH] = (int16_t)g.nch;
-        m[PDMP3_META_SAMPLE_RATE] = (int16_t)(g.sample_rate / 25);
+        write_scf_meta16(
+            g, gr, scf_l + f * sl + ((size_t)gr * n_slots + s) * 2 * 22,
+            scf_s + f * ss + ((size_t)gr * n_slots + s) * 2 * 39,
+            meta + f * sm + ((size_t)gr * n_slots + s) * PDMP3_META_WORDS);
       }
       active[f * n_slots + s] = 1;
       n_active++;
@@ -230,6 +238,127 @@ int pdmp3_parse_step_wire16(pdmp3_handle *const *ids, size_t n_slots,
   return n_active;
 }
 
+// Sparse count1-bounded wire (see pdmp3.h): frequency lines are zero from
+// count1 up (rzero, pdmp3.c:2108-2111), so only ceil(count1/128) 128-line
+// blocks per (gr,ch) ship.  One atomic cursor allocates blocks across
+// threads; the per-channel block table keeps the device result
+// deterministic regardless of placement.
+static int parse_range16_sparse(pdmp3_handle *const *ids, size_t lo,
+                                size_t hi, size_t n_slots, size_t frames,
+                                int16_t *ix_flat, size_t cap_blocks,
+                                std::atomic<long long> *cursor,
+                                int16_t *blk, int16_t *scf_l,
+                                int16_t *scf_s, int16_t *meta,
+                                int16_t *active) {
+  const size_t sb = 2 * n_slots * 2 * 4;
+  const size_t sl = 2 * n_slots * 2 * 22;
+  const size_t ss = 2 * n_slots * 2 * 39;
+  const size_t sm = 2 * n_slots * PDMP3_META_WORDS;
+  int n_active = 0;
+  pdmp3_granules g;
+  for (size_t s = lo; s < hi; s++) {
+    pdmp3_handle *id = ids[s];
+    for (size_t f = 0; f < frames; f++) {
+      active[f * n_slots + s] = 0;
+      bool ok = id && id->fp.in.filled() >= 2 * 576 &&
+                pdmp3_parse_frame(id, &g) == PDMP3_OK;
+      for (int gr = 0; gr < 2; gr++) {
+        int16_t *e =
+            blk + f * sb + (((size_t)gr * n_slots + s) * 2) * 4;
+        if (!ok) {
+          // zero table entries so stale starts never alias live blocks
+          std::memset(e, 0, 2 * 4 * sizeof(int16_t));
+          continue;
+        }
+        for (int ch = 0; ch < 2; ch++, e += 4) {
+          int c1 = ch < g.nch ? (int)g.count1[gr][ch] : 0;
+          if (c1 < 0) c1 = 0;           // Huffman overrun rollback
+          if (c1 > 576) c1 = 576;
+          int nb = (c1 + 127) / 128;
+          long long start = 0;
+          if (nb) {
+            start = cursor->fetch_add(nb);
+            if (start + nb > (long long)cap_blocks) {  // caller sized
+              cursor->fetch_sub(nb);                   // cap too small
+              nb = 0;
+              start = 0;
+            }
+          }
+          if (nb) {
+            int n16 = nb * 128 < 576 ? nb * 128 : 576;
+            std::memcpy(ix_flat + start * 128, g.ix[gr][ch],
+                        (size_t)n16 * sizeof(int16_t));
+            if (nb * 128 > 576)  // 5th block: pad lines 576..639
+              std::memset(ix_flat + start * 128 + 576, 0,
+                          (size_t)(nb * 128 - 576) * sizeof(int16_t));
+          }
+          e[0] = (int16_t)(start & 0xFFFF);
+          e[1] = (int16_t)(start >> 16);
+          e[2] = (int16_t)nb;
+          e[3] = 0;
+        }
+        write_scf_meta16(
+            g, gr, scf_l + f * sl + ((size_t)gr * n_slots + s) * 2 * 22,
+            scf_s + f * ss + ((size_t)gr * n_slots + s) * 2 * 39,
+            meta + f * sm + ((size_t)gr * n_slots + s) * PDMP3_META_WORDS);
+      }
+      if (!ok) {
+        // frames are sequential per stream; later frames of this slot
+        // stay inactive — zero their table entries too (the wire is
+        // double-buffered, so stale entries are the previous step's)
+        for (size_t f2 = f + 1; f2 < frames; f2++) {
+          active[f2 * n_slots + s] = 0;
+          for (int gr = 0; gr < 2; gr++)
+            std::memset(blk + f2 * sb + (((size_t)gr * n_slots + s) * 2) * 4,
+                        0, 2 * 4 * sizeof(int16_t));
+        }
+        break;
+      }
+      active[f * n_slots + s] = 1;
+      n_active++;
+    }
+  }
+  return n_active;
+}
+
+int pdmp3_parse_step_wire16_sparse(pdmp3_handle *const *ids,
+                                   size_t n_slots, int n_threads,
+                                   size_t frames_per_step,
+                                   int16_t *ix_flat, size_t cap_blocks,
+                                   int16_t *blk, int16_t *scf_l,
+                                   int16_t *scf_s, int16_t *meta,
+                                   int16_t *active,
+                                   long long *blocks_used) {
+  std::atomic<long long> cursor{0};
+  int n_active = 0;
+  if (n_threads <= 0)
+    n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 1 || n_slots < 64) {
+    n_active = parse_range16_sparse(ids, 0, n_slots, n_slots,
+                                    frames_per_step, ix_flat, cap_blocks,
+                                    &cursor, blk, scf_l, scf_s, meta,
+                                    active);
+  } else {
+    std::vector<std::thread> pool;
+    std::vector<int> counts((size_t)n_threads, 0);
+    size_t chunk = (n_slots + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      size_t lo = (size_t)t * chunk;
+      size_t hi = lo + chunk < n_slots ? lo + chunk : n_slots;
+      if (lo >= hi) break;
+      pool.emplace_back([=, &counts, &cursor] {
+        counts[(size_t)t] = parse_range16_sparse(
+            ids, lo, hi, n_slots, frames_per_step, ix_flat, cap_blocks,
+            &cursor, blk, scf_l, scf_s, meta, active);
+      });
+    }
+    for (auto &th : pool) th.join();
+    for (int c : counts) n_active += c;
+  }
+  if (blocks_used) *blocks_used = cursor.load();
+  return n_active;
+}
+
 static int parse_range(pdmp3_handle *const *ids, size_t lo, size_t hi,
                        size_t n_slots, size_t frames, int16_t *ix,
                        uint8_t *scf_l, uint8_t *scf_s, int32_t *meta,
@@ -251,7 +380,10 @@ static int parse_range(pdmp3_handle *const *ids, size_t lo, size_t hi,
         active[f * n_slots + s] = 1;
         n_active++;
       } else {
-        break;  // frames are sequential per stream
+        // frames are sequential per stream; later frames stay inactive
+        for (size_t f2 = f + 1; f2 < frames; f2++)
+          active[f2 * n_slots + s] = 0;
+        break;
       }
     }
   }

@@ -267,6 +267,98 @@ def decode_frame_packed(buf, state, B: int, F: int = 1,
     return out, state
 
 
+# ---------------------------------------------------------------------------
+# Sparse count1-bounded wire: every granule's lines are zero from count1 up
+# (rzero, pdmp3.c:2108-2111), so the host ships only ceil(count1/128)
+# 128-line blocks per (gr,ch) plus a tiny block table, cutting wire bytes
+# 2-4x.  The device re-densifies with one row-gather per step.  The flat
+# block region sits LAST in the buffer so the upload is a contiguous
+# prefix sized to the step's actual occupancy (bucketed to keep jit
+# specializations few).
+# ---------------------------------------------------------------------------
+
+SPARSE_BLOCK = 128          # lines per block (one int16 lane row)
+_BLK_WORDS = 4              # {start_lo, start_hi, n_blocks, pad}
+_MAX_BLOCKS_PER_CH = 5      # ceil(576 / 128)
+
+
+def sparse_worst_blocks(B: int, F: int = 1) -> int:
+    return F * 2 * B * 2 * _MAX_BLOCKS_PER_CH
+
+
+def sparse_layout(B: int, F: int = 1, cap_blocks: int | None = None) -> dict:
+    """Element offsets (int16 units) of the sparse wire.  Fixed-size
+    sections first; the variable flat spectra region last, so a transfer
+    of buf[:fixed + cap_blocks*SPARSE_BLOCK] carries a whole step."""
+    if cap_blocks is None:
+        cap_blocks = sparse_worst_blocks(B, F)
+    off = {}
+    pos = 0
+
+    def sec(name, nelems):
+        nonlocal pos
+        off[name] = (pos, nelems)
+        pos += (nelems + 1) & ~1  # keep 4-byte alignment
+
+    sec("blk", F * 2 * B * 2 * _BLK_WORDS)
+    sec("scf_l", F * 2 * B * 2 * 22)
+    sec("scf_s", F * 2 * B * 2 * 39)
+    sec("meta", F * 2 * B * _META_WORDS)
+    sec("active", F * B)
+    off["fixed"] = pos
+    sec("ix_flat", cap_blocks * SPARSE_BLOCK)
+    off["total"] = pos
+    off["cap_blocks"] = cap_blocks
+    return off
+
+
+@functools.partial(jax.jit, static_argnames=("B", "F", "cap_blocks",
+                                             "exact", "bug_compat"))
+def decode_frame_sparse(buf, state, B: int, F: int = 1,
+                        cap_blocks: int = 0, exact: bool = False,
+                        bug_compat: bool = True):
+    """decode_frame_soa over the sparse count1-bounded wire (buf: int16
+    [sparse_layout(B, F, cap_blocks)['total']]).  Bit-identical to the
+    dense wire: lines beyond each channel's shipped blocks are exactly
+    the rzero zeros the dense wire carries (frame.cc:375-377).
+    Returns (pcm i16 [B, F*1152, 2], new_state)."""
+    off = sparse_layout(B, F, cap_blocks)
+
+    def sect(name, shape):
+        o, n = off[name]
+        return jax.lax.dynamic_slice_in_dim(buf, o, n).reshape(shape)
+
+    blk = sect("blk", (F, 2, B, 2, _BLK_WORDS)).astype(jnp.int32)
+    scf_l = sect("scf_l", (F, 2, B, 2, 22))
+    scf_s = sect("scf_s", (F, 2, B, 2, 39))
+    meta = sect("meta", (F, 2, B, _META_WORDS)).astype(jnp.int32)
+    active = sect("active", (F, B)).astype(jnp.int32)
+    flat = sect("ix_flat", (cap_blocks, SPARSE_BLOCK))
+
+    # re-densify: per (f,gr,slot,ch) gather n_blocks 128-line rows from
+    # the flat region; masked rows (and everything past block 4's line
+    # 576) are zero, exactly matching the dense wire's rzero tail
+    start = (blk[..., 1] << 16) | (blk[..., 0] & 0xFFFF)   # [F,2,B,2]
+    nb = blk[..., 2]
+    iota = jnp.arange(_MAX_BLOCKS_PER_CH, dtype=jnp.int32)
+    mask = iota < nb[..., None]                            # [F,2,B,2,5]
+    bidx = jnp.clip(jnp.where(mask, start[..., None] + iota, 0),
+                    0, cap_blocks - 1)
+    vals = jnp.take(flat, bidx, axis=0)                    # [...,5,128]
+    vals = jnp.where(mask[..., None], vals, 0)
+    ix = vals.reshape(F, 2, B, 2,
+                      _MAX_BLOCKS_PER_CH * SPARSE_BLOCK)[..., :576]
+
+    pcms = []
+    for f in range(F):
+        pcm, state = decode_frame_soa.__wrapped__(
+            ix[f], scf_l[f], scf_s[f], meta[f], active[f], state, exact,
+            bug_compat)
+        pcms.append(pcm)
+    out = pcms[0] if F == 1 else jnp.concatenate(pcms, axis=1)
+    return out, state
+
+
 class JaxDSP:
     """Single-stream DSP adapter with the OracleDSP interface, so the
     streaming API (api.PDMP3) can run its backend on TPU."""

@@ -1,5 +1,6 @@
 """Serving runtime: stream scheduler, granule packer, batched decode."""
 
-from .scheduler import StreamDecoder, decode_files_batched
+from .scheduler import (SparseStreamDecoder, StreamDecoder,
+                        decode_files_batched)
 
-__all__ = ["StreamDecoder", "decode_files_batched"]
+__all__ = ["SparseStreamDecoder", "StreamDecoder", "decode_files_batched"]

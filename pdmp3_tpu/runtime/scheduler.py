@@ -56,8 +56,8 @@ class StreamDecoder:
         self.state = M.init_state(n_slots)
         # frame step tensors live as views into ONE packed wire buffer:
         # the native parse writes in place and the device upload is a
-        # single transfer (models.decoder.soa_layout)
-        lay = M.soa_layout(n_slots, frames_per_step)
+        # single transfer (models.decoder.soa_layout / sparse_layout)
+        lay = self._make_layout()
         # double-buffered wire: the device upload of step t is async, so
         # the host parses step t+1 into the other buffer (overlap without
         # racing the in-flight transfer)
@@ -66,6 +66,9 @@ class StreamDecoder:
         self._lay = lay
         self._bind_views()
         self._finish_init()
+
+    def _make_layout(self) -> dict:
+        return M.soa_layout(self.n, self.F)
 
     def _bind_views(self):
         lay = self._lay
@@ -160,6 +163,91 @@ class StreamDecoder:
             v_blocks=jnp.asarray(ckpt["v_blocks"]),
             prev_lines=(jnp.zeros((self.n, 3), jnp.float32)
                         if prev is None else jnp.asarray(prev)))
+
+
+class SparseStreamDecoder(StreamDecoder):
+    """StreamDecoder over the count1-bounded sparse wire: spectra ship as
+    128-line blocks covering only each channel's nonzero prefix (rzero is
+    zero from count1 up, pdmp3.c:2108-2111), typically 2-4x fewer wire
+    bytes per step than the dense wire — the binding constraint for
+    transfer-inclusive throughput on any interconnect.  PCM is
+    bit-identical to the dense path."""
+
+    def _make_layout(self) -> dict:
+        self._cap_full = M.sparse_worst_blocks(self.n, self.F)
+        return M.sparse_layout(self.n, self.F, self._cap_full)
+
+    def _bind_views(self):
+        lay = self._lay
+        self.wire = self._wires[self._cur]
+
+        def view(name, shape):
+            o, n = lay[name]
+            return self.wire[o:o + n].reshape(shape)
+
+        F = self.F
+        self.blk = view("blk", (F * 2, self.n, 2, 4))
+        self.scf_l = view("scf_l", (F * 2, self.n, 2, 22))
+        self.scf_s = view("scf_s", (F * 2, self.n, 2, 39))
+        self.meta = view("meta", (F * 2, self.n, _META))
+        self.active = view("active",
+                           (self.n,) if F == 1 else (F, self.n))
+        self.ix_flat = view("ix_flat", (self._cap_full, M.SPARSE_BLOCK))
+
+    def _finish_init(self):
+        self._fn = lib().pdmp3_parse_step_wire16_sparse
+        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int, C.c_size_t,
+                             C.c_void_p, C.c_size_t, C.c_void_p,
+                             C.c_void_p, C.c_void_p, C.c_void_p,
+                             C.c_void_p, C.POINTER(C.c_longlong)]
+        self._handle_arr = (C.c_void_p * self.n)(
+            *[h._h for h in self.handles])
+        self._used = C.c_longlong(0)
+
+    def parse_step(self) -> int:
+        return self._fn(self._handle_arr, self.n, self.parse_threads,
+                        self.F,
+                        self.ix_flat.ctypes.data_as(C.c_void_p),
+                        self._cap_full,
+                        self.blk.ctypes.data_as(C.c_void_p),
+                        self.scf_l.ctypes.data_as(C.c_void_p),
+                        self.scf_s.ctypes.data_as(C.c_void_p),
+                        self.meta.ctypes.data_as(C.c_void_p),
+                        self.active.ctypes.data_as(C.c_void_p),
+                        C.byref(self._used))
+
+    def _bucket_blocks(self) -> int:
+        """Step occupancy rounded up to 1/8ths of worst case, and sticky
+        upward: occupancy dips never shrink the bucket, so the decoder
+        compiles at most 8 specializations total and a fluctuating
+        active-slot count can't trigger mid-serving recompiles (a
+        recompile costs ~10^4 steps of decode time)."""
+        used = max(int(self._used.value), 1)
+        gran = max(64, -(-self._cap_full // 8))
+        b = min(-(-used // gran) * gran, self._cap_full)
+        self._bucket_sticky = max(b, getattr(self, "_bucket_sticky", 0))
+        return self._bucket_sticky
+
+    def wire_bytes(self) -> int:
+        """Bytes the next decode_step will actually upload."""
+        return 2 * (self._lay["fixed"]
+                    + self._bucket_blocks() * M.SPARSE_BLOCK)
+
+    def decode_step(self, fetch: bool = True):
+        if not self.active.any():
+            return None
+        import jax
+        cap = self._bucket_blocks()
+        upload = self.wire[:self._lay["fixed"] + cap * M.SPARSE_BLOCK]
+        pcm, self.state = M.decode_frame_sparse(
+            jax.device_put(upload), self.state, B=self.n, F=self.F,
+            cap_blocks=cap, exact=self.exact, bug_compat=self.bug_compat)
+        act, meta = self.active.copy(), self.meta.copy()
+        self._cur ^= 1
+        self._bind_views()
+        self.active[:] = act
+        self.meta[:] = meta
+        return np.asarray(pcm) if fetch else pcm
 
 
 def decode_files_batched(files: list[bytes], n_slots: int | None = None,
