@@ -6,10 +6,12 @@ state never leaves its device, the per-step SoA tensors upload sharded,
 and the decode step runs SPMD (no collectives on the decode path — the
 psum telemetry in parallel/sharding.py is the only cross-chip traffic).
 
-On a real pod each host runs the native frontend for its local shard of
-streams (one process per host, jax distributed init); this class expresses
-the single-controller form, which is also what the virtual-device tests
-exercise.
+This class expresses the single-controller form (one process addresses
+every device), which is also what the virtual-device tests exercise.
+The per-host form — one process per host running its own native
+frontend, stitched by jax.distributed into one global mesh — is
+runtime/multihost.MultiHostStreamDecoder, tested with two real OS
+processes in tests/test_multihost.py.
 """
 from __future__ import annotations
 

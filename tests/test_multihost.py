@@ -1,0 +1,89 @@
+"""Multi-host serving form (runtime/multihost.py): two real OS processes,
+each with its own native frontend and 4 virtual CPU devices, stitched by
+jax.distributed into one 8-device mesh.  Each process decodes its own
+slot slice; PCM must be bit-exact vs the native scalar decoder."""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_ENABLE_X64"] = "1"
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4 "
+                               "--xla_backend_optimization_level=0")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=pid)
+    assert jax.process_count() == 2 and len(jax.devices()) == 8
+    import numpy as np
+    from pdmp3_tpu.host import native_decode_file
+    from pdmp3_tpu.runtime.multihost import MultiHostStreamDecoder
+    from pdmp3_tpu.testing import mp3gen
+
+    N_GLOBAL, N_LOCAL = 8, 4
+    streams = [mp3gen.make_stream(
+        n_frames=5, seed=900 + g,
+        blocks=["long", "varied", "short", "mixed"][g % 4],
+        mode=[0, 1, 1, 3][g % 4], mode_extension=2 if g % 2 else 0)
+        for g in range(N_GLOBAL)]
+    dec = MultiHostStreamDecoder(N_GLOBAL, exact=True)
+    for s in range(N_LOCAL):
+        r = dec.feed(s, streams[pid * N_LOCAL + s])
+        assert r == 0, r
+    outs = [[] for _ in range(N_LOCAL)]
+    for _ in range(64):
+        na = dec.parse_step()
+        if dec.global_active(na) == 0:
+            break
+        pcm = dec.decode_step()
+        assert pcm.shape == (N_LOCAL, 1152, 2)
+        for s in range(N_LOCAL):
+            if dec.active[s]:
+                nch = dec.nch(s)
+                outs[s].append(pcm[s][:, 0].tobytes() if nch == 1
+                               else pcm[s].tobytes())
+    for s in range(N_LOCAL):
+        want = native_decode_file(streams[pid * N_LOCAL + s])
+        got = b"".join(outs[s])
+        assert got[:len(want)] == want, f"slot {s} PCM mismatch"
+        assert len(got) >= len(want), (len(got), len(want))
+    with open(os.path.join(outdir, f"ok{pid}"), "w") as f:
+        f.write("MH_OK")
+""")
+
+
+def test_two_process_mesh_decode(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "PALLAS_AXON_POOL_IPS")}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out.decode(errors="replace"))
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{log[-4000:]}"
+        assert (tmp_path / f"ok{pid}").read_text() == "MH_OK"
