@@ -117,59 +117,7 @@ def test_vbr_with_reservoir():
     assert_bit_exact(stream)
 
 
-def _first_oob_frame(stream: bytes) -> int | None:
-    """PCM byte offset at which bit-parity with the reference stops being
-    defined: the start of the first decoded frame where any granule's
-    spectrum extent escapes the defined region — count1/big_values past
-    576 lines (the reference overflows is[] and corrupts its own handle,
-    pdmp3.c:2078-2088).  The in-bounds scalefactor OOB aliasing (count1
-    past band 21/12 but <= 576) is emulated exactly and needs no carve-
-    out.  Instruments the exact decode_file feed/read loop: in starved
-    regimes the parse results depend on feed boundaries.  None if the
-    stream never hits it."""
-    from pdmp3_tpu.api import PDMP3
-    from pdmp3_tpu import tables as TT
-
-    oob_at = None
-
-    class Spy(PDMP3):
-        def read(self, outsize):
-            nonlocal oob_at
-            orig = self.fe.read_frame
-
-            def spy():
-                nonlocal oob_at
-                res, fd = orig()
-                if res == TT.OK and oob_at is None:
-                    s = fd.side
-                    for gr in range(2):
-                        for ch in range(fd.header.nch):
-                            if (int(s.count1[gr][ch]) > 576
-                                    or int(s.big_values[gr][ch]) * 2 > 576):
-                                oob_at = self._pcm_bytes
-                    self._pcm_bytes += 1152 * 2 * fd.header.nch
-                return res, fd
-
-            self.fe.read_frame = spy
-            try:
-                return super().read(outsize)
-            finally:
-                self.fe.read_frame = orig
-
-    h = Spy()
-    h._pcm_bytes = 0
-    h.open_feed()
-    pos = 0
-    while True:
-        res, _ = h.read(TT.INBUF_SIZE)
-        if res == TT.ERR or oob_at is not None:
-            break
-        if res == TT.NEED_MORE:
-            if pos >= len(stream):
-                break
-            h.feed(stream[pos:pos + 4096])
-            pos += 4096
-    return oob_at
+from pdmp3_tpu.testing.golden import first_oob_frame as _first_oob_frame  # noqa: E402 (shared with tools/soak.py)
 
 
 def test_midstream_corruption_resync():

@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Large-scale differential soak: thousands of randomized format-matrix
+streams, each decoded by the reference C binary, the native C++ decoder,
+and the Python/NumPy oracle — all three must agree bit-for-bit (or, for
+streams that drive the reference into its is[]-overflow UB regime, hold
+the bit-exact-prefix contract up to the first OOB frame; see
+tests/test_fuzz_differential.py's module docstring for the mechanism).
+
+Seed ranges are resumable and the summary artifact is cumulative: each
+run merges its range into --out (default SOAK_r02.json), so a soak can
+be split across sessions:
+
+    python tools/soak.py --start 0 --count 2000
+    python tools/soak.py --start 2000 --count 8000     # later
+
+Seed bases match the round-1 soak convention (config RNG 200000+i,
+stream seed 201000+i) so any failure here reproduces directly as a
+`_SOAK_SEEDS` regression entry in tests/test_fuzz_differential.py.
+Every 64th stream additionally runs through the batched JAX exact path
+(CPU) as a fourth implementation.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "backend_optimization_level" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_backend_optimization_level=0").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+CFG_BASE = 200000
+STREAM_BASE = 201000
+
+
+def random_config(rng: random.Random) -> dict:
+    """Format-matrix sampler (mirrors tests/test_fuzz_differential.py)."""
+    mode = rng.choice([0, 1, 1, 2, 3])
+    cfg = dict(
+        n_frames=rng.randrange(4, 10),
+        sfreq=rng.randrange(3),
+        bitrate_index=rng.choice([5, 9, 11, 14]),
+        mode=mode,
+        blocks=rng.choice(["long", "short", "mixed", "varied"]),
+        use_reservoir=rng.random() < 0.5,
+        protection=rng.random() < 0.3,
+        vary_padding=rng.random() < 0.5,
+        stuffing=rng.choice([0, 0, 3, 8]),
+        scfsi=rng.random() < 0.4,
+        amp=rng.choice([3, 6, 20, 3000]),
+        leading_garbage=rng.choice([0, 0, 0, 111]),
+    )
+    if mode == 1:
+        ext = rng.randrange(1, 4)
+        cfg["mode_extension"] = ext
+        if ext & 1:
+            cfg["intensity_pos"] = True
+            cfg["stereo_extent_ch1"] = rng.uniform(0.2, 0.8)
+    return cfg
+
+
+def soak_one(i: int, jax_every: int) -> str:
+    """Returns one of: ok / oob_prefix_ok / infeasible / FAIL:<detail>."""
+    from pdmp3_tpu import decode_file
+    from pdmp3_tpu.host import native_decode_file
+    from pdmp3_tpu.testing import mp3gen
+    from pdmp3_tpu.testing.golden import first_oob_frame, reference_decode
+
+    rng = random.Random(CFG_BASE + i)
+    cfg = random_config(rng)
+    try:
+        stream = mp3gen.make_stream(seed=STREAM_BASE + i, **cfg)
+    except (AssertionError, RuntimeError):
+        return "infeasible"
+    ref = reference_decode(stream)
+    outs = {"native": native_decode_file(stream),
+            "oracle": decode_file(stream)}
+    if jax_every and i % jax_every == 0:
+        from pdmp3_tpu.models.decoder import JaxDSP
+        outs["jax"] = decode_file(stream, dsp=JaxDSP(exact=True))
+    if all(o == ref for o in outs.values()):
+        return "ok"
+    oob = first_oob_frame(stream)
+    if oob is None:
+        bad = [k for k, o in outs.items() if o != ref]
+        return f"FAIL:strict-mismatch:{','.join(bad)}:{cfg}"
+    n = min(oob, len(ref))
+    bad = [k for k, o in outs.items() if o[:n] != ref[:n]]
+    if bad:
+        return f"FAIL:prefix-mismatch@{oob}:{','.join(bad)}:{cfg}"
+    return "oob_prefix_ok"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--count", type=int, default=2000)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SOAK_r02.json"))
+    ap.add_argument("--jax-every", type=int, default=64,
+                    help="run every Nth stream through the batched JAX "
+                         "exact path too (0 = never)")
+    ap.add_argument("--progress-every", type=int, default=200)
+    args = ap.parse_args()
+
+    tally = {"ok": 0, "oob_prefix_ok": 0, "infeasible": 0}
+    failures: list[dict] = []
+    t0 = time.time()
+    for k, i in enumerate(range(args.start, args.start + args.count)):
+        r = soak_one(i, args.jax_every)
+        if r.startswith("FAIL"):
+            failures.append({"seed": i, "detail": r})
+            print(f"seed {i}: {r}", flush=True)
+        else:
+            tally[r] += 1
+        if args.progress_every and (k + 1) % args.progress_every == 0:
+            rate = (k + 1) / (time.time() - t0)
+            print(f"[{k + 1}/{args.count}] {tally} fails={len(failures)} "
+                  f"({rate:.1f} streams/s)", flush=True)
+
+    summary = {"ranges": [], "streams": 0, "ok": 0, "oob_prefix_ok": 0,
+               "infeasible": 0, "failures": [],
+               "seed_bases": {"config": CFG_BASE, "stream": STREAM_BASE}}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            summary.update(json.load(f))
+    summary["ranges"].append([args.start, args.count])
+    summary["streams"] += args.count
+    for key in tally:
+        summary[key] += tally[key]
+    summary["failures"].extend(failures)
+    summary["elapsed_s"] = round(
+        summary.get("elapsed_s", 0) + time.time() - t0, 1)
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: summary[k] for k in
+                      ("streams", "ok", "oob_prefix_ok", "infeasible")}
+                     | {"failures": len(summary["failures"])}))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
