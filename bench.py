@@ -194,14 +194,16 @@ def _e2e_corpus(n_distinct: int = 128):
 
 
 def _bench_e2e(streams, seconds: float = 8.0, B: int = 4096,
-               sparse: bool = False) -> tuple[float, float]:
+               sparse: bool = False,
+               kernel: str = "xla") -> tuple[float, float]:
     """Full pipeline: native frontend parse + wire upload + TPU decode,
     over genuinely different streams tiled across B slots.  Returns
     (rtf, wire_bytes_per_granule)."""
     from pdmp3_tpu.runtime import SparseStreamDecoder, StreamDecoder
 
     n_distinct = len(streams)
-    dec = (SparseStreamDecoder if sparse else StreamDecoder)(B, exact=False)
+    dec = (SparseStreamDecoder if sparse else StreamDecoder)(
+        B, exact=False, kernel=kernel)
     pos = [0] * B
     src = [streams[i % n_distinct] for i in range(B)]
     for s in range(B):
@@ -317,6 +319,9 @@ def main() -> None:
     e2e_rtf, dense_bpg = _bench_e2e(e2e_streams, seconds=8.0)
     e2e_rtf_sparse, sparse_bpg = _bench_e2e(e2e_streams, seconds=8.0,
                                             sparse=True)
+    # flagship serving config: sparse wire + fused Pallas kernel
+    e2e_rtf_flagship, _ = _bench_e2e(e2e_streams, seconds=8.0,
+                                     sparse=True, kernel="pallas")
 
     # single-core comparison: native scalar decoder vs the reference binary
     native_fps, ref_fps = _bench_single_core()
@@ -348,6 +353,7 @@ def main() -> None:
         "projected_pcie_e2e_rtf": round(pcie_rtf, 1),
         "e2e_serving_rtf_this_harness": round(e2e_rtf, 1),
         "e2e_serving_rtf_sparse_wire": round(e2e_rtf_sparse, 1),
+        "e2e_serving_rtf_sparse_pallas": round(e2e_rtf_flagship, 1),
         "wire_bytes_per_granule_dense": round(dense_bpg, 1),
         "wire_bytes_per_granule_sparse": round(sparse_bpg, 1),
         "e2e_distinct_streams": 128,

@@ -198,19 +198,36 @@ def _batch_from_meta(ix, scf_l, scf_s, meta, active, gr: int):
         gr1=jnp.full(B, gr, jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("exact", "bug_compat"))
+def _granule_step(kernel: str):
+    """Select the per-granule device program: the XLA pipeline
+    (decode_granules, DecoderState) or the fused feature-major Pallas
+    kernel (ops/pallas_step, PallasState) — same (pcm, state) contract,
+    state layouts differ (convert with state_to/from_pallas)."""
+    if kernel == "pallas":
+        from ..ops.pallas_step import decode_granules_pallas
+
+        def step(b, s, e, bc):
+            return decode_granules_pallas.__wrapped__(b, s, e, bc, 128)
+        return step
+    assert kernel == "xla", kernel
+    return lambda b, s, e, bc: decode_granules.__wrapped__(b, s, e, bc)
+
+
+@functools.partial(jax.jit, static_argnames=("exact", "bug_compat",
+                                             "kernel"))
 def decode_frame_soa(ix2, scf_l2, scf_s2, meta2, active, state,
-                     exact: bool = False, bug_compat: bool = True):
+                     exact: bool = False, bug_compat: bool = True,
+                     kernel: str = "xla"):
     """Decode a whole frame (two granule steps) from the native frontend's
     SoA tensors: ix2 i16 [2,B,2,576], scf_l2 u8 [2,B,2,22], scf_s2 u8
     [2,B,2,39], meta2 i32 [2,B,32], active i32 [B].
     Returns (pcm i16 [B,1152,2], new_state)."""
+    step = _granule_step(kernel)
     outs = []
     for gr in range(2):
         batch = _batch_from_meta(ix2[gr], scf_l2[gr], scf_s2[gr],
                                  meta2[gr], active, gr)
-        pcm, state = decode_granules.__wrapped__(batch, state, exact,
-                                                 bug_compat)
+        pcm, state = step(batch, state, exact, bug_compat)
         outs.append(pcm)
     return jnp.concatenate(outs, axis=1), state
 
@@ -240,9 +257,11 @@ def soa_layout(B: int, F: int = 1) -> dict:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("B", "F", "exact", "bug_compat"))
+                   static_argnames=("B", "F", "exact", "bug_compat",
+                                    "kernel"))
 def decode_frame_packed(buf, state, B: int, F: int = 1,
-                        exact: bool = False, bug_compat: bool = True):
+                        exact: bool = False, bug_compat: bool = True,
+                        kernel: str = "xla"):
     """decode_frame_soa over the packed single-buffer wire format, F
     frames per dispatch (buf: int16 [soa_layout(B, F)['total']]).
     Returns (pcm i16 [B, F*1152, 2], new_state)."""
@@ -261,7 +280,7 @@ def decode_frame_packed(buf, state, B: int, F: int = 1,
     for f in range(F):
         pcm, state = decode_frame_soa.__wrapped__(
             ix[f], scf_l[f], scf_s[f], meta[f], active[f], state, exact,
-            bug_compat)
+            bug_compat, kernel)
         pcms.append(pcm)
     out = pcms[0] if F == 1 else jnp.concatenate(pcms, axis=1)
     return out, state
@@ -313,10 +332,11 @@ def sparse_layout(B: int, F: int = 1, cap_blocks: int | None = None) -> dict:
 
 
 @functools.partial(jax.jit, static_argnames=("B", "F", "cap_blocks",
-                                             "exact", "bug_compat"))
+                                             "exact", "bug_compat",
+                                             "kernel"))
 def decode_frame_sparse(buf, state, B: int, F: int = 1,
                         cap_blocks: int = 0, exact: bool = False,
-                        bug_compat: bool = True):
+                        bug_compat: bool = True, kernel: str = "xla"):
     """decode_frame_soa over the sparse count1-bounded wire (buf: int16
     [sparse_layout(B, F, cap_blocks)['total']]).  Bit-identical to the
     dense wire: lines beyond each channel's shipped blocks are exactly
@@ -353,7 +373,7 @@ def decode_frame_sparse(buf, state, B: int, F: int = 1,
     for f in range(F):
         pcm, state = decode_frame_soa.__wrapped__(
             ix[f], scf_l[f], scf_s[f], meta[f], active[f], state, exact,
-            bug_compat)
+            bug_compat, kernel)
         pcms.append(pcm)
     out = pcms[0] if F == 1 else jnp.concatenate(pcms, axis=1)
     return out, state

@@ -36,7 +36,8 @@ class StreamDecoder:
 
     def __init__(self, n_slots: int, exact: bool = False,
                  bug_compat: bool = True, parse_threads: int = 1,
-                 frames_per_step: int = 1, profile: int = 0):
+                 frames_per_step: int = 1, profile: int = 0,
+                 kernel: str = "xla"):
         from ..host import PROFILE_SPEC_INTENSITY
 
         self.n = n_slots
@@ -48,12 +49,21 @@ class StreamDecoder:
         self.parse_threads = parse_threads
         self.F = frames_per_step
         self.profile = profile
+        # kernel="pallas" decodes with the fused feature-major Pallas
+        # kernel (ops/pallas_step) — the fastest path on TPU hardware
+        # (BENCH artifact); "xla" is the reference pipeline and the only
+        # option under pjit sharding (sharded/multihost subclasses)
+        self.kernel = kernel
         self.handles = [NativePDMP3() for _ in range(n_slots)]
         for h in self.handles:
             if profile:
                 h.set_profile(profile)
             h.open_feed()
-        self.state = M.init_state(n_slots)
+        if kernel == "pallas":
+            from ..ops.pallas_step import init_pallas_state
+            self.state = init_pallas_state(n_slots)
+        else:
+            self.state = M.init_state(n_slots)
         # frame step tensors live as views into ONE packed wire buffer:
         # the native parse writes in place and the device upload is a
         # single transfer (models.decoder.soa_layout / sparse_layout)
@@ -128,7 +138,8 @@ class StreamDecoder:
         import jax
         pcm, self.state = M.decode_frame_packed(
             jax.device_put(self.wire), self.state, B=self.n, F=self.F,
-            exact=self.exact, bug_compat=self.bug_compat)
+            exact=self.exact, bug_compat=self.bug_compat,
+            kernel=self.kernel)
         # swap to the other wire buffer for the next parse (the upload of
         # this one may still be in flight); carry the just-decoded step's
         # active/meta over so post-decode queries keep working
@@ -146,11 +157,18 @@ class StreamDecoder:
     # recurrent state; a restored decoder continues bit-identically ----
 
     def save_checkpoint(self) -> dict:
+        """Checkpoint blobs are always in the canonical DecoderState
+        layout, so a decoder restored with a different kernel continues
+        bit-identically."""
+        state = self.state
+        if self.kernel == "pallas":
+            from ..ops.pallas_step import state_from_pallas
+            state = state_from_pallas(state)
         return {
             "handles": [h.save_state() for h in self.handles],
-            "store": np.asarray(self.state.store),
-            "v_blocks": np.asarray(self.state.v_blocks),
-            "prev_lines": np.asarray(self.state.prev_lines),
+            "store": np.asarray(state.store),
+            "v_blocks": np.asarray(state.v_blocks),
+            "prev_lines": np.asarray(state.prev_lines),
         }
 
     def restore_checkpoint(self, ckpt: dict) -> None:
@@ -158,11 +176,15 @@ class StreamDecoder:
         for h, blob in zip(self.handles, ckpt["handles"]):
             h.restore_state(blob)
         prev = ckpt.get("prev_lines")
-        self.state = M.DecoderState(
+        state = M.DecoderState(
             store=jnp.asarray(ckpt["store"]),
             v_blocks=jnp.asarray(ckpt["v_blocks"]),
             prev_lines=(jnp.zeros((self.n, 3), jnp.float32)
                         if prev is None else jnp.asarray(prev)))
+        if self.kernel == "pallas":
+            from ..ops.pallas_step import state_to_pallas
+            state = state_to_pallas(state)
+        self.state = state
 
 
 class SparseStreamDecoder(StreamDecoder):
@@ -241,7 +263,8 @@ class SparseStreamDecoder(StreamDecoder):
         upload = self.wire[:self._lay["fixed"] + cap * M.SPARSE_BLOCK]
         pcm, self.state = M.decode_frame_sparse(
             jax.device_put(upload), self.state, B=self.n, F=self.F,
-            cap_blocks=cap, exact=self.exact, bug_compat=self.bug_compat)
+            cap_blocks=cap, exact=self.exact, bug_compat=self.bug_compat,
+            kernel=self.kernel)
         act, meta = self.active.copy(), self.meta.copy()
         self._cur ^= 1
         self._bind_views()

@@ -33,6 +33,9 @@ class ShardedStreamDecoder(StreamDecoder):
         super().__init__(n_slots, exact=exact, bug_compat=bug_compat,
                          parse_threads=parse_threads)
         assert self.F == 1, "sharded serving uses one frame per step"
+        assert self.kernel == "xla", \
+            "pjit-sharded serving uses the XLA kernel (pallas_call is " \
+            "not auto-partitioned; see scheduler.StreamDecoder.kernel)"
         self.mesh = mesh if mesh is not None else make_mesh()
         assert n_slots % self.mesh.size == 0, (n_slots, self.mesh.size)
         shard = lambda x: jax.device_put(

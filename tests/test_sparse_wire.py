@@ -113,3 +113,63 @@ def test_sparse_layout_blocks_bound():
     o, n = lay["ix_flat"]
     assert o == lay["fixed"]
     assert o + n <= lay["total"]
+
+
+def test_pallas_kernel_serving_equals_xla(corpus):
+    """kernel='pallas' serves through the same wire formats with the same
+    PCM (exact mode bitwise; the suite's CPU mesh runs the kernel in
+    interpreter mode — compiled equivalence is attested on hardware by
+    bench.py)."""
+    d_out, _ = _run(StreamDecoder, corpus, 4, exact=True)
+
+    class _Pallas(StreamDecoder):
+        def __init__(self, n, **kw):
+            super().__init__(n, kernel="pallas", **kw)
+
+    class _PallasSparse(SparseStreamDecoder):
+        def __init__(self, n, **kw):
+            super().__init__(n, kernel="pallas", **kw)
+
+    p_out, _ = _run(_Pallas, corpus, 4, exact=True)
+    ps_out, _ = _run(_PallasSparse, corpus, 4, exact=True)
+    for s in range(4):
+        assert (d_out[s] == p_out[s]).all(), f"dense slot {s}"
+        assert (d_out[s] == ps_out[s]).all(), f"sparse slot {s}"
+
+
+def test_checkpoint_roundtrip_across_kernels(corpus):
+    """A checkpoint taken on the XLA kernel restores into a Pallas-kernel
+    decoder (and vice versa) and continues bit-identically — checkpoints
+    are canonical DecoderState layout."""
+    def drive(dec, n_steps):
+        pos = getattr(dec, "_pos", [0, 0])
+        out = []
+        for _ in range(n_steps):
+            for s in range(2):
+                d = corpus[s]
+                while pos[s] < len(d) and dec.inbuf_free(s) >= 4096:
+                    k = min(4096, len(d) - pos[s])
+                    dec.feed(s, d[pos[s]:pos[s] + k])
+                    pos[s] += k
+            if dec.parse_step() == 0:
+                break
+            out.append(np.asarray(dec.decode_step()))
+        dec._pos = pos
+        return out
+
+    a = StreamDecoder(2, exact=True)
+    drive(a, 3)
+    ckpt = a.save_checkpoint()
+    pos_at_ckpt = list(a._pos)
+    rest_a = drive(a, 3)
+
+    # replay on the other kernel: the checkpoint snapshots the host ring
+    # + DSP carries, so feeding the same remaining bytes must reproduce
+    # the same PCM
+    b = StreamDecoder(2, exact=True, kernel="pallas")
+    b.restore_checkpoint(ckpt)
+    b._pos = pos_at_ckpt
+    rest_b = drive(b, 3)
+    assert len(rest_a) == len(rest_b)
+    for x, y in zip(rest_a, rest_b):
+        assert (x == y).all()

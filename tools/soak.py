@@ -30,13 +30,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Env vars alone are NOT enough here: the axon sitecustomize imports jax
+# at interpreter startup (before this module runs), freezing the config
+# with x64 off and the tunnel-TPU platform registered.  Exact mode needs
+# x64 (f64 rounding points) and the soak belongs on CPU (deterministic,
+# leaves the chip to the bench), so pin via jax.config, which wins.
 flags = os.environ.get("XLA_FLAGS", "")
 if "backend_optimization_level" not in flags:
+    # XLA:CPU FMA contraction breaks scalar-exact bit parity (conftest)
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_backend_optimization_level=0").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+if jax.default_backend() != "cpu":  # backend already initialized on axon
+    from jax._src.api import clear_backends
+    clear_backends()
 
 CFG_BASE = 200000
 STREAM_BASE = 201000
