@@ -67,14 +67,18 @@ def init_state(batch_size: int) -> DecoderState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("exact", "bug_compat"))
+@functools.partial(jax.jit, static_argnames=("exact", "bug_compat",
+                                             "float_pcm"))
 def decode_granules(batch: GranuleBatch, state: DecoderState,
-                    exact: bool = True, bug_compat: bool = True
+                    exact: bool = True, bug_compat: bool = True,
+                    float_pcm: bool = False
                     ) -> tuple[jax.Array, DecoderState]:
     """One batched decode step: GranuleBatch + state -> (pcm, state').
 
     pcm: i16 [B, 576, 2] interleaved L/R (mono duplicated, as the
-    reference packs it, pdmp3.c:2032-2041).
+    reference packs it, pdmp3.c:2032-2041); float_pcm=True emits f32 in
+    [-1, 1] instead (ops/dsp.float_pack — a serving option the
+    reference's S16-only sink lacks).
     """
     x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s, batch.layout,
                        batch.global_gain, batch.scalefac_scale,
@@ -92,7 +96,10 @@ def decode_granules(batch: GranuleBatch, state: DecoderState,
     x_time = dsp.freq_invert(x_time)
     sums, v_blocks = dsp.subband_synthesis(x_time, state.v_blocks,
                                            exact=exact)
-    pcm = dsp.quantize_pack(sums, batch.nch, exact=exact)
+    if float_pcm:
+        pcm = dsp.float_pack(sums, batch.nch)
+    else:
+        pcm = dsp.quantize_pack(sums, batch.nch, exact=exact)
     # granule-0 steps latch ch0's first 3 post-DSP lines for the next
     # (granule-1) step's band-12 OOB scalefactor emulation
     prev_lines = state.prev_lines
@@ -198,31 +205,35 @@ def _batch_from_meta(ix, scf_l, scf_s, meta, active, gr: int):
         gr1=jnp.full(B, gr, jnp.int32))
 
 
-def _granule_step(kernel: str):
+def _granule_step(kernel: str, float_pcm: bool = False):
     """Select the per-granule device program: the XLA pipeline
     (decode_granules, DecoderState) or the fused feature-major Pallas
     kernel (ops/pallas_step, PallasState) — same (pcm, state) contract,
     state layouts differ (convert with state_to/from_pallas)."""
     if kernel == "pallas":
+        assert not float_pcm, \
+            "float PCM output runs on the XLA kernel (the Pallas kernel " \
+            "quantizes in-kernel in fast mode)"
         from ..ops.pallas_step import decode_granules_pallas
 
         def step(b, s, e, bc):
             return decode_granules_pallas.__wrapped__(b, s, e, bc, 128)
         return step
     assert kernel == "xla", kernel
-    return lambda b, s, e, bc: decode_granules.__wrapped__(b, s, e, bc)
+    return lambda b, s, e, bc: decode_granules.__wrapped__(b, s, e, bc,
+                                                           float_pcm)
 
 
 @functools.partial(jax.jit, static_argnames=("exact", "bug_compat",
-                                             "kernel"))
+                                             "kernel", "float_pcm"))
 def decode_frame_soa(ix2, scf_l2, scf_s2, meta2, active, state,
                      exact: bool = False, bug_compat: bool = True,
-                     kernel: str = "xla"):
+                     kernel: str = "xla", float_pcm: bool = False):
     """Decode a whole frame (two granule steps) from the native frontend's
     SoA tensors: ix2 i16 [2,B,2,576], scf_l2 u8 [2,B,2,22], scf_s2 u8
     [2,B,2,39], meta2 i32 [2,B,32], active i32 [B].
     Returns (pcm i16 [B,1152,2], new_state)."""
-    step = _granule_step(kernel)
+    step = _granule_step(kernel, float_pcm)
     outs = []
     for gr in range(2):
         batch = _batch_from_meta(ix2[gr], scf_l2[gr], scf_s2[gr],
@@ -258,10 +269,10 @@ def soa_layout(B: int, F: int = 1) -> dict:
 
 @functools.partial(jax.jit,
                    static_argnames=("B", "F", "exact", "bug_compat",
-                                    "kernel"))
+                                    "kernel", "float_pcm"))
 def decode_frame_packed(buf, state, B: int, F: int = 1,
                         exact: bool = False, bug_compat: bool = True,
-                        kernel: str = "xla"):
+                        kernel: str = "xla", float_pcm: bool = False):
     """decode_frame_soa over the packed single-buffer wire format, F
     frames per dispatch (buf: int16 [soa_layout(B, F)['total']]).
     Returns (pcm i16 [B, F*1152, 2], new_state)."""
@@ -280,7 +291,7 @@ def decode_frame_packed(buf, state, B: int, F: int = 1,
     for f in range(F):
         pcm, state = decode_frame_soa.__wrapped__(
             ix[f], scf_l[f], scf_s[f], meta[f], active[f], state, exact,
-            bug_compat, kernel)
+            bug_compat, kernel, float_pcm)
         pcms.append(pcm)
     out = pcms[0] if F == 1 else jnp.concatenate(pcms, axis=1)
     return out, state
@@ -333,10 +344,11 @@ def sparse_layout(B: int, F: int = 1, cap_blocks: int | None = None) -> dict:
 
 @functools.partial(jax.jit, static_argnames=("B", "F", "cap_blocks",
                                              "exact", "bug_compat",
-                                             "kernel"))
+                                             "kernel", "float_pcm"))
 def decode_frame_sparse(buf, state, B: int, F: int = 1,
                         cap_blocks: int = 0, exact: bool = False,
-                        bug_compat: bool = True, kernel: str = "xla"):
+                        bug_compat: bool = True, kernel: str = "xla",
+                        float_pcm: bool = False):
     """decode_frame_soa over the sparse count1-bounded wire (buf: int16
     [sparse_layout(B, F, cap_blocks)['total']]).  Bit-identical to the
     dense wire: lines beyond each channel's shipped blocks are exactly
@@ -373,7 +385,7 @@ def decode_frame_sparse(buf, state, B: int, F: int = 1,
     for f in range(F):
         pcm, state = decode_frame_soa.__wrapped__(
             ix[f], scf_l[f], scf_s[f], meta[f], active[f], state, exact,
-            bug_compat, kernel)
+            bug_compat, kernel, float_pcm)
         pcms.append(pcm)
     out = pcms[0] if F == 1 else jnp.concatenate(pcms, axis=1)
     return out, state

@@ -523,3 +523,21 @@ def quantize_pack(sums, nch, exact: bool = True):
     left = pcm[..., 0]
     right = jnp.where((nch == 1)[:, None], left, pcm[..., 1])
     return jnp.stack([left, right], axis=-1).astype(jnp.int16)
+
+
+def float_pack(sums, nch):
+    """Float-PCM output option (exceeds the reference, which emits S16
+    only, pdmp3.c:2028-2041): the synthesis sums interleaved as f32 in
+    [-1, 1] (clipped where the S16 path clips, NaN mapped to -1).
+    Returns f32 [B,576,2]; trunc(pcm*32767) reproduces the S16 path
+    bit-for-bit everywhere except the reference's cvttsd2si wrap quirk
+    (|sum*32767| escaping int32, where S16 wraps to -32767 but float
+    saturates — deliberate: saturation is what a float consumer wants)."""
+    B = sums.shape[0]
+    x = jnp.where(jnp.isnan(sums), F32(-1.0), jnp.clip(sums, -1.0, 1.0))
+    # keep the S16 truncation-equivalence at the rails: S16 clips the
+    # *scaled* value to ±32767, i.e. float ±32767/32767 == ±1.0 exactly
+    pcm = x.reshape(B, 2, 576).transpose(0, 2, 1)
+    left = pcm[..., 0]
+    right = jnp.where((nch == 1)[:, None], left, pcm[..., 1])
+    return jnp.stack([left, right], axis=-1).astype(F32)

@@ -37,11 +37,17 @@ class StreamDecoder:
     def __init__(self, n_slots: int, exact: bool = False,
                  bug_compat: bool = True, parse_threads: int = 1,
                  frames_per_step: int = 1, profile: int = 0,
-                 kernel: str = "xla"):
+                 kernel: str = "xla", float_pcm: bool = False):
         from ..host import PROFILE_SPEC_INTENSITY
 
         self.n = n_slots
         self.exact = exact
+        # float_pcm=True: decode_step returns f32 PCM in [-1, 1]
+        # (ops/dsp.float_pack) instead of S16 — a serving option the
+        # reference lacks; XLA kernel only
+        self.float_pcm = float_pcm
+        assert not (float_pcm and kernel != "xla"), \
+            "float PCM output runs on the XLA kernel"
         # the native PROFILE_SPEC_INTENSITY flag maps to the device DSP's
         # bug_compat switch; either spelling selects spec mode end-to-end
         self.bug_compat = bug_compat and not (profile
@@ -139,7 +145,7 @@ class StreamDecoder:
         pcm, self.state = M.decode_frame_packed(
             jax.device_put(self.wire), self.state, B=self.n, F=self.F,
             exact=self.exact, bug_compat=self.bug_compat,
-            kernel=self.kernel)
+            kernel=self.kernel, float_pcm=self.float_pcm)
         # swap to the other wire buffer for the next parse (the upload of
         # this one may still be in flight); carry the just-decoded step's
         # active/meta over so post-decode queries keep working
@@ -264,7 +270,7 @@ class SparseStreamDecoder(StreamDecoder):
         pcm, self.state = M.decode_frame_sparse(
             jax.device_put(upload), self.state, B=self.n, F=self.F,
             cap_blocks=cap, exact=self.exact, bug_compat=self.bug_compat,
-            kernel=self.kernel)
+            kernel=self.kernel, float_pcm=self.float_pcm)
         act, meta = self.active.copy(), self.meta.copy()
         self._cur ^= 1
         self._bind_views()

@@ -173,3 +173,27 @@ def test_checkpoint_roundtrip_across_kernels(corpus):
     assert len(rest_a) == len(rest_b)
     for x, y in zip(rest_a, rest_b):
         assert (x == y).all()
+
+
+def test_float_pcm_output(corpus):
+    """float_pcm=True emits f32 in [-1,1]; trunc(pcm*32767) reproduces the
+    S16 path bit-for-bit (outside the cvttsd2si wrap regime, which these
+    streams never reach)."""
+    i_out, _ = _run(StreamDecoder, corpus, 4, exact=True)
+
+    class _Float(StreamDecoder):
+        def __init__(self, n, **kw):
+            super().__init__(n, float_pcm=True, **kw)
+
+    class _FloatSparse(SparseStreamDecoder):
+        def __init__(self, n, **kw):
+            super().__init__(n, float_pcm=True, **kw)
+
+    f_out, _ = _run(_Float, corpus, 4, exact=True)
+    fs_out, _ = _run(_FloatSparse, corpus, 4, exact=True)
+    for s in range(4):
+        assert f_out[s].dtype == np.float32
+        assert np.abs(f_out[s]).max() <= 1.0
+        assert (np.trunc(f_out[s].astype(np.float64) * 32767.0)
+                == i_out[s]).all(), f"dense slot {s}"
+        assert (fs_out[s] == f_out[s]).all(), f"sparse slot {s}"

@@ -102,12 +102,44 @@ def soak_one(i: int, jax_every: int) -> str:
     oob = first_oob_frame(stream)
     if oob is None:
         bad = [k for k, o in outs.items() if o != ref]
-        return f"FAIL:strict-mismatch:{','.join(bad)}:{cfg}"
+        return f"FAIL:strict-mismatch:{','.join(bad)}:{_forensics(stream, ref, outs, bad, i)}:{cfg}"
     n = min(oob, len(ref))
     bad = [k for k, o in outs.items() if o[:n] != ref[:n]]
     if bad:
-        return f"FAIL:prefix-mismatch@{oob}:{','.join(bad)}:{cfg}"
+        return f"FAIL:prefix-mismatch@{oob}:{','.join(bad)}:{_forensics(stream, ref, outs, bad, i)}:{cfg}"
     return "oob_prefix_ok"
+
+
+def _forensics(stream: bytes, ref: bytes, outs: dict, bad: list,
+               seed: int) -> str:
+    """On mismatch: diff stats, config snapshot, in-process retry (flaky
+    vs sticky), and a stream dump for post-mortem."""
+    import numpy as np
+    import jax
+    from pdmp3_tpu import decode_file
+
+    bits = [f"x64={jax.config.jax_enable_x64}",
+            f"backend={jax.default_backend()}"]
+    b = np.frombuffer(ref, np.int16)
+    for k in bad:
+        a = np.frombuffer(outs[k], np.int16)
+        n = min(len(a), len(b))
+        d = np.nonzero(a[:n] != b[:n])[0]
+        mx = int(np.abs(a[d].astype(np.int64)
+                        - b[d].astype(np.int64)).max()) if len(d) else 0
+        bits.append(f"{k}:ndiff={len(d)},max={mx},lens={len(a)}/{len(b)}")
+    if "jax" in bad:
+        from pdmp3_tpu.models.decoder import JaxDSP
+        retry = decode_file(stream, dsp=JaxDSP(exact=True))
+        bits.append(f"retry_jax={'match' if retry == ref else 'again'}")
+    dump = f"/tmp/soak_fail_{seed}.mp3"
+    try:
+        with open(dump, "wb") as f:
+            f.write(stream)
+        bits.append(f"dump={dump}")
+    except OSError:
+        pass
+    return ";".join(bits)
 
 
 def main() -> None:
