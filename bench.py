@@ -46,7 +46,11 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-K = 16  # granule steps per dispatch: amortizes tunnel dispatch latency
+# granule steps per dispatch: the tunnel-attached chip costs ~30 ms per
+# dispatch round-trip regardless of program size (measured: an empty
+# K=16 program shows a 1.9 ms/step floor), so chaining 64 steps per jit
+# call amortizes it to ~0.5 ms/step.  PCIe-attached hosts need far less.
+K = 64
 
 
 def build_pool(n_streams: int = 4, frames_per_stream: int = 3):
@@ -277,9 +281,12 @@ def _bench_single_core(seconds: float = 3.0):
 
 
 def main() -> None:
+    # two-point sweep: 8192 wins consistently, 4096 guards against a bad
+    # VMEM/occupancy regression; each extra point costs a K=64 Mosaic
+    # compile (~4 min for the unrolled Pallas program)
     sweep = ([int(sys.argv[1])] if len(sys.argv) > 1
-             else [2048, 4096, 8192])
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+             else [4096, 8192])
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     pool = build_pool()
 
