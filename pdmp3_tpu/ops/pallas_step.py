@@ -103,6 +103,43 @@ def state_from_pallas(pstate: PallasState):
     )
 
 
+def _prev3(xa_t, store_t, bt_t, exact: bool) -> jax.Array:
+    """The band-12 OOB carry — x_time[0:3] of (ch0, sb0) — computed in
+    XLA from the kernel's INPUTS rather than read from its output.
+
+    This is not duplication for fun: the carry feeds the NEXT step's
+    requantize, and routing it through the kernel serializes step k+1's
+    whole front half behind step k's kernel (measured +1.4 ms/step at
+    B=8192 — the front halves stop pipelining under the kernels).  Rows
+    0-2 of subband 0 need only a [3,18] slice of the IMDCT basis, the
+    window select, the overlap store, and no frequency inversion (even
+    subband, rows 0-2 even/odd pattern starts +1): identical operation
+    order to the kernel's rows, so the carried bits are identical (the
+    Pallas conformance tests assert state equality bitwise)."""
+    c = _consts()
+    x0 = xa_t[0, :, 0, :]                       # [18, B]
+    cos3 = jnp.asarray(c["cos36_t"][0:3])       # [3, 18]
+    if exact:
+        s = cos3[:, 0:1] * x0[0:1]
+        for m in range(1, 18):
+            s = s + cos3[:, m:m + 1] * x0[m:m + 1]
+    else:
+        s = jax.lax.dot_general(cos3, x0, (((1,), (0,)), ((), ())),
+                                preferred_element_type=F32,
+                                precision=_HIGH)
+    bt0 = bt_t[0, 0, :]                         # [B]
+    oh = (bt0[None, :] ==
+          jnp.arange(4, dtype=jnp.int32)[:, None]).astype(F32)  # [4, B]
+    wsel = jax.lax.dot_general(jnp.asarray(c["win_t"][0:3]), oh,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=F32,
+                               precision=_HIGH)                 # [3, B]
+    long3 = s * wsel
+    # pure short blocks: rows 0-5 of the 36-sample output are zero
+    out3 = jnp.where(bt0[None, :] == 2, F32(0.0), long3)
+    return out3 + store_t[0, 0:3, 0, :]
+
+
 def _kernel(exact: bool,
             xa_ref, store_ref, v_ref, bt_ref, act_ref,
             cos36t_ref, c3t_ref, wint_ref, win2_ref, nwin_ref, d_ref,
@@ -322,9 +359,13 @@ def decode_granules_pallas(batch, pstate: PallasState,
                        batch.block_type[..., None])       # [B,2,32]
     bt_t = bt_eff.transpose(1, 2, 0)                      # [2,32,B]
 
-    pcm_t, store_t, v_t, prev3 = back_half_t(
+    pcm_t, store_t, v_t, _ = back_half_t(
         xa_t, pstate.store_t, pstate.v_t, bt_t, batch.active,
         block_lanes=block_lanes, exact=exact)
+    # the carry comes from _prev3 (kernel inputs), NOT the kernel output:
+    # reading it from the kernel serializes the next step's front half
+    # behind this step's kernel (see _prev3's docstring)
+    prev3 = _prev3(xa_t, pstate.store_t, bt_t, exact)
 
     act = batch.active
     if exact:
@@ -336,11 +377,17 @@ def decode_granules_pallas(batch, pstate: PallasState,
                       jnp.clip(t, -32767.0, 32767.0))
     else:
         q = pcm_t
-    pcm = q.astype(jnp.int32).transpose(2, 1, 0)          # [B,576,2]
-    left = pcm[..., 0]
-    right = jnp.where((batch.nch == 1)[:, None], left, pcm[..., 1])
-    out = jnp.stack([left, right], axis=-1).astype(jnp.int16)
-    out = jnp.where((act != 0)[:, None, None], out, 0)
+    # interleave in the kernel's feature-major layout and cast to int16
+    # BEFORE the [2,576,B] -> [B,576,2] relayout: the batch-minor ->
+    # batch-major transpose is the single most expensive op in the step
+    # (measured 1.5 ms at B=8192), and on packed int16 it costs ~2.4x
+    # less than on the int32 it used to run on
+    q16 = q.astype(jnp.int16)                             # [2,576,B]
+    left = q16[0]
+    right = jnp.where((batch.nch == 1)[None, :], left, q16[1])
+    out = jnp.stack([left, right], axis=0)                # [2,576,B]
+    out = jnp.where((act != 0)[None, None, :], out, 0)
+    out = out.transpose(2, 1, 0)                          # [B,576,2]
 
     new_prev = jnp.where(((batch.gr1 == 0) & (act != 0))[:, None],
                          prev3.T, pstate.prev_lines)
