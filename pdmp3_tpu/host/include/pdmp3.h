@@ -84,6 +84,12 @@ int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *out);
  *   scf_s [2][n_slots][2][39]  uint8
  *   meta  [2][n_slots][32]     int32   (see PDMP3_META_* indices)
  * Rolls the input cursor back and leaves the slot untouched on non-OK.
+ *
+ * The ix section is LINE-ORDERED: the short-block reorder
+ * (pdmp3.c:1786-1823) is applied during the copy, so the device DSP
+ * consumes post-reorder spectra directly (pdmp3_granules.ix itself stays
+ * in bitstream order for the scalar native DSP).  Applies to every wire
+ * packer below (wire16 dense and sparse) as well.
  */
 #define PDMP3_META_LAYOUT 0   /* +ch (2) */
 #define PDMP3_META_BLOCK_TYPE 2

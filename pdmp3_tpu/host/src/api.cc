@@ -18,6 +18,22 @@
 
 using namespace pdmp3host;
 
+// The device wire carries *line-ordered* spectra: the short-block reorder
+// (pdmp3.c:1786-1823) is folded into this copy as a table-driven gather,
+// so the device never pays the [B,2,576] permutation (requantize reads
+// constant maps precomposed with kReorderSrc, ops/dsp.py).  Long-block
+// layouts (0,3,6) are the identity and keep the memcpy fast path.
+static inline void copy_ix_wire(int16_t *dst, const int16_t *src,
+                                int layout) {
+  unsigned lay = (unsigned)layout;
+  if (lay > 8 || lay % 3 == 0) {  // identity (or inactive-channel junk)
+    std::memcpy(dst, src, 576 * sizeof(int16_t));
+    return;
+  }
+  const short *p = kReorderSrc[lay];
+  for (int i = 0; i < 576; i++) dst[i] = src[p[i]];
+}
+
 extern "C" {
 
 pdmp3_handle *pdmp3_new(const char *decoder, int *error) {
@@ -89,7 +105,9 @@ int pdmp3_parse_frame_soa(pdmp3_handle *id, size_t slot, size_t n_slots,
   if (r != PDMP3_OK) return r;
   for (int gr = 0; gr < 2; gr++) {
     size_t base = ((size_t)gr * n_slots + slot);
-    std::memcpy(ix + base * 2 * 576, g.ix[gr], sizeof g.ix[gr]);
+    for (int ch = 0; ch < 2; ch++)
+      copy_ix_wire(ix + base * 2 * 576 + ch * 576, g.ix[gr][ch],
+                   g.layout[gr][ch]);
     std::memcpy(scf_l + base * 2 * 22, g.scf_l[gr], sizeof g.scf_l[gr]);
     std::memcpy(scf_s + base * 2 * 39, g.scf_s[gr], sizeof g.scf_s[gr]);
     int32_t *m = meta + base * PDMP3_META_WORDS;
@@ -197,7 +215,9 @@ static int parse_range16(pdmp3_handle *const *ids, size_t lo, size_t hi,
       for (int gr = 0; gr < 2; gr++) {
         size_t base = f * six + (size_t)gr * n_slots * 2 * 576 +
                       s * 2 * 576;
-        std::memcpy(ix + base, g.ix[gr], sizeof g.ix[gr]);
+        for (int ch = 0; ch < 2; ch++)
+          copy_ix_wire(ix + base + (size_t)ch * 576, g.ix[gr][ch],
+                       g.layout[gr][ch]);
         write_scf_meta16(
             g, gr, scf_l + f * sl + ((size_t)gr * n_slots + s) * 2 * 22,
             scf_s + f * ss + ((size_t)gr * n_slots + s) * 2 * 39,
@@ -274,7 +294,12 @@ static int parse_range16_sparse(pdmp3_handle *const *ids, size_t lo,
           int c1 = ch < g.nch ? (int)g.count1[gr][ch] : 0;
           if (c1 < 0) c1 = 0;           // Huffman overrun rollback
           if (c1 > 576) c1 = 576;
-          int nb = (c1 + 127) / 128;
+          // line-ordered wire: nonzero lines live below kPermBound (the
+          // reorder permutes within sfb spans, so the count1 prefix only
+          // rounds up to the containing band's end; identity for long)
+          unsigned lay = (unsigned)g.layout[gr][ch];
+          int bound = lay <= 8 ? (int)kPermBound[lay][c1] : c1;
+          int nb = (bound + 127) / 128;
           long long start = 0;
           if (nb) {
             start = cursor->fetch_add(nb);
@@ -286,8 +311,14 @@ static int parse_range16_sparse(pdmp3_handle *const *ids, size_t lo,
           }
           if (nb) {
             int n16 = nb * 128 < 576 ? nb * 128 : 576;
-            std::memcpy(ix_flat + start * 128, g.ix[gr][ch],
-                        (size_t)n16 * sizeof(int16_t));
+            int16_t *dst = ix_flat + start * 128;
+            if (lay > 8 || lay % 3 == 0) {
+              std::memcpy(dst, g.ix[gr][ch],
+                          (size_t)n16 * sizeof(int16_t));
+            } else {
+              const short *p = kReorderSrc[lay];
+              for (int i = 0; i < n16; i++) dst[i] = g.ix[gr][ch][p[i]];
+            }
             if (nb * 128 > 576)  // 5th block: pad lines 576..639
               std::memset(ix_flat + start * 128 + 576, 0,
                           (size_t)(nb * 128 - 576) * sizeof(int16_t));

@@ -32,6 +32,8 @@ extern const float kSynthD[512];
 extern const float kSynthNwin[64][32];
 extern const int kSfbLong[3][23];
 extern const int kSfbShort[3][14];
+extern const short kReorderSrc[9][576];
+extern const short kPermBound[9][577];
 extern const int kPretab[22];
 extern const int kScalefacSizes[16][2];
 extern const long kBitratesL3[15];

@@ -26,8 +26,14 @@ from ..frontend import FrameData
 
 
 class GranuleBatch(NamedTuple):
-    """Host->device tensors for one decode step (B granule slots)."""
-    ix: jax.Array             # i32 [B,2,576] Huffman-decoded lines
+    """Host->device tensors for one decode step (B granule slots).
+
+    ix carries *line-ordered* spectra: the host applies the short-block
+    reorder permutation (pdmp3.c:1786-1823) while packing the wire — a
+    table-driven copy instead of a memcpy — so the device never pays the
+    [B,2,576] permutation (requantize reads precomposed constant maps,
+    ops/dsp.py:_compose_reorder)."""
+    ix: jax.Array             # i32 [B,2,576] Huffman lines, line-ordered
     scf_l: jax.Array          # i32 [B,2,22]
     scf_s: jax.Array          # i32 [B,2,13,3]
     layout: jax.Array         # i32 [B,2] sfreq*3 + {long,short,mixed}
@@ -83,8 +89,8 @@ def decode_granules(batch: GranuleBatch, state: DecoderState,
     x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s, batch.layout,
                        batch.global_gain, batch.scalefac_scale,
                        batch.preflag, batch.subblock_gain, exact=exact,
-                       gr1=batch.gr1, prev_lines=state.prev_lines)
-    x = dsp.reorder(x, batch.layout)
+                       gr1=batch.gr1, prev_lines=state.prev_lines,
+                       pre_reordered=True)
     x = dsp.stereo(x, batch.layout, batch.scf_l, batch.scf_s, batch.count1,
                    batch.ms_flag, batch.is_flag, exact=exact,
                    bug_compat_short_intensity=bug_compat)
@@ -126,9 +132,16 @@ def decode_granules(batch: GranuleBatch, state: DecoderState,
 # frontend fills the same tensors directly)
 # ---------------------------------------------------------------------------
 
-def frame_to_batches(fds: list[FrameData]) -> list[GranuleBatch]:
+def frame_to_batches(fds: list[FrameData],
+                     pre_reorder: bool = True) -> list[GranuleBatch]:
     """Convert one parsed frame per slot into the two granule batches
-    (granule 0 step, granule 1 step)."""
+    (granule 0 step, granule 1 step).
+
+    pre_reorder applies the short-block permutation to ix (the
+    GranuleBatch wire convention); False keeps bitstream order for
+    stage-level unit tests that compare against the oracle's pre-reorder
+    intermediates."""
+    perm = T.layout_maps()["reorder"]
     out = []
     B = len(fds)
     for gr in range(2):
@@ -148,12 +161,15 @@ def frame_to_batches(fds: list[FrameData]) -> list[GranuleBatch]:
             ms[b] = 1 if (h.mode == 1 and (h.mode_extension & 2)) else 0
             isf[b] = 1 if (h.mode == 1 and (h.mode_extension & 1)) else 0
             for ch in range(h.nch):
-                ix[b, ch] = fd.ix[gr][ch]
+                lay = T.layout_id(
+                    h.sampling_frequency, int(s.win_switch_flag[gr][ch]),
+                    int(s.block_type[gr][ch]),
+                    int(s.mixed_block_flag[gr][ch]))
+                ix[b, ch] = (fd.ix[gr][ch][perm[lay]] if pre_reorder
+                             else fd.ix[gr][ch])
                 scf_l[b, ch] = fd.scalefac_l[gr][ch]
                 scf_s[b, ch] = fd.scalefac_s[gr][ch]
-                flat["layout"][b, ch] = T.layout_id(
-                    h.sampling_frequency, int(s.win_switch_flag[gr][ch]),
-                    int(s.block_type[gr][ch]), int(s.mixed_block_flag[gr][ch]))
+                flat["layout"][b, ch] = lay
                 flat["block_type"][b, ch] = s.block_type[gr][ch]
                 flat["win_switch"][b, ch] = s.win_switch_flag[gr][ch]
                 flat["mixed"][b, ch] = s.mixed_block_flag[gr][ch]

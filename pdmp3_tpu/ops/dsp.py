@@ -75,12 +75,26 @@ def _map_select(table: np.ndarray, layout: jnp.ndarray,
     return out.astype(jnp.int32) if out_int else out
 
 
+def _compose_reorder(src: np.ndarray) -> np.ndarray:
+    """Precompose a per-(layout, line) map with the short-block reorder
+    permutation: out[l, i] = src[l, perm_l[i]].  Wire-reordered spectra
+    (line i holds bitstream line perm_l[i]) then read the right per-line
+    constant with no device-side permutation.  sfb-keyed maps (sfb,
+    is_short, pretab, band_start) are invariant under this — the reorder
+    permutes strictly within each scalefactor band (pdmp3.c:1786-1823) —
+    so only window-keyed maps actually change."""
+    return np.take_along_axis(np.asarray(src), _MAPS["reorder"], axis=1)
+
+
 @functools.lru_cache(maxsize=None)
-def _expansion_const(map_name: str, width: int) -> np.ndarray:
+def _expansion_const(map_name: str, width: int,
+                     pre_reordered: bool = False) -> np.ndarray:
     """E[l, i, k] = 1 where layout l's line i reads slot k of a per-
     granule-channel parameter vector (k = sfb / win / flat short index)."""
     m = _MAPS if map_name in _MAPS else _SMAPS
     src = m[map_name]
+    if pre_reordered:
+        src = _compose_reorder(src)
     E = np.zeros((T.N_LAYOUTS, 576, width), np.float32)
     rows = np.arange(576)
     for lay in range(T.N_LAYOUTS):
@@ -89,14 +103,16 @@ def _expansion_const(map_name: str, width: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _expansion_sfb_s() -> np.ndarray:
+def _expansion_sfb_s(pre_reordered: bool = False) -> np.ndarray:
     """E[l, i, k] for the flattened short scalefac slot k = min(sfb,12)*3
     + win, 39 wide."""
+    k_map = np.minimum(_MAPS["sfb"], 12) * 3 + _MAPS["win"]
+    if pre_reordered:
+        k_map = _compose_reorder(k_map)
     E = np.zeros((T.N_LAYOUTS, 576, 39), np.float32)
     rows = np.arange(576)
     for lay in range(T.N_LAYOUTS):
-        k = np.minimum(_MAPS["sfb"][lay], 12) * 3 + _MAPS["win"][lay]
-        E[lay, rows, k] = 1.0
+        E[lay, rows, k_map[lay]] = 1.0
     return E
 
 
@@ -218,7 +234,7 @@ def _pretab_line_map() -> np.ndarray:
 
 def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
                preflag, subblock_gain, exact: bool = True,
-               gr1=None, prev_lines=None):
+               gr1=None, prev_lines=None, pre_reordered: bool = False):
     """Dequantize Huffman integers to spectral floats.
 
     Reference: pdmp3.c:1829-1905 (drivers), 2117-2152 (per-sample):
@@ -236,6 +252,13 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     aliases the float BITS of is[0][0][w] (docs/DESIGN.md §6).  Without
     them, the host's sentinel-63 scalefactor stands in (gain +0.0 — exact
     unless the aliased sample is a tiny denormal or zero).
+
+    pre_reordered=True consumes ix already carrying line-ordered (post-
+    reorder) spectra — the packed-wire convention, where the host applies
+    the short-block permutation while writing ix (pdmp3.c:1786-1823 moved
+    into the packer) — by precomposing the window-keyed constant maps with
+    the permutation.  Bitwise identical to requantize-then-reorder, since
+    reorder only moves values (each output = 1.0 * input).
 
     Args: ix [B,2,576] i32; scf_l [B,2,22]; scf_s [B,2,13,3];
       layout/global_gain/scalefac_scale/preflag [B,2]; subblock_gain [B,2,3].
@@ -262,7 +285,8 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
 
     prec = _HIGH if exact else _FAST
     qpu = (2 << scalefac_scale)[..., None]           # quarters per sf unit
-    scf_l_line = _expand(scf_l, _expansion_const("sfb", 22), lay_oh, prec)
+    scf_l_line = _expand(scf_l, _expansion_const("sfb", 22, pre_reordered),
+                         lay_oh, prec)
     pre_line = (_map_select(_pretab_line_map(), layout, out_int=False)
                 * preflag[..., None])
     q_long = qpu * (scf_l_line + pre_line).astype(jnp.int32)
@@ -271,10 +295,12 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     tmp2_long = _gain_global(e_long, exact)[..., None]
 
     scf_s_flat = scf_s.reshape(*scf_s.shape[:-2], 39)
-    scf_s_line = _expand(scf_s_flat, _expansion_sfb_s(), lay_oh, prec)
+    scf_s_line = _expand(scf_s_flat, _expansion_sfb_s(pre_reordered),
+                         lay_oh, prec)
     q_short = qpu * scf_s_line.astype(jnp.int32)
     tmp1_short = _gain_quarter(q_short, exact, true_table=band12_bits)
-    sbg_line = _expand(subblock_gain, _expansion_const("win", 3), lay_oh,
+    sbg_line = _expand(subblock_gain,
+                       _expansion_const("win", 3, pre_reordered), lay_oh,
                        prec)
     e_short = (global_gain[..., None] - 210 - 8 * sbg_line.astype(jnp.int32)
                + T.GAIN_GLOBAL_OFF)

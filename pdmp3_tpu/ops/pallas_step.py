@@ -333,8 +333,9 @@ def decode_granules_pallas(batch, pstate: PallasState,
                            block_lanes: int = 128):
     """One batched granule step on the Pallas path.
 
-    Front half (requantize/reorder/stereo/antialias) runs as XLA ops from
-    ops/dsp.py; the back half is the fused feature-major kernel.  Same
+    Front half (requantize/stereo/antialias; reorder is folded into the
+    host wire packer) runs as XLA ops from ops/dsp.py; the back half is
+    the fused feature-major kernel.  Same
     (pcm, state) contract as models.decoder.decode_granules, with state
     in PallasState layout.
     """
@@ -343,8 +344,8 @@ def decode_granules_pallas(batch, pstate: PallasState,
     x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s, batch.layout,
                        batch.global_gain, batch.scalefac_scale,
                        batch.preflag, batch.subblock_gain, exact=exact,
-                       gr1=batch.gr1, prev_lines=pstate.prev_lines)
-    x = dsp.reorder(x, batch.layout)
+                       gr1=batch.gr1, prev_lines=pstate.prev_lines,
+                       pre_reordered=True)
     x = dsp.stereo(x, batch.layout, batch.scf_l, batch.scf_s, batch.count1,
                    batch.ms_flag, batch.is_flag, exact=exact,
                    bug_compat_short_intensity=bug_compat)

@@ -33,7 +33,10 @@ def parsed():
         res, fd = fe.read_frame()
         assert res == 0
         fds.append(fd)
-    return fds, M.frame_to_batches(fds)[0]
+    # bitstream-ordered ix: these tests compare individual stages against
+    # the oracle's pre-reorder intermediates (the wire convention is
+    # line-ordered; that path is covered by the end-to-end tests)
+    return fds, M.frame_to_batches(fds, pre_reorder=False)[0]
 
 
 def test_requantize_unit(parsed):
@@ -133,3 +136,56 @@ def test_hybrid_and_synthesis_unit(parsed):
             pcm[i, :, 0].astype(np.uint16), want_l, err_msg=f"slot {i} L")
         np.testing.assert_array_equal(
             pcm[i, :, 1].astype(np.uint16), want_r, err_msg=f"slot {i} R")
+
+
+def test_wire_reorder_preconditions():
+    """The line-ordered wire rests on two table facts: (a) the reorder
+    permutation moves lines only within their scalefactor band, so every
+    sfb-keyed map is invariant under precomposition (dsp._compose_reorder)
+    and only window-keyed maps change; (b) kPermBound-style prefix bounds
+    cover the permuted image of any count1 prefix."""
+    maps = T.layout_maps()
+    perm = maps["reorder"]
+    for lay in range(T.N_LAYOUTS):
+        p = perm[lay]
+        assert sorted(p.tolist()) == list(range(576))  # a permutation
+        for name in ("sfb", "is_short"):
+            np.testing.assert_array_equal(maps[name][lay][p],
+                                          maps[name][lay], err_msg=name)
+        # (b): bound(c) = 1 + max{i: p[i] < c} covers {i: p[i] < c}
+        for c in (0, 1, 36, 100, 289, 576):
+            cover = np.where(p < c)[0]
+            bound = int(cover.max()) + 1 if len(cover) else 0
+            assert np.all(cover < bound)
+            # and the bound stays within the sfb containing line c-1
+            if c and maps["is_short"][lay][c - 1]:
+                sfb_c = maps["sfb"][lay][c - 1]
+                end = int(np.where(maps["sfb"][lay] == sfb_c)[0].max()) + 1
+                assert bound <= end
+
+
+def test_requantize_pre_reordered_equals_reorder():
+    """requantize(pre_reordered=True) on permuted ix == reorder(requantize)
+    on bitstream ix, bitwise (each reorder output = 1.0 * input)."""
+    fds = []
+    for i, kw in enumerate([dict(blocks="short"), dict(blocks="mixed"),
+                            dict(blocks="varied", sfreq=1),
+                            dict(blocks="short", sfreq=2)]):
+        s = mp3gen.make_stream(n_frames=3, seed=760 + i, **kw)
+        fe = Frontend()
+        fe.feed(s)
+        res, fd = fe.read_frame()
+        assert res == 0
+        fds.append(fd)
+    b_bit = M.frame_to_batches(fds, pre_reorder=False)[0]
+    b_wire = M.frame_to_batches(fds, pre_reorder=True)[0]
+    for exact in (True, False):
+        want = np.asarray(dsp.reorder(dsp.requantize(
+            b_bit.ix, b_bit.scf_l, b_bit.scf_s, b_bit.layout,
+            b_bit.global_gain, b_bit.scalefac_scale, b_bit.preflag,
+            b_bit.subblock_gain, exact=exact), b_bit.layout))
+        got = np.asarray(dsp.requantize(
+            b_wire.ix, b_wire.scf_l, b_wire.scf_s, b_wire.layout,
+            b_wire.global_gain, b_wire.scalefac_scale, b_wire.preflag,
+            b_wire.subblock_gain, exact=exact, pre_reordered=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"exact={exact}")
