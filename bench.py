@@ -95,7 +95,7 @@ def _step_fn(path: str, exact: bool):
             return PSF.decode_granules_pallas.__wrapped__(
                 b, s, exact, True, 128)
 
-    @functools.partial(jax.jit, donate_argnames=("state",))
+    @functools.partial(M._lazy_jit, donate_argnames=("state",))
     def step_fn(b0, b1, b2, b3, state):
         outs = []
         for k in range(K):

@@ -25,6 +25,9 @@ from ..ops import dsp
 from ..frontend import FrameData
 
 
+from ..utils.jit import lazy_jit as _lazy_jit
+
+
 class GranuleBatch(NamedTuple):
     """Host->device tensors for one decode step (B granule slots).
 
@@ -240,8 +243,8 @@ def _granule_step(kernel: str, float_pcm: bool = False):
                                                            float_pcm)
 
 
-@functools.partial(jax.jit, static_argnames=("exact", "bug_compat",
-                                             "kernel", "float_pcm"))
+@functools.partial(_lazy_jit, static_argnames=("exact", "bug_compat",
+                                               "kernel", "float_pcm"))
 def decode_frame_soa(ix2, scf_l2, scf_s2, meta2, active, state,
                      exact: bool = False, bug_compat: bool = True,
                      kernel: str = "xla", float_pcm: bool = False):
@@ -283,7 +286,7 @@ def soa_layout(B: int, F: int = 1) -> dict:
     return off
 
 
-@functools.partial(jax.jit,
+@functools.partial(_lazy_jit,
                    static_argnames=("B", "F", "exact", "bug_compat",
                                     "kernel", "float_pcm"))
 def decode_frame_packed(buf, state, B: int, F: int = 1,
@@ -358,9 +361,9 @@ def sparse_layout(B: int, F: int = 1, cap_blocks: int | None = None) -> dict:
     return off
 
 
-@functools.partial(jax.jit, static_argnames=("B", "F", "cap_blocks",
-                                             "exact", "bug_compat",
-                                             "kernel", "float_pcm"))
+@functools.partial(_lazy_jit, static_argnames=("B", "F", "cap_blocks",
+                                               "exact", "bug_compat",
+                                               "kernel", "float_pcm"))
 def decode_frame_sparse(buf, state, B: int, F: int = 1,
                         cap_blocks: int = 0, exact: bool = False,
                         bug_compat: bool = True, kernel: str = "xla",

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import tables as T
+from ..utils.jit import lazy_jit as _lazy_jit
 
 F32 = jnp.float32
 _HIGH = jax.lax.Precision.HIGHEST
@@ -140,6 +141,117 @@ def _prev3(xa_t, store_t, bt_t, exact: bool) -> jax.Array:
     return out3 + store_t[0, 0:3, 0, :]
 
 
+def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
+             cos36t_ref, c3t_ref, wint_ref, win2_ref, v_ref,
+             nwin_ref, d_ref, inv_ref,
+             out_ref, store_out_ref, v_out_ref, prev_ref):
+    """Back half for one channel (shared by the back-half-only kernel and
+    the fully-fused kernel), writing results through the output refs as
+    soon as each is final, and reading the store/v carries from their
+    REFS at first use — returning values or materializing ref slices at
+    the call site extends live ranges across the body and overflows the
+    16M scoped-VMEM stack at BN=128 (measured +0.8M).
+
+    xa [18,32,BN] post-antialias spectra; bt [32,BN] effective block
+    types; act [1,1,BN] bool.  out_ref gets quantized floats in fast
+    mode, raw sums in exact."""
+    BN = xa.shape[-1]
+    win2 = win2_ref[:][:, :, None]               # [36,1,1]
+    inv = inv_ref[:][:, :, None]                 # [18,32,1]
+    x2 = xa.reshape(18, 32 * BN)
+    if exact:
+        # reference accumulation order: sequential over the 18 inputs
+        # (pdmp3.c:1673-1699), VPU broadcast multiply-adds
+        long_sums = cos36t_ref[:, 0:1] * x2[0:1]
+        s12 = c3t_ref[:, 0:1] * x2[0:1]
+        for m in range(1, 18):
+            xm = x2[m:m + 1]                 # [1, 32*BN]
+            long_sums = long_sums + cos36t_ref[:, m:m + 1] * xm
+            # the folded short basis has one nonzero band per m, so
+            # per-output sums still accumulate in tin order
+            s12 = s12 + c3t_ref[:, m:m + 1] * xm
+    else:
+        long_sums = jax.lax.dot_general(
+            cos36t_ref[:], x2, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=_HIGH)  # [36, 32*BN]
+        s12 = jax.lax.dot_general(
+            c3t_ref[:], x2, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=_HIGH)
+
+    long_sums = long_sums.reshape(36, 32, BN)
+    s12 = s12.reshape(36, 32, BN)
+
+    # per-(sb, slot) window select via one-hot MXU matmul (bit-exact:
+    # one nonzero 1.0 per column; a lane->sublane vector reshape is
+    # the one form Mosaic rejects, so no where-chains of win rows)
+    iota4 = jax.lax.broadcasted_iota(jnp.int32, (4, 32, BN), 0)
+    bt_oh = (bt.reshape(1, 32, BN) == iota4).astype(F32)
+    wsel = jax.lax.dot_general(
+        wint_ref[:], bt_oh.reshape(4, 32 * BN),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=_HIGH)
+    long_out = long_sums * wsel.reshape(36, 32, BN)
+
+    # short blocks: 3 windowed 12-pt IMDCTs overlapped into 36
+    # (pdmp3.c:1684): [6:18)=c0, [12:24)+=c1, [18:30)+=c2
+    contrib = s12 * win2
+    z6 = jnp.zeros((6, 32, BN), F32)
+    c0, c1, c2 = contrib[0:12], contrib[12:24], contrib[24:36]
+    short_out = jnp.concatenate(
+        [z6, c0[:6], c0[6:] + c1[:6], c1[6:] + c2[:6], c2[6:], z6],
+        axis=0)
+
+    out36 = jnp.where(bt.reshape(1, 32, BN) == 2, short_out, long_out)
+
+    # overlap-add + store + frequency inversion (pdmp3.c:1752-1780,
+    # 1738-1746); inv is the constant ±1 mask
+    x_time = (out36[:18] + store_ref[ch]) * inv
+    store_out_ref[ch] = jnp.where(act, out36[18:], store_ref[ch])
+
+    if ch == 0:
+        # band-12 OOB carry: granule-0 ch0 lines 0..2 = sb0 samples
+        prev_ref[:] = x_time[0:3, 0, :]
+
+    # polyphase: matrix 32 subband samples per output step through
+    # NWIN (pdmp3.c:2006-2014); needs sb-major layout
+    xt = x_time.swapaxes(0, 1)               # [32, 18, BN]
+    x3 = xt.reshape(32, 18 * BN)
+    if exact:
+        # reference j-order accumulation over subbands
+        nb = nwin_ref[:, 0:1] * x3[0:1]
+        for j in range(1, 32):
+            nb = nb + nwin_ref[:, j:j + 1] * x3[j:j + 1]
+    else:
+        nb = jax.lax.dot_general(
+            nwin_ref[:], x3, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=_HIGH)  # [64,18*BN]
+    nb = nb.reshape(64, 18, BN).swapaxes(0, 1)  # [18, 64, BN]
+
+    # v is read HERE, not at the call site: materializing v_ref[ch] as
+    # an argument extends the 983K carry's live range across the whole
+    # body and overflows the 16M scoped-VMEM stack at BN=128
+    blocks = jnp.concatenate([v_ref[ch], nb], axis=0)  # [33, 64, BN]
+    acc = jnp.zeros((18, 32, BN), F32)
+    for j in range(16):
+        half = 32 * (j & 1)
+        blk = blocks[15 - j:33 - j, half:half + 32, :]
+        acc = acc + d_ref[j:j + 1][:, :, None] * blk
+    v_out_ref[ch] = jnp.where(act, blocks[18:], v_ref[ch])
+
+    acc = jnp.where(act, acc, 0.0)
+    if exact:
+        out_ref[ch] = acc.reshape(576, BN)
+    else:
+        # quantize: x32767, trunc toward zero, clip, with the
+        # reference's cvttsd2si NaN/overflow -> -32767 (dsp.py)
+        scaled = acc.reshape(576, BN) * F32(32767.0)
+        t = jnp.trunc(scaled)
+        oob = jnp.isnan(scaled) | (t < -2147483648.0) | \
+            (t > 2147483647.0)
+        out_ref[ch] = jnp.where(
+            oob, F32(-32767.0), jnp.clip(t, -32767.0, 32767.0))
+
+
 def _kernel(exact: bool,
             xa_ref, store_ref, v_ref, bt_ref, act_ref,
             cos36t_ref, c3t_ref, wint_ref, win2_ref, nwin_ref, d_ref,
@@ -147,104 +259,211 @@ def _kernel(exact: bool,
             out_ref, store_out_ref, v_out_ref, prev_ref):
     BN = xa_ref.shape[-1]
     act = act_ref[0].reshape(1, 1, BN) != 0      # [1,1,BN]
-    win2 = win2_ref[:][:, :, None]               # [36,1,1]
-    inv = inv_ref[:][:, :, None]                 # [18,32,1]
-
     for ch in range(2):
-        xa = xa_ref[ch]                          # [18, 32, BN]
-        x2 = xa.reshape(18, 32 * BN)
-        if exact:
-            # reference accumulation order: sequential over the 18 inputs
-            # (pdmp3.c:1673-1699), VPU broadcast multiply-adds
-            long_sums = cos36t_ref[:, 0:1] * x2[0:1]
-            s12 = c3t_ref[:, 0:1] * x2[0:1]
-            for m in range(1, 18):
-                xm = x2[m:m + 1]                 # [1, 32*BN]
-                long_sums = long_sums + cos36t_ref[:, m:m + 1] * xm
-                # the folded short basis has one nonzero band per m, so
-                # per-output sums still accumulate in tin order
-                s12 = s12 + c3t_ref[:, m:m + 1] * xm
-        else:
-            long_sums = jax.lax.dot_general(
-                cos36t_ref[:], x2, (((1,), (0,)), ((), ())),
-                preferred_element_type=F32, precision=_HIGH)  # [36, 32*BN]
-            s12 = jax.lax.dot_general(
-                c3t_ref[:], x2, (((1,), (0,)), ((), ())),
-                preferred_element_type=F32, precision=_HIGH)
+        _back_ch(exact, ch, xa_ref[ch], store_ref, bt_ref[ch], act,
+                 cos36t_ref, c3t_ref, wint_ref, win2_ref, v_ref,
+                 nwin_ref, d_ref, inv_ref,
+                 out_ref, store_out_ref, v_out_ref, prev_ref)
 
-        long_sums = long_sums.reshape(36, 32, BN)
-        s12 = s12.reshape(36, 32, BN)
 
-        # per-(sb, slot) window select via one-hot MXU matmul (bit-exact:
-        # one nonzero 1.0 per column; a lane->sublane vector reshape is
-        # the one form Mosaic rejects, so no where-chains of win rows)
-        bt = bt_ref[ch]                          # [32, BN]
-        iota4 = jax.lax.broadcasted_iota(jnp.int32, (4, 32, BN), 0)
-        bt_oh = (bt.reshape(1, 32, BN) == iota4).astype(F32)
-        wsel = jax.lax.dot_general(
-            wint_ref[:], bt_oh.reshape(4, 32 * BN),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=F32, precision=_HIGH)
-        long_out = long_sums * wsel.reshape(36, 32, BN)
+# ---------------------------------------------------------------------------
+# Fully-fused fast-mode kernel: requantize -> stereo -> antialias -> back
+# half in one pallas_call.  The front half mirrors ops/dsp.py's fast
+# formulations bit-for-bit except pow-4/3, where Mosaic's exp2/log2
+# lowering may differ from XLA's by 1 ulp (inside the fast path's ±1 LSB
+# budget; the exact path keeps the split XLA-front + exact kernel).
+# ---------------------------------------------------------------------------
 
-        # short blocks: 3 windowed 12-pt IMDCTs overlapped into 36
-        # (pdmp3.c:1684): [6:18)=c0, [12:24)+=c1, [18:30)+=c2
-        contrib = s12 * win2
-        z6 = jnp.zeros((6, 32, BN), F32)
-        c0, c1, c2 = contrib[0:12], contrib[12:24], contrib[24:36]
-        short_out = jnp.concatenate(
-            [z6, c0[:6], c0[6:] + c1[:6], c1[6:] + c2[:6], c2[6:], z6],
-            axis=0)
 
-        out36 = jnp.where(bt.reshape(1, 32, BN) == 2, short_out, long_out)
+@functools.lru_cache(maxsize=1)
+def _front_consts():
+    """Front-half constants in feature-major matmul form: per-line
+    expansions become [576, 9*K] matrices contracted with the per-slot
+    (layout one-hot ⊗ parameter) tensor (ops/dsp.py:_expand transposed)."""
+    from . import dsp as D
 
-        # overlap-add + store + frequency inversion (pdmp3.c:1752-1780,
-        # 1738-1746); inv is the constant ±1 mask
-        x_time = (out36[:18] + store_ref[ch]) * inv
-        store_out_ref[ch] = jnp.where(act, out36[18:], store_ref[ch])
+    def w(E):  # [9,576,K] -> [576, 9*K]
+        E = np.asarray(E, np.float32)
+        return np.ascontiguousarray(
+            E.transpose(1, 0, 2).reshape(576, -1))
 
+    def wm(m):  # [9,576] map -> [576,9] select matrix
+        return np.ascontiguousarray(np.asarray(m, np.float32).T)
+
+    return dict(
+        w_sfb=w(D._expansion_const("sfb", 22, True)),
+        w_sfs=w(D._expansion_sfb_s(True)),
+        # stereo reads short-block is_pos with the WINDOW-MAJOR line map
+        # even post-reorder (reference bug-compat: pdmp3.c:2190-2220
+        # walks window-major spans of the reordered array), hence the
+        # plain (non-precomposed) variant
+        w_sfs_plain=w(D._expansion_sfb_s(False)),
+        w_win=w(D._expansion_const("win", 3, True)),
+        w_pre=wm(D._pretab_line_map()),
+        w_short=wm(D._MAPS["is_short"]),
+        w_bs=wm(D._SMAPS["band_start"]),
+        w_iok=wm(D._SMAPS["intensity_ok"]),
+        ratio_l=np.asarray(D._RATIO_L, np.float32),
+        ratio_r=np.asarray(D._RATIO_R, np.float32),
+        cs=np.asarray(T.ANTIALIAS_CS, np.float32),
+        ca=np.asarray(T.ANTIALIAS_CA, np.float32),
+        inv_sqrt2=np.float32(T.INV_SQRT2),
+        quarter_down=np.asarray(D._QUARTER_DOWN4, np.float32),
+        quarter_up=np.asarray(D._QUARTER_UP4, np.float32),
+    )
+
+
+def _dot(a, b, prec=None):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=F32, precision=prec)
+
+
+def _k_pow2i(n):
+    """Exact 2^n via exponent-field bitcast (dsp._pow2_int in-kernel)."""
+    ok = (n >= -126) & (n <= 127)
+    bits = jnp.where(ok, (n + 127) << 23, 0).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(bits, F32)
+
+
+def _k_quarter(d, tab):
+    t = [F32(np.float32(v)) for v in tab]
+    return jnp.where(d == 0, t[0], jnp.where(d == 1, t[1],
+                     jnp.where(d == 2, t[2], t[3])))
+
+
+def _k_sel8(idx, tab):
+    out = F32(np.float32(tab[7]))
+    for k in range(6, -1, -1):
+        out = jnp.where(idx == k, F32(np.float32(tab[k])), out)
+    return out
+
+
+def _kernel_full(bug_compat: bool,
+                 ix_ref, scfl_ref, scfs_ref, lay_ref, meta_ref, sbg_ref,
+                 act_ref, bt_ref, store_ref, v_ref,
+                 wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
+                 wshort_ref, wbs_ref, wiok_ref,
+                 cos36t_ref, c3t_ref, wint_ref, win2_ref, nwin_ref, d_ref,
+                 inv_ref,
+                 out_ref, store_out_ref, v_out_ref, prev_ref):
+    BN = ix_ref.shape[-1]
+    fc = _front_consts()
+    act = act_ref[0].reshape(1, 1, BN) != 0
+
+    # --- requantize both channels (pdmp3.c:1829-1905, 2117-2152) ---
+    xs = []
+    oh0 = short0 = scf_l0 = t_s0 = None
+    for ch in range(2):
+        ixf = ix_ref[ch].astype(jnp.int32)            # [576,BN]
+        sign = jnp.where(ixf < 0, F32(-1.0), F32(1.0))
+        mag = jnp.clip(jnp.abs(ixf), 0, 8206).astype(F32)
+        # x^(4/3) = x * cbrt(x), Newton-refined from an exp2/log2 seed
+        # (dsp._pow43 fast path)
+        safe = jnp.maximum(mag, F32(1.0))
+        cb = jnp.exp2(jnp.log2(safe) * F32(1.0 / 3.0))
+        cb = (F32(2.0) * cb + safe / (cb * cb)) * F32(1.0 / 3.0)
+        cb = (F32(2.0) * cb + safe / (cb * cb)) * F32(1.0 / 3.0)
+        tmp3 = sign * jnp.where(mag == F32(0.0), F32(0.0), mag * cb)
+
+        lay = lay_ref[ch].reshape(1, BN)
+        oh9 = (jax.lax.broadcasted_iota(jnp.int32, (9, BN), 0)
+               == lay).astype(F32)
+        short = _dot(wshort_ref[:], oh9)              # [576,BN] 0/1
+        scfl = scfl_ref[ch].astype(F32)               # [22,BN]
+        t_l = (oh9[:, None, :] * scfl[None, :, :]).reshape(9 * 22, BN)
+        scf_l_line = _dot(wsfb_ref[:], t_l)
+        scfs = scfs_ref[ch].astype(F32)               # [39,BN]
+        t_s = (oh9[:, None, :] * scfs[None, :, :]).reshape(9 * 39, BN)
+        scf_s_line = _dot(wsfs_ref[:], t_s)
+
+        gg = meta_ref[0 + ch].reshape(1, BN)
+        sfs = meta_ref[2 + ch].reshape(1, BN)
+        preflag = meta_ref[4 + ch].reshape(1, BN).astype(F32)
+        qpu = 2 << sfs                                # [1,BN] i32
+        pre_line = _dot(wpre_ref[:], oh9) * preflag
+        q_long = qpu * (scf_l_line + pre_line).astype(jnp.int32)
+        tmp1_long = (_k_quarter(q_long & 3, fc["quarter_down"])
+                     * _k_pow2i(-(q_long >> 2)))
+        eo_long = gg - 210
+        tmp2_long = (_k_quarter(eo_long & 3, fc["quarter_up"])
+                     * _k_pow2i(eo_long >> 2))
+        q_short = qpu * scf_s_line.astype(jnp.int32)
+        tmp1_short = (_k_quarter(q_short & 3, fc["quarter_down"])
+                      * _k_pow2i(-(q_short >> 2)))
+        sbg = sbg_ref[ch].astype(F32)                 # [3,BN]
+        t_w = (oh9[:, None, :] * sbg[None, :, :]).reshape(27, BN)
+        sbg_line = _dot(wwin_ref[:], t_w)
+        eo_short = gg - 210 - 8 * sbg_line.astype(jnp.int32)
+        tmp2_short = (_k_quarter(eo_short & 3, fc["quarter_up"])
+                      * _k_pow2i(eo_short >> 2))
+        tmp1 = jnp.where(short == F32(1.0), tmp1_short, tmp1_long)
+        tmp2 = jnp.where(short == F32(1.0), tmp2_short,
+                         jnp.broadcast_to(tmp2_long, tmp2_short.shape))
+        xs.append((tmp1 * tmp2) * tmp3)
         if ch == 0:
-            # band-12 OOB carry: granule-0 ch0 lines 0..2 = sb0 samples
-            prev_ref[:] = x_time[0:3, 0, :]
+            oh0, short0, scf_l0, t_s0 = oh9, short, scf_l_line, t_s
 
-        # polyphase: matrix 32 subband samples per output step through
-        # NWIN (pdmp3.c:2006-2014); needs sb-major layout
-        xt = x_time.swapaxes(0, 1)               # [32, 18, BN]
-        x3 = xt.reshape(32, 18 * BN)
-        if exact:
-            # reference j-order accumulation over subbands
-            nb = nwin_ref[:, 0:1] * x3[0:1]
-            for j in range(1, 32):
-                nb = nb + nwin_ref[:, j:j + 1] * x3[j:j + 1]
-        else:
-            nb = jax.lax.dot_general(
-                nwin_ref[:], x3, (((1,), (0,)), ((), ())),
-                preferred_element_type=F32, precision=_HIGH)  # [64,18*BN]
-        nb = nb.reshape(64, 18, BN).swapaxes(0, 1)  # [18, 64, BN]
+    # --- stereo (pdmp3.c:1911-1972, 2154-2220) ---
+    l, r = xs
+    c0 = jnp.clip(meta_ref[6].reshape(1, BN), 0, 576)
+    c1r = jnp.clip(meta_ref[7].reshape(1, BN), 0, 576)
+    ms = meta_ref[10].reshape(1, BN)
+    isf = meta_ref[11].reshape(1, BN)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (576, BN), 0)
+    ms_mask = (ms != 0) & (iota < jnp.minimum(c0, c1r))
+    cst = F32(fc["inv_sqrt2"])
+    l2 = jnp.where(ms_mask, (l + r) * cst, l)
+    r2 = jnp.where(ms_mask, (l - r) * cst, r)
+    l, r = l2, r2
 
-        blocks = jnp.concatenate([v_ref[ch], nb], axis=0)  # [33, 64, BN]
-        acc = jnp.zeros((18, 32, BN), F32)
-        for j in range(16):
-            half = 32 * (j & 1)
-            blk = blocks[15 - j:33 - j, half:half + 32, :]
-            acc = acc + d_ref[j:j + 1][:, :, None] * blk
-        v_out_ref[ch] = jnp.where(act, blocks[18:], v_ref[ch])
+    band_start = _dot(wbs_ref[:], oh0, _HIGH).astype(jnp.int32)
+    iok = _dot(wiok_ref[:], oh0)
+    scf_s0_plain = _dot(wsfsp_ref[:], t_s0)
+    is_pos = jnp.where(short0 == F32(1.0), scf_s0_plain,
+                       scf_l0).astype(jnp.int32)
+    imask = ((isf != 0) & (iok == F32(1.0)) & (band_start >= c1r)
+             & (is_pos != 7))
+    ip = jnp.clip(is_pos, 0, 7)
+    int_l = _k_sel8(ip, fc["ratio_l"]) * l
+    int_r = _k_sel8(ip, fc["ratio_r"]) * l
+    if bug_compat:
+        # pdmp3.c:2212-2213 short-intensity unsigned-assign bug (fast
+        # precision: f32 trunc/mod, dsp.stereo)
+        u = jnp.mod(jnp.trunc(l), F32(2.0 ** 32))
+        int_l = jnp.where(short0 == F32(1.0), u, int_l)
+        int_r = jnp.where(short0 == F32(1.0), u, int_r)
+    l = jnp.where(imask, int_l, l)
+    r = jnp.where(imask, int_r, r)
+    xs = [l, r]
 
-        acc = jnp.where(act, acc, 0.0)
-        if exact:
-            out_ref[ch] = acc.reshape(576, BN)
-        else:
-            # quantize: x32767, trunc toward zero, clip, with the
-            # reference's cvttsd2si NaN/overflow -> -32767 (dsp.py)
-            scaled = acc.reshape(576, BN) * F32(32767.0)
-            t = jnp.trunc(scaled)
-            oob = jnp.isnan(scaled) | (t < -2147483648.0) | \
-                (t > 2147483647.0)
-            out_ref[ch] = jnp.where(
-                oob, F32(-32767.0), jnp.clip(t, -32767.0, 32767.0))
+    # --- antialias (pdmp3.c:1706-1732) + back half per channel ---
+    for ch in range(2):
+        x2 = xs[ch].reshape(32, 18, BN)
+        sblim = meta_ref[8 + ch].reshape(1, BN)
+        keep = (jax.lax.broadcasted_iota(jnp.int32, (31, BN), 0)
+                + 1) < sblim
+        # butterfly i couples rows (17-i, sb) x (i, sb+1); work on a
+        # per-row list (Mosaic has no scatter; slices + one final stack
+        # build xa directly in the back half's [18,32,BN] layout)
+        rows = [x2[:, k] for k in range(18)]          # each [32,BN]
+        for i in range(8):
+            lo = rows[17 - i][:31]                    # [31,BN]
+            up = rows[i][1:]
+            csi, cai = F32(fc["cs"][i]), F32(fc["ca"][i])
+            lb = lo * csi - up * cai
+            ub = up * csi + lo * cai
+            rows[17 - i] = jnp.concatenate(
+                [jnp.where(keep, lb, lo), rows[17 - i][31:]], axis=0)
+            rows[i] = jnp.concatenate(
+                [rows[i][:1], jnp.where(keep, ub, up)], axis=0)
+        xa = jnp.stack(rows, axis=0)                  # [18,32,BN]
+        _back_ch(False, ch, xa, store_ref, bt_ref[ch], act,
+                 cos36t_ref, c3t_ref, wint_ref, win2_ref, v_ref,
+                 nwin_ref, d_ref, inv_ref,
+                 out_ref, store_out_ref, v_out_ref, prev_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("block_lanes", "exact"))
+@functools.partial(_lazy_jit, static_argnames=("block_lanes", "exact"))
 def back_half_t(xa_t, store_t, v_t, bt_t, active,
                 block_lanes: int = 128, exact: bool = False):
     """Fused back half in feature-major layout.
@@ -326,7 +545,92 @@ def back_half_t(xa_t, store_t, v_t, bt_t, active,
     return outs
 
 
-@functools.partial(jax.jit,
+@functools.partial(_lazy_jit,
+                   static_argnames=("block_lanes", "bug_compat"))
+def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
+                bt_t, store_t, v_t, block_lanes: int = 128,
+                bug_compat: bool = True):
+    """Fully-fused fast-mode granule step: requantize -> stereo ->
+    antialias -> hybrid synthesis -> polyphase -> quantize in ONE
+    pallas_call; no [B,2,576] intermediate ever touches HBM.
+
+    ix_t i16 [2,576,B] line-ordered spectra; scf_l_t i32 [2,22,B];
+    scf_s_t i32 [2,39,B] (band-12 substitution already applied);
+    lay_t i32 [2,B]; meta_t i32 [12,B] rows {gg0,gg1,sfs0,sfs1,pre0,
+    pre1,c1_0,c1_1,sblim0,sblim1,ms,is}; sbg_t i32 [2,3,B]; active i32
+    [B]; bt_t i32 [2,32,B] effective block types; state as back_half_t.
+
+    Returns (pcm_t [2,576,B] quantized floats, new_store_t, new_v_t,
+    prev3 [3,B])."""
+    B = ix_t.shape[-1]
+    BN = min(block_lanes, B)
+    pad = (-B) % BN if B >= BN else 0
+    if B < BN or (BN % 128 and jax.default_backend() == "tpu"):
+        BN = 128 if jax.default_backend() == "tpu" else BN
+        pad = (-B) % BN
+    if pad:
+        def padl(x):
+            return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        (ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, bt_t, store_t,
+         v_t) = map(padl, (ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t,
+                           bt_t, store_t, v_t))
+        active = jnp.pad(active, (0, pad))
+    Bp = ix_t.shape[-1]
+    c = _consts()
+    fc = _front_consts()
+    act2 = active.reshape(1, Bp).astype(jnp.int32)
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((*shape[:-1], BN),
+                            lambda i, _n=nd: (0,) * (_n - 1) + (i,),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(arr):
+        shape = np.asarray(arr).shape
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    fronts = (fc["w_sfb"], fc["w_sfs"], fc["w_sfs_plain"], fc["w_win"],
+              fc["w_pre"], fc["w_short"], fc["w_bs"], fc["w_iok"])
+    backs = (c["cos36_t"], c["c3_t"], c["win_t"], c["win2"], c["nwin"],
+             c["d"], c["inv_t"])
+    in_specs = [
+        bspec((2, 576, Bp)), bspec((2, 22, Bp)), bspec((2, 39, Bp)),
+        bspec((2, Bp)), bspec((12, Bp)), bspec((2, 3, Bp)),
+        bspec((1, Bp)), bspec((2, 32, Bp)),
+        bspec((2, 18, 32, Bp)), bspec((2, 15, 64, Bp)),
+        *(cspec(a) for a in fronts), *(cspec(a) for a in backs),
+    ]
+    out_specs = (
+        bspec((2, 576, Bp)), bspec((2, 18, 32, Bp)),
+        bspec((2, 15, 64, Bp)), bspec((3, Bp)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((2, 576, Bp), F32),
+        jax.ShapeDtypeStruct((2, 18, 32, Bp), F32),
+        jax.ShapeDtypeStruct((2, 15, 64, Bp), F32),
+        jax.ShapeDtypeStruct((3, Bp), F32),
+    )
+    with jax.enable_x64(False):  # same Mosaic i64 caveat as back_half_t
+        outs = pl.pallas_call(
+            functools.partial(_kernel_full, bug_compat),
+            grid=(Bp // BN,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=jax.default_backend() != "tpu",
+        )(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, act2, bt_t,
+          store_t, v_t,
+          *(jnp.asarray(a) for a in fronts),
+          *(jnp.asarray(a) for a in backs))
+    if pad:
+        outs = tuple(o[..., :B] for o in outs)
+    return outs
+
+
+@functools.partial(_lazy_jit,
                    static_argnames=("block_lanes", "exact", "bug_compat"))
 def decode_granules_pallas(batch, pstate: PallasState,
                            exact: bool = False, bug_compat: bool = True,
@@ -341,35 +645,35 @@ def decode_granules_pallas(batch, pstate: PallasState,
     """
     from . import dsp
 
-    x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s, batch.layout,
-                       batch.global_gain, batch.scalefac_scale,
-                       batch.preflag, batch.subblock_gain, exact=exact,
-                       gr1=batch.gr1, prev_lines=pstate.prev_lines,
-                       pre_reordered=True)
-    x = dsp.stereo(x, batch.layout, batch.scf_l, batch.scf_s, batch.count1,
-                   batch.ms_flag, batch.is_flag, exact=exact,
-                   bug_compat_short_intensity=bug_compat)
-    x = dsp.antialias(x, batch.layout, batch.win_switch, batch.block_type,
-                      batch.mixed)
-
-    B = x.shape[0]
-    xa_t = x.reshape(B, 2, 32, 18).transpose(1, 3, 2, 0)  # [2,18,32,B]
+    B = batch.ix.shape[0]
     sb = jnp.arange(32, dtype=jnp.int32)
     bt_eff = jnp.where(((batch.win_switch == 1) & (batch.mixed == 1))
                        [..., None] & (sb < 2), 0,
                        batch.block_type[..., None])       # [B,2,32]
     bt_t = bt_eff.transpose(1, 2, 0)                      # [2,32,B]
-
-    pcm_t, store_t, v_t, _ = back_half_t(
-        xa_t, pstate.store_t, pstate.v_t, bt_t, batch.active,
-        block_lanes=block_lanes, exact=exact)
-    # the carry comes from _prev3 (kernel inputs), NOT the kernel output:
-    # reading it from the kernel serializes the next step's front half
-    # behind this step's kernel (see _prev3's docstring)
-    prev3 = _prev3(xa_t, pstate.store_t, bt_t, exact)
-
     act = batch.active
+
     if exact:
+        x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s,
+                           batch.layout, batch.global_gain,
+                           batch.scalefac_scale, batch.preflag,
+                           batch.subblock_gain, exact=True,
+                           gr1=batch.gr1, prev_lines=pstate.prev_lines,
+                           pre_reordered=True)
+        x = dsp.stereo(x, batch.layout, batch.scf_l, batch.scf_s,
+                       batch.count1, batch.ms_flag, batch.is_flag,
+                       exact=True,
+                       bug_compat_short_intensity=bug_compat)
+        x = dsp.antialias(x, batch.layout, batch.win_switch,
+                          batch.block_type, batch.mixed)
+        xa_t = x.reshape(B, 2, 32, 18).transpose(1, 3, 2, 0)  # [2,18,32,B]
+        pcm_t, store_t, v_t, _ = back_half_t(
+            xa_t, pstate.store_t, pstate.v_t, bt_t, act,
+            block_lanes=block_lanes, exact=True)
+        # the carry comes from _prev3 (kernel inputs), NOT the kernel
+        # output: reading it from the kernel serializes the next step's
+        # XLA front half behind this step's kernel (see _prev3)
+        prev3 = _prev3(xa_t, pstate.store_t, bt_t, True)
         # reference quantization rounds through float64 (pdmp3.c:2028)
         scaled = pcm_t.astype(jnp.float64) * 32767.0
         t = jnp.trunc(scaled)
@@ -377,7 +681,39 @@ def decode_granules_pallas(batch, pstate: PallasState,
         q = jnp.where(oob, jnp.float64(-32767.0),
                       jnp.clip(t, -32767.0, 32767.0))
     else:
-        q = pcm_t
+        # fast mode: the whole granule step is ONE fused kernel; the
+        # front half's tensors are transposed to feature-major in XLA
+        # (cheap on i16/i32) and the spectra never round-trip HBM
+        ix_t = batch.ix.astype(jnp.int16).transpose(1, 2, 0)
+        scf_l_t = batch.scf_l.astype(jnp.int32).transpose(1, 2, 0)
+        scf_s = batch.scf_s.astype(jnp.int32).reshape(B, 2, 39)
+        # band-12 OOB scalefactor substitution (dsp.requantize semantics)
+        bits = jax.lax.bitcast_convert_type(pstate.prev_lines, jnp.uint32)
+        scf12 = jnp.where(bits < 1024, bits,
+                         jnp.uint32(1024)).astype(jnp.int32)
+        cur = scf_s[:, 1, 36:39]
+        scf_s = scf_s.at[:, 1, 36:39].set(
+            jnp.where((batch.gr1 != 0)[:, None], scf12, cur))
+        scf_s_t = scf_s.transpose(1, 2, 0)
+        lay_t = batch.layout.astype(jnp.int32).T
+        ws, btb, mx = batch.win_switch, batch.block_type, batch.mixed
+        isp = (ws == 1) & (btb == 2) & (mx == 0)
+        ism = (ws == 1) & (btb == 2) & (mx == 1)
+        sblim = jnp.where(isp, 1, jnp.where(ism, 2, 32))  # [B,2]
+        meta_t = jnp.concatenate([
+            batch.global_gain.astype(jnp.int32).T,
+            batch.scalefac_scale.astype(jnp.int32).T,
+            batch.preflag.astype(jnp.int32).T,
+            batch.count1.astype(jnp.int32).T,
+            sblim.astype(jnp.int32).T,
+            batch.ms_flag.astype(jnp.int32)[None],
+            batch.is_flag.astype(jnp.int32)[None],
+        ], axis=0)
+        sbg_t = batch.subblock_gain.astype(jnp.int32).transpose(1, 2, 0)
+        q, store_t, v_t, prev3 = full_step_t(
+            ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, act, bt_t,
+            pstate.store_t, pstate.v_t, block_lanes=block_lanes,
+            bug_compat=bug_compat)
     # interleave in the kernel's feature-major layout and cast to int16
     # BEFORE the [2,576,B] -> [B,576,2] relayout: the batch-minor ->
     # batch-major transpose is the single most expensive op in the step
