@@ -280,6 +280,38 @@ def _bench_single_core(seconds: float = 3.0):
     return native_fps, ref_fps
 
 
+def _bench_parse(seconds: float = 2.5, B: int = 256) -> float:
+    """Host frontend throughput: frames/s through the serving parse path
+    (sync, side info, reservoir, scalefactors, LUT Huffman, line-ordered
+    wire pack) at one thread — the ROADMAP 400k frames/s/core target's
+    measured counterpart.  Streams loop; the parser resyncs across the
+    seam, so a handful of frames per wrap hit the resync path (realistic
+    for serving)."""
+    from pdmp3_tpu.runtime import StreamDecoder
+    from pdmp3_tpu.testing import mp3gen
+
+    streams = [mp3gen.make_stream(n_frames=60, seed=40 + i, blocks="varied",
+                                  mode=1, mode_extension=2,
+                                  use_reservoir=True) for i in range(8)]
+    dec = StreamDecoder(B, exact=False, parse_threads=1)
+    pos = [0] * B
+    frames = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        for i in range(B):
+            s = streams[i % 8]
+            free = dec.inbuf_free(i) - 1
+            if free >= 4096:
+                chunk = s[pos[i]:pos[i] + min(free, 8192)]
+                if not chunk:
+                    pos[i] = 0
+                    chunk = s[:min(free, 8192)]
+                dec.feed(i, chunk)
+                pos[i] += len(chunk)
+        frames += dec.parse_step()
+    return frames / (time.perf_counter() - t0)
+
+
 def main() -> None:
     # two-point sweep: 8192 wins consistently, 4096 guards against a bad
     # VMEM/occupancy regression; each extra point costs a K=64 Mosaic
@@ -332,6 +364,7 @@ def main() -> None:
 
     # single-core comparison: native scalar decoder vs the reference binary
     native_fps, ref_fps = _bench_single_core()
+    parse_fps = _bench_parse()
 
     # projected end-to-end at PCIe gen3 x16 (12 GB/s effective), wire =
     # int16 spectra + sideinfo up, int16 stereo PCM down per granule
@@ -365,6 +398,7 @@ def main() -> None:
         "wire_bytes_per_granule_sparse": round(sparse_bpg, 1),
         "e2e_distinct_streams": 128,
         "native_singlecore_frames_per_sec": round(native_fps, 1),
+        "host_parse_frames_per_sec_1t": round(parse_fps, 1),
         "reference_binary_frames_per_sec": round(ref_fps, 1),
         "tunnel_h2d_gbps": round(h2d_gbps, 3),
         "note": ("device-resident decode rate; this harness attaches the "

@@ -70,6 +70,32 @@ def selftest_bin(sanitize: str | None = None) -> str:
     return exe
 
 
+def fuzzer_bin() -> str:
+    """Build (cached) the coverage-guided frontend fuzzer: library TUs
+    instrumented with GCC trace-pc edge coverage + ASan/UBSan, the
+    uninstrumented driver (src/fuzz_main.cc) collecting the bitmap."""
+    src_dir = os.path.join(HOST_DIR, "src")
+    ensure_built()
+    exe = os.path.join(BUILD_DIR, "pdmp3_fuzz")
+    srcs = [os.path.join(src_dir, s) for s in SRCS]
+    drv = os.path.join(src_dir, "fuzz_main.cc")
+    if _stale(exe, srcs + [drv]):
+        base = [f for f in CXXFLAGS if f != "-O3"] + [
+            "-O1", "-g", "-fno-omit-frame-pointer",
+            "-fsanitize=address,undefined"]
+        objs = []
+        for s in srcs:
+            o = os.path.join(BUILD_DIR,
+                             os.path.basename(s).replace(".cc", "_fz.o"))
+            subprocess.run(["g++", *base, "-fsanitize-coverage=trace-pc",
+                            "-c", "-o", o, s], check=True,
+                           capture_output=True)
+            objs.append(o)
+        subprocess.run(["g++", *base, "-o", exe, drv, *objs], check=True,
+                       capture_output=True)
+    return exe
+
+
 def ensure_built(verbose: bool = False) -> str:
     src_dir = os.path.join(HOST_DIR, "src")
     inc = os.path.join(src_dir, "gen_tables.inc")

@@ -151,8 +151,11 @@ int pdmp3_parse_step_wire16(pdmp3_handle *const *ids, size_t n_slots,
  * (thread-safe; placement varies across thread counts, the block table
  * makes the device result deterministic).  Per (frame, gr, slot, ch) the
  * table entry blk[4] is {start_lo, start_hi, n_blocks, 0} (start split
- * into int16 halves; n_blocks = ceil(clamp(count1,0,576)/128) <= 5, 0
- * for inactive slots and ch >= nch).  Other sections as
+ * into int16 halves; n_blocks = ceil(bound/128) <= 5 where bound rounds
+ * clamp(count1,0,576) up to the containing scalefactor band's end for
+ * short-block layouts — the line-ordered wire's nonzero prefix,
+ * kPermBound — and 0 for inactive slots and ch >= nch).  Other sections
+ * as
  * pdmp3_parse_step_wire16.  cap_blocks must cover the worst case
  * (frames_per_step*2*n_slots*2*5); *blocks_used returns the cursor so
  * the caller uploads only the used prefix.  Returns active slot count. */

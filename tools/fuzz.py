@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Coverage-guided fuzz campaign over the native frontend.
+
+Builds the mini-AFL driver (host/src/fuzz_main.cc: GCC trace-pc edge
+coverage + ASan/UBSan over the library TUs), seeds it with mp3gen
+streams spanning the format matrix plus hostile variants, runs the
+requested number of iterations, and merges the stats into the cumulative
+artifact (default FUZZ_r02.json).  A sanitizer abort exits nonzero; the
+offending input is saved under tools/fuzz_crashes/ with its RNG seed for
+reproduction:
+
+    python tools/fuzz.py --iters 200000
+    python tools/fuzz.py --iters 50000 --rng-seed 7
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_seeds(d: str) -> int:
+    from pdmp3_tpu.testing import mp3gen
+
+    specs = [
+        dict(n_frames=6, seed=900, blocks="varied", mode=1,
+             mode_extension=2, use_reservoir=True),
+        dict(n_frames=4, seed=901, blocks="short", mode=3, sfreq=1),
+        dict(n_frames=4, seed=902, blocks="mixed", sfreq=2,
+             mode=1, mode_extension=3, intensity_pos=True),
+        dict(n_frames=4, seed=903, blocks="long", mode=2, stuffing=4),
+        dict(n_frames=5, seed=904, blocks="varied", use_reservoir=True,
+             scfsi=True),
+    ]
+    n = 0
+    for i, sp in enumerate(specs):
+        data = mp3gen.make_stream(**sp)
+        with open(os.path.join(d, f"s{i}.mp3"), "wb") as f:
+            f.write(data)
+        n += 1
+        # hostile variants: truncation + mid-stream corruption
+        with open(os.path.join(d, f"s{i}_trunc.mp3"), "wb") as f:
+            f.write(data[:len(data) * 2 // 3 + 1])
+        corrupt = bytearray(data)
+        for k in range(50, len(corrupt), 97):
+            corrupt[k] ^= 0xA5
+        with open(os.path.join(d, f"s{i}_corrupt.mp3"), "wb") as f:
+            f.write(bytes(corrupt))
+        n += 2
+    return n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--iters", type=int, default=200_000)
+    ap.add_argument("--rng-seed", type=int, default=1)
+    ap.add_argument("--out", default=os.path.join(REPO, "FUZZ_r02.json"))
+    args = ap.parse_args()
+
+    from pdmp3_tpu.host.build import fuzzer_bin
+
+    exe = fuzzer_bin()
+    crash_dir = os.path.join(REPO, "tools", "fuzz_crashes")
+    with tempfile.TemporaryDirectory() as td:
+        seeds = make_seeds(td)
+        cur = os.path.join(td, "cur_input.bin")
+        t0 = time.time()
+        p = subprocess.run(
+            [exe, td, str(args.iters), cur, str(args.rng_seed)],
+            capture_output=True, text=True,
+            env={**os.environ,
+                 "ASAN_OPTIONS": "abort_on_error=1:detect_leaks=1"})
+        el = time.time() - t0
+        if p.returncode != 0:
+            os.makedirs(crash_dir, exist_ok=True)
+            dst = os.path.join(
+                crash_dir, f"crash_seed{args.rng_seed}_{int(t0)}.bin")
+            if os.path.exists(cur):
+                shutil.copy(cur, dst)
+            sys.stderr.write(p.stderr[-4000:] + "\n")
+            print(f"CRASH (rc={p.returncode}): reproducer saved to {dst}")
+            sys.exit(1)
+        stats = json.loads(p.stdout.strip().splitlines()[-1])
+        stats.update(seeds=seeds, rng_seed=args.rng_seed,
+                     execs_per_sec=round(args.iters / max(el, 1e-9), 1))
+
+    merged = {"runs": [], "total_execs": 0, "crashes_found": 0}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+    merged["runs"].append(stats)
+    merged["total_execs"] = sum(r["execs"] for r in merged["runs"])
+    merged["edges_peak"] = max(r["edges"] for r in merged["runs"])
+    with open(args.out, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps(stats))
+    print(f"merged -> {args.out} (total execs "
+          f"{merged['total_execs']}, 0 crashes)")
+
+
+if __name__ == "__main__":
+    main()
