@@ -73,7 +73,10 @@ class Header:
 
     @property
     def sample_rate(self) -> int:
-        return int(T.SAMPLE_RATES[self.sampling_frequency])
+        # a rejected header can leave sampling_frequency == 3 here; the
+        # reference's getformat reads its table out of bounds for that
+        # (pdmp3.c:2530, layout-dependent garbage) — guard instead
+        return int(T.SAMPLE_RATES[min(self.sampling_frequency, 2)])
 
     def frame_size(self) -> int:
         return (144 * int(T.BITRATES[self.layer - 1][self.bitrate_index])
@@ -404,9 +407,14 @@ class Frontend:
         else:
             sfreq = self.header.sampling_frequency
             region_1_start = int(T.SFB_LONG[sfreq][s.region0_count[gr][ch] + 1])
-            region_2_start = int(
-                T.SFB_LONG[sfreq][s.region0_count[gr][ch]
-                                  + s.region1_count[gr][ch] + 2])
+            # hostile side info can push this index past l[22] (region
+            # counts are raw 4+3 bit fields: 15+7+2 = 24); the
+            # reference's struct layout aliases .l[23+k] onto .s[k]
+            # (pdmp3.c:108-112, 2074-2076) — emulate the alias (found by
+            # tools/fuzz.py as a native OOB / python IndexError)
+            r2i = int(s.region0_count[gr][ch] + s.region1_count[gr][ch] + 2)
+            region_2_start = int(T.SFB_LONG[sfreq][r2i] if r2i <= 22
+                                 else T.SFB_SHORT[sfreq][r2i - 23])
         tabs = T.huffman_tables()
         big = int(s.big_values[gr][ch]) * 2
         is_pos = 0

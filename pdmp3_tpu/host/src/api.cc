@@ -557,7 +557,13 @@ int pdmp3_getformat(pdmp3_handle *id, long *rate, int *channels,
   // (pdmp3.c:2526-2535)
   if (!id || !rate || !channels || !encoding) return PDMP3_ERR;
   *encoding = PDMP3_ENC_SIGNED_16;
-  *rate = kSampleRates[id->fp.hdr.sampling_frequency];
+  // a REJECTED header leaves its raw fields in hdr (parse-then-validate,
+  // like the reference); sampling_frequency can then be the invalid 3,
+  // which the reference dereferences out of bounds into whatever rodata
+  // follows its table (pdmp3.c:2530 — layout-dependent garbage, not an
+  // emulatable quirk).  Guard instead (found by tools/fuzz.py).
+  unsigned sf = (unsigned)id->fp.hdr.sampling_frequency;
+  *rate = kSampleRates[sf <= 2 ? sf : 2];
   *channels = id->fp.hdr.nch();
   id->fp.new_header = -1;
   return PDMP3_OK;

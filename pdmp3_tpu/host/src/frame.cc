@@ -250,8 +250,15 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
   } else {
     int sf = hdr.sampling_frequency;
     region_1_start = kSfbLong[sf][si.region0_count[gr][ch] + 1];
+    // hostile side info can push this index past l[22] (region counts
+    // are raw 4+3 bit fields: 15+7+2 = 24); the reference's struct
+    // layout aliases .l[23+k] onto .s[k] (pdmp3.c:108-112, 2074-2076).
+    // Emulate the alias instead of overflowing our separate tables
+    // (found by tools/fuzz.py, ASan global-buffer-overflow).
+    int r2i =
+        (int)(si.region0_count[gr][ch] + si.region1_count[gr][ch] + 2);
     region_2_start =
-        kSfbLong[sf][si.region0_count[gr][ch] + si.region1_count[gr][ch] + 2];
+        r2i <= 22 ? kSfbLong[sf][r2i] : kSfbShort[sf][r2i - 23];
   }
   int big = (int)si.big_values[gr][ch] * 2;
   // The table only changes at the two region boundaries: decode each

@@ -98,3 +98,36 @@ def test_soak_regressions(seed):
     n = min(oob, len(ref))
     assert nat[:n] == ref[:n], ("native prefix mismatch", cfg)
     assert orc[:n] == ref[:n], ("oracle prefix mismatch", cfg)
+
+
+def test_fuzzer_repro_region_count_alias():
+    """Regression for the tools/fuzz.py finding (ASan global-buffer-
+    overflow at frame.cc read_huffman): hostile side info carries raw
+    region counts (4+3 bits -> up to 15+7), pushing the region-2 band
+    index to 24, past l[23].  The reference's struct layout aliases
+    .l[23+k] onto .s[k] (pdmp3.c:108-112, 2074-2076); both frontends now
+    emulate the alias, and the decoded PCM stays bit-exact against the
+    reference binary on the original crashing input."""
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "tools", "fuzz_crashes",
+                        "crash_seed2_1786933357.bin")
+    with open(path, "rb") as f:
+        stream = f.read()
+    ref = reference_decode(stream)
+    nat = native_decode_file(stream)
+    assert len(ref) > 0
+    n = min(len(ref), len(nat))
+    assert nat[:n] == ref[:n]
+    assert abs(len(nat) - len(ref)) <= 3 * 1152 * 4
+    # python frontend parses the same stream without raising
+    from pdmp3_tpu.frontend import Frontend
+    fe = Frontend()
+    fe.feed(stream)
+    frames = 0
+    while True:
+        r, _ = fe.read_frame()
+        if r != 0:
+            break
+        frames += 1
+    assert frames >= 1
