@@ -1,30 +1,36 @@
-"""Feature-major fused Pallas TPU kernel for the decode back half.
+"""Feature-major fused Pallas TPU granule kernels.
 
 The round-1 kernel tiled slot-major tensors like [N, 2, 32, 18], paying
 up to 7x VMEM/VPU padding on the 18/36-wide minor dims — it never beat
-the XLA path.  This kernel flips the layout: **batch-in-lanes**.  Every tensor is [features..., B] with the slot axis
-minor; B blocks are multiples of 128 lanes, so nothing pads, and every
-contraction becomes a clean [M, K] @ [K, n*128] MXU matmul with the
-constant basis on the left:
+the XLA path.  These kernels flip the layout: **batch-in-lanes**.  Every
+tensor is [features..., B] with the slot axis minor; B blocks are
+multiples of 128 lanes, so nothing pads, and every contraction becomes a
+clean [M, K] @ [K, n*128] MXU matmul with the constant basis on the
+left:
 
     IMDCT     : COS36^T[36,18] @ x[18, 32*BN]      (pdmp3.c:1649-1700)
     polyphase : NWIN[64,32]    @ x_t[32, 18*BN]    (pdmp3.c:1989-2014)
+    expansions: E[576, 9*K]    @ (layout-onehot ⊗ params)[9*K, BN]
 
-One kernel fuses hybrid synthesis (long + folded-short IMDCT bases,
-window select, overlap-add against the store carry), frequency inversion
-(constant sign mask), the polyphase filterbank (matrixing + 16-tap
-D-window FIR over a 33-block sliding window), PCM quantization, and
-active-slot state freezing.  Intermediates never touch HBM.
+Fast mode runs the ENTIRE granule step as one pallas_call
+(`_kernel_full`): requantize (Newton exp2/log2 pow-4/3, exponent-bitcast
+gains), stereo (MS butterfly + intensity incl. the reference's
+short-block bug emulation), antialias, hybrid synthesis (long +
+folded-short IMDCT bases, window select, overlap-add), frequency
+inversion, the polyphase filterbank (matrixing + 16-tap D-window FIR
+over a 33-block sliding window), PCM quantization, and active-slot state
+freezing.  Spectra never touch HBM; the short-block reorder is not a
+device op at all (folded into the host wire pack, models/decoder.py).
 
-Precision: `exact=False` matches ops/dsp.py's fast path (HIGHEST-precision
-matmuls, ±1 LSB PCM); `exact=True` replays the reference's sequential
+Exact mode keeps the split form: the XLA front half (ops/dsp.py, which
+owns the two f64 rounding points Mosaic lacks) feeds the back-half
+kernel (`_kernel`), which replays the reference's sequential
 accumulation order with VPU broadcast multiply-adds and returns raw f32
-sums so the caller can apply the float64 quantization rounding point
-(pdmp3.c:2028) outside the kernel — Mosaic has no f64.
+sums for the caller's float64 quantize (pdmp3.c:2028).
 
 State lives in the transposed layout across steps (PallasState), so the
-only per-step layout cost is one transpose of the freshly-computed
-spectra into [2, 18, 32, B].
+per-step layout cost is one i16 ix transpose in and one i16 PCM
+relayout out.
 """
 from __future__ import annotations
 
