@@ -126,8 +126,11 @@ void stereo(const pdmp3_granules &g, int gr, float x[2][576],
       } else {
         is_pos = g.scf_l[gr][0][sfb];
         if (is_pos == 7) continue;
-        float rl = kIsRatioL[is_pos > 7 ? 7 : is_pos];
-        float rr = kIsRatioR[is_pos > 7 ? 7 : is_pos];
+        // is_pos 8..15 replays the reference's OOB is_ratios read
+        // (pdmp3.c:2170 lands in its rodata padding + ca[]; probed
+        // values baked into the 16-wide ratio tables, tables.py)
+        float rl = kIsRatioL[is_pos > 15 ? 15 : is_pos];
+        float rr = kIsRatioR[is_pos > 15 ? 15 : is_pos];
         float left = rl * x[0][i];
         float right = rr * x[0][i];
         x[0][i] = left;

@@ -23,8 +23,8 @@ extern const float kGainGlobal[312];
 extern const int kGainGlobalOff;
 extern const float kCs[8];
 extern const float kCa[8];
-extern const float kIsRatioL[8];
-extern const float kIsRatioR[8];
+extern const float kIsRatioL[16];
+extern const float kIsRatioR[16];
 extern const float kImdctWin[4][36];
 extern const float kCosN12[6][12];
 extern const float kCosN36[18][36];

@@ -377,7 +377,14 @@ def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
 
     imask = ((is_flag[:, None] != 0) & (iok == 1)
              & (band_start >= c1r[:, None]) & (is_pos != 7))
-    rpos_oh = _onehot(jnp.clip(is_pos, 0, 7), 8)
+    # 16-wide ratios: is_pos 8..15 replays the reference's OOB
+    # is_ratios read on long blocks (tables.IS_RATIO_OOB_BITS); the
+    # spec profile keeps treating short-block is_pos > 7 as no-op
+    # (index 7 = zero ratios), matching the oracle's spec branch
+    ip = jnp.clip(is_pos, 0, 15)
+    if not bug_compat_short_intensity:
+        ip = jnp.where(short == 1, jnp.minimum(ip, 7), ip)
+    rpos_oh = _onehot(ip, 16)
     rl = jnp.einsum("...k,k->...", rpos_oh, jnp.asarray(_RATIO_L),
                     precision=_HIGH, preferred_element_type=F32)
     rr = jnp.einsum("...k,k->...", rpos_oh, jnp.asarray(_RATIO_R),

@@ -337,9 +337,9 @@ def _k_quarter(d, tab):
                      jnp.where(d == 2, t[2], t[3])))
 
 
-def _k_sel8(idx, tab):
-    out = F32(np.float32(tab[7]))
-    for k in range(6, -1, -1):
+def _k_sel16(idx, tab):
+    out = F32(np.float32(tab[15]))
+    for k in range(14, -1, -1):
         out = jnp.where(idx == k, F32(np.float32(tab[k])), out)
     return out
 
@@ -429,9 +429,13 @@ def _kernel_full(bug_compat: bool,
                        scf_l0).astype(jnp.int32)
     imask = ((isf != 0) & (iok == F32(1.0)) & (band_start >= c1r)
              & (is_pos != 7))
-    ip = jnp.clip(is_pos, 0, 7)
-    int_l = _k_sel8(ip, fc["ratio_l"]) * l
-    int_r = _k_sel8(ip, fc["ratio_r"]) * l
+    # 16-wide ratios (is_pos 8..15 = reference OOB read emulation);
+    # spec profile clamps short-block is_pos to the zero-ratio slot
+    ip = jnp.clip(is_pos, 0, 15)
+    if not bug_compat:
+        ip = jnp.where(short0 == F32(1.0), jnp.minimum(ip, 7), ip)
+    int_l = _k_sel16(ip, fc["ratio_l"]) * l
+    int_r = _k_sel16(ip, fc["ratio_r"]) * l
     if bug_compat:
         # pdmp3.c:2212-2213 short-intensity unsigned-assign bug (fast
         # precision: f32 trunc/mod, dsp.stereo)

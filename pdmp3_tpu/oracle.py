@@ -128,9 +128,10 @@ def _stereo(fd: FrameData, gr: int, x: np.ndarray,
             if is_pos == 6:
                 rl, rr = F32(1.0), F32(0.0)
             else:
-                r = T.IS_RATIOS[is_pos]
-                rl = F32(r / (F32(1.0) + r))
-                rr = F32(F32(1.0) / (F32(1.0) + r))
+                # 16-wide tables: 8..15 replay the reference's OOB
+                # is_ratios read (probed rodata, tables.IS_RATIO_OOB_BITS)
+                rl_t, rr_t = T.intensity_ratio_tables()
+                rl, rr = F32(rl_t[is_pos]), F32(rr_t[is_pos])
             seg = x[0][lo:hi].copy()
             x[0][lo:hi] = rl * seg
             x[1][lo:hi] = rr * seg

@@ -299,16 +299,36 @@ def stereo_maps():
     return {"band_start": band_start, "intensity_ok": ok}
 
 
+# What the reference reads for is_pos 8..15: Stereo_Process_Intensity_Long
+# indexes is_ratios[6] with any scalefactor but 7 (pdmp3.c:2163-2172), and
+# hostile-but-parseable streams put 8..15 there.  In the reference
+# binary's rodata the array is followed by 8 bytes of alignment padding
+# and then ca[8] (probed from the built binary by
+# testing/golden.probe_is_ratio_oob; locked by
+# test_is_ratio_oob_matches_reference_binary).  Frozen bit patterns:
+IS_RATIO_OOB_BITS = np.array(
+    [0x00000000, 0x00000000,              # padding after is_ratios[6]
+     0xBF03B603, 0xBEF186DB, 0xBEA072F3, 0xBE3A4767,   # = ca[0..3]
+     0xBDC1B003, 0xBD27CBF7, 0xBC68A2EC, 0xBB727BB3],  # = ca[4..7]
+    np.uint32)
+
+
 @functools.lru_cache(maxsize=1)
 def intensity_ratio_tables():
     """is_pos -> (ratio_l, ratio_r) as float32, computed with the exact op
     order of the reference (pdmp3.c:2167-2172): index 6 is the hard-left
-    special case, index 7 is 'no intensity' (masked by the caller)."""
-    rl = np.zeros(8, np.float32)
-    rr = np.zeros(8, np.float32)
+    special case, index 7 is 'no intensity' (masked by the caller);
+    8..15 replay the reference's out-of-bounds is_ratios read (the
+    probed rodata values above) through the same ratio formula."""
+    ext = np.concatenate([np.asarray(IS_RATIOS, np.float32),
+                          IS_RATIO_OOB_BITS.view(np.float32)])
+    rl = np.zeros(16, np.float32)
+    rr = np.zeros(16, np.float32)
     one = np.float32(1.0)
-    for p in range(6):
-        r = IS_RATIOS[p]
+    for p in range(16):
+        if p in (6, 7):
+            continue
+        r = ext[p]
         rl[p] = np.float32(r / (one + r))
         rr[p] = np.float32(one / (one + r))
     rl[6], rr[6] = 1.0, 0.0

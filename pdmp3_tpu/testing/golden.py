@@ -102,3 +102,22 @@ def reference_decode(stream: bytes, timeout: float = 120.0) -> bytes:
             return b""
         with open(raw, "rb") as f:
             return f.read()
+
+
+def probe_is_ratio_oob():
+    """Read what the reference binary's Stereo_Process_Intensity_Long
+    actually loads for is_pos 6..15: the 10 float32 words following
+    is_ratios[6] in the built binary's .rodata (the section maps
+    verbatim, so file bytes == the bytes the OOB loads hit).  Used by
+    the provenance test for tables.IS_RATIO_OOB_BITS."""
+    import numpy as np
+
+    with open(ensure_reference_binary(), "rb") as f:
+        blob = f.read()
+    pat = np.array([0.000000, 0.267949, 0.577350, 1.000000, 1.732051,
+                    3.732051], np.float32).tobytes()
+    idx = blob.find(pat)
+    assert idx >= 0 and blob.find(pat, idx + 1) < 0, \
+        "is_ratios pattern not unique in reference binary"
+    return np.frombuffer(blob[idx + len(pat):idx + len(pat) + 40],
+                         np.uint32).copy()

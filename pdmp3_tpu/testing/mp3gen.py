@@ -123,8 +123,9 @@ def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
     block: "long" | "start" | "stop" | "short" | "mixed"
     stereo_extent: fraction of the allowed spectrum extent that carries
       nonzero big_values (use < 1.0 on ch1 to trigger intensity bands).
-    intensity_pos: if given, fill scalefactors with is_pos values 0..7
-      (for the channel whose scalefacs define intensity positions).
+    intensity_pos: if given, fill scalefactors with this is_pos value
+      (0..15, clamped to the slen field width; 8..15 reach the
+      reference's OOB is_ratios regime on long blocks).
     """
     g = GranuleSpec()
     g.block_type = {"long": 0, "start": 1, "stop": 3,
@@ -455,11 +456,18 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
                 mode_extension: int = 0, blocks: str = "long",
                 use_reservoir: bool = False, protection: bool = False,
                 vary_padding: bool = False, stuffing: int = 0,
-                stereo_extent_ch1: float = 1.0, intensity_pos: bool = False,
+                stereo_extent_ch1: float = 1.0,
+                intensity_pos: bool | int = False,
                 scfsi: bool = False, leading_garbage: int = 0,
                 amp: int = 6, vbr: bool = False) -> bytes:
     """Convenience builder for one homogeneous test stream."""
     rng = random.Random(seed)
+    # intensity_pos True draws is_pos < 8 (the defined range); an int N
+    # draws is_pos < N (N=16 reaches the reference's OOB is_ratios
+    # regime on long blocks, tables.IS_RATIO_OOB_BITS)
+    ipos_max = (intensity_pos
+                if isinstance(intensity_pos, int)
+                and not isinstance(intensity_pos, bool) else 8)
     block_cycle = {"long": ["long"], "short": ["short"], "mixed": ["mixed"],
                    "varied": ["long", "start", "short", "short", "stop",
                               "long", "mixed", "long"]}[blocks]
@@ -485,7 +493,7 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
                         rng, sfreq=sfreq, block=blk,
                         stereo_extent=stereo_extent_ch1 if ch == 1 else 1.0,
                         amp=amp, stuffing=stuffing, max_lines=max_lines,
-                        intensity_pos=(rng.randrange(8)
+                        intensity_pos=(rng.randrange(ipos_max)
                                        if (intensity_pos and ch == 0)
                                        else None)))
                 row += [row[0]] * (2 - len(row))

@@ -131,3 +131,35 @@ def test_fuzzer_repro_region_count_alias():
             break
         frames += 1
     assert frames >= 1
+
+
+def test_is_ratio_oob_matches_reference_binary():
+    """Provenance lock for tables.IS_RATIO_OOB_BITS: the 10 rodata words
+    following is_ratios[6] in the freshly-built reference binary (what
+    its OOB reads for is_pos 8..15 actually load — alignment padding
+    then ca[8]) must equal the frozen bit patterns.  A toolchain or
+    layout change would trip this instead of silently breaking parity."""
+    import numpy as np
+    from pdmp3_tpu import tables as T
+    from pdmp3_tpu.testing.golden import probe_is_ratio_oob
+    np.testing.assert_array_equal(probe_is_ratio_oob(),
+                                  T.IS_RATIO_OOB_BITS)
+
+
+@pytest.mark.parametrize("seed,blocks", [(810, "long"), (811, "varied"),
+                                         (812, "long")])
+def test_intensity_is_pos_oob_three_way(seed, blocks):
+    """Long-block intensity with is_pos 8..15: the reference reads
+    is_ratios[] out of bounds (pdmp3.c:2170 lands in padding + ca[]);
+    all our implementations replay the probed values bit-exactly."""
+    stream = mp3gen.make_stream(
+        n_frames=6, seed=seed, blocks=blocks, mode=1, mode_extension=1,
+        stereo_extent_ch1=0.3, intensity_pos=16)
+    ref = reference_decode(stream)
+    assert len(ref) > 0
+    nat = native_decode_file(stream)
+    n = min(len(ref), len(nat))
+    assert nat[:n] == ref[:n] and n >= len(ref) - 3 * 1152 * 4
+    got = decode_file(stream)  # python API + oracle DSP
+    n = min(len(ref), len(got))
+    assert got[:n] == ref[:n] and n >= len(ref) - 3 * 1152 * 4
