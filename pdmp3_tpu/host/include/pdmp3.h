@@ -158,7 +158,10 @@ int pdmp3_parse_step_wire16(pdmp3_handle *const *ids, size_t n_slots,
  * as
  * pdmp3_parse_step_wire16.  cap_blocks must cover the worst case
  * (frames_per_step*2*n_slots*2*5); *blocks_used returns the cursor so
- * the caller uploads only the used prefix.  Returns active slot count. */
+ * the caller uploads only the used prefix.  If cap_blocks is too small,
+ * overflowing channels get n_blocks=0 (decode as silence) and
+ * *blocks_used > cap_blocks signals the truncation.  Returns active
+ * slot count. */
 int pdmp3_parse_step_wire16_sparse(pdmp3_handle *const *ids,
                                    size_t n_slots, int n_threads,
                                    size_t frames_per_step,

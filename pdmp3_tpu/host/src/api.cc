@@ -303,8 +303,13 @@ static int parse_range16_sparse(pdmp3_handle *const *ids, size_t lo,
           long long start = 0;
           if (nb) {
             start = cursor->fetch_add(nb);
-            if (start + nb > (long long)cap_blocks) {  // caller sized
-              cursor->fetch_sub(nb);                   // cap too small
+            if (start + nb > (long long)cap_blocks) {  // cap too small
+              // Saturate: leave the cursor past cap so the final
+              // blocks_used > cap_blocks signals truncation to the
+              // caller.  (A fetch_sub rollback here could race: another
+              // thread's successful allocation taken between the two ops
+              // would later be handed out again, overlapping live
+              // blocks.)  The channel decodes as silence.
               nb = 0;
               start = 0;
             }

@@ -15,7 +15,15 @@ from __future__ import annotations
 import functools
 
 import jax
-from jax._src import core as _core
+
+try:  # private API: present in current JAX, may move on upgrade
+    from jax._src.core import trace_state_clean as _trace_state_clean
+except ImportError:  # pragma: no cover - future-JAX fallback
+    def _trace_state_clean():
+        # conservative fallback: always take the nested-jit path (plain
+        # jax.jit, no compiler_options) — correct everywhere, merely
+        # loses the TPU scoped-VMEM raise until the import is fixed
+        return False
 
 TPU_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "40960"}
 
@@ -28,7 +36,7 @@ def lazy_jit(fun, **jit_kwargs):
         # compiler_options is only legal on the OUTERMOST jit; under an
         # enclosing trace fall back to a plain nested jit (the outer
         # compile carries the options)
-        key = ("nested" if not _core.trace_state_clean()
+        key = ("nested" if not _trace_state_clean()
                else jax.default_backend())
         fn = cache.get(key)
         if fn is None:
