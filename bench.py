@@ -197,49 +197,74 @@ def _e2e_corpus(n_distinct: int = 128):
     return streams
 
 
-def _bench_e2e(streams, seconds: float = 8.0, B: int = 4096,
-               sparse: bool = False,
-               kernel: str = "xla") -> tuple[float, float]:
-    """Full pipeline: native frontend parse + wire upload + TPU decode,
-    over genuinely different streams tiled across B slots.  Returns
-    (rtf, wire_bytes_per_granule)."""
+def _bench_e2e_ab(streams, B: int = 4096, trials: int = 3,
+                  seconds: float = 3.0) -> dict:
+    """Full pipeline (native frontend parse + wire upload + TPU decode)
+    over genuinely different streams, measured as INTERLEAVED A/B trials
+    with per-config medians: the shared tunnel chip's run-to-run variance
+    spans ~5-20x (WIRE_PROFILE_r03 trials: 64x..1482x for the SAME
+    config), so sequential windows — round 2's method — cannot resolve
+    config differences.  Returns {config: median_rtf} plus wire bytes per
+    granule for each wire format."""
     from pdmp3_tpu.runtime import SparseStreamDecoder, StreamDecoder
 
+    configs = [("dense", "xla"), ("sparse", "xla"),
+               ("dense", "pallas"), ("sparse", "pallas")]
     n_distinct = len(streams)
-    dec = (SparseStreamDecoder if sparse else StreamDecoder)(
-        B, exact=False, kernel=kernel)
-    pos = [0] * B
-    src = [streams[i % n_distinct] for i in range(B)]
-    for s in range(B):
-        dec.feed(s, src[s][:8192])
-        pos[s] = 8192
-    dec.parse_step()
-    p = dec.decode_step(fetch=False)
-    jax.block_until_ready(p)
-    granules = 0
-    wire_bytes = 0
-    last = None
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < seconds:
+    decs, poss, srcs, bytes_g = {}, {}, {}, {}
+    for key in configs:
+        wire, kernel = key
+        decs[key] = (SparseStreamDecoder if wire == "sparse"
+                     else StreamDecoder)(B, exact=False, kernel=kernel)
+        srcs[key] = [streams[i % n_distinct] for i in range(B)]
+        poss[key] = [0] * B
+
+    def refill(key):
+        dec, src, pos = decs[key], srcs[key], poss[key]
         for s in range(B):
-            data = src[s]
-            if pos[s] >= len(data):
+            if pos[s] >= len(src[s]):
                 pos[s] = 0
             if dec.inbuf_free(s) >= 4096:
-                n = min(4096, len(data) - pos[s])
-                dec.feed(s, data[pos[s]:pos[s] + n])
+                n = min(4096, len(src[s]) - pos[s])
+                dec.feed(s, src[s][pos[s]:pos[s] + n])
                 pos[s] += n
-        na = dec.parse_step()
-        if na == 0:
-            continue
-        wire_bytes += (dec.wire_bytes() if sparse
-                       else 2 * dec._lay["total"])
-        last = dec.decode_step(fetch=False)
-        granules += 2 * na
-    if last is not None:
-        jax.block_until_ready(last)
-    el = time.perf_counter() - t0
-    return granules * 576 / 44100.0 / el, wire_bytes / max(granules, 1)
+
+    for key in configs:  # warm compiles + sparse sticky buckets
+        for _ in range(4):
+            refill(key)
+            decs[key].parse_step()
+        jax.block_until_ready(decs[key].decode_step(fetch=False))
+
+    results = {key: [] for key in configs}
+    for _ in range(trials):
+        for key in configs:
+            dec = decs[key]
+            granules = 0
+            wire_bytes = 0
+            last = None
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < seconds:
+                refill(key)
+                na = dec.parse_step()
+                if na == 0:
+                    continue
+                wire_bytes += (dec.wire_bytes() if key[0] == "sparse"
+                               else 2 * dec._lay["total"])
+                last = dec.decode_step(fetch=False)
+                granules += 2 * na
+            if last is not None:
+                jax.block_until_ready(last)
+            el = time.perf_counter() - t0
+            results[key].append(granules * 576 / 44100.0 / el)
+            bytes_g[key[0]] = wire_bytes / max(granules, 1)
+    return {
+        "dense_xla": float(np.median(results[("dense", "xla")])),
+        "sparse_xla": float(np.median(results[("sparse", "xla")])),
+        "dense_pallas": float(np.median(results[("dense", "pallas")])),
+        "sparse_pallas": float(np.median(results[("sparse", "pallas")])),
+        "dense_bpg": bytes_g["dense"],
+        "sparse_bpg": bytes_g["sparse"],
+    }
 
 
 def _bench_single_core(seconds: float = 3.0):
@@ -352,15 +377,15 @@ def main() -> None:
 
     # end-to-end serving pipeline in THIS harness (native host frontend,
     # one packed wire transfer per frame, device step); bounded by the
-    # single host core + tunnel, not by the design.  Dense wire vs the
-    # sparse count1-bounded wire (2-4x fewer bytes on the same streams).
+    # single host core + tunnel, not by the design.  Interleaved A/B
+    # medians (sequential windows cannot resolve configs on the shared
+    # chip — WIRE_PROFILE_r03).  Flagship config: sparse wire + fused
+    # Pallas kernel.
     e2e_streams = _e2e_corpus(128)
-    e2e_rtf, dense_bpg = _bench_e2e(e2e_streams, seconds=8.0)
-    e2e_rtf_sparse, sparse_bpg = _bench_e2e(e2e_streams, seconds=8.0,
-                                            sparse=True)
-    # flagship serving config: sparse wire + fused Pallas kernel
-    e2e_rtf_flagship, _ = _bench_e2e(e2e_streams, seconds=8.0,
-                                     sparse=True, kernel="pallas")
+    ab = _bench_e2e_ab(e2e_streams)
+    e2e_rtf, dense_bpg = ab["dense_xla"], ab["dense_bpg"]
+    e2e_rtf_sparse, sparse_bpg = ab["sparse_xla"], ab["sparse_bpg"]
+    e2e_rtf_flagship = ab["sparse_pallas"]
 
     # single-core comparison: native scalar decoder vs the reference binary
     native_fps, ref_fps = _bench_single_core()
@@ -394,6 +419,8 @@ def main() -> None:
         "e2e_serving_rtf_this_harness": round(e2e_rtf, 1),
         "e2e_serving_rtf_sparse_wire": round(e2e_rtf_sparse, 1),
         "e2e_serving_rtf_sparse_pallas": round(e2e_rtf_flagship, 1),
+        "e2e_serving_rtf_dense_pallas": round(ab["dense_pallas"], 1),
+        "e2e_method": "interleaved A/B medians (3 trials/config)",
         "wire_bytes_per_granule_dense": round(dense_bpg, 1),
         "wire_bytes_per_granule_sparse": round(sparse_bpg, 1),
         "e2e_distinct_streams": 128,

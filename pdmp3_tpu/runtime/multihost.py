@@ -48,14 +48,15 @@ class MultiHostStreamDecoder(StreamDecoder):
     termination)."""
 
     def __init__(self, n_slots: int, mesh=None, exact: bool = False,
-                 bug_compat: bool = True, parse_threads: int = 1):
+                 bug_compat: bool = True, parse_threads: int = 1,
+                 kernel: str = "xla"):
         self.procs = jax.process_count()
         self.pid = jax.process_index()
         assert n_slots % self.procs == 0, (n_slots, self.procs)
         self.n_global = n_slots
         super().__init__(n_slots // self.procs, exact=exact,
                          bug_compat=bug_compat,
-                         parse_threads=parse_threads)
+                         parse_threads=parse_threads, kernel=kernel)
         assert self.F == 1, "multi-host serving uses one frame per step"
         self.mesh = mesh if mesh is not None else make_mesh()
         assert n_slots % self.mesh.size == 0, (n_slots, self.mesh.size)
@@ -65,10 +66,27 @@ class MultiHostStreamDecoder(StreamDecoder):
         def sh(ndim):
             return NamedSharding(self.mesh,
                                  P(STREAM_AXIS, *([None] * (ndim - 1))))
-        self.state = jax.jit(
-            lambda: M.init_state(self.n_global),
-            out_shardings=M.DecoderState(store=sh(4), v_blocks=sh(4),
-                                         prev_lines=sh(2)))()
+        if kernel == "pallas":
+            # fused Pallas kernel via shard_map (pjit cannot partition a
+            # pallas_call); state in the kernel's feature-major layout,
+            # slot axis minor
+            from ..ops.pallas_step import init_pallas_state
+            from ..parallel.sharding import (pallas_state_specs,
+                                             sharded_frame_soa_step)
+            specs = pallas_state_specs(STREAM_AXIS)
+            self.state = jax.jit(
+                lambda: init_pallas_state(self.n_global),
+                out_shardings=jax.tree.map(
+                    lambda s: NamedSharding(self.mesh, s), specs))()
+            self._step = sharded_frame_soa_step(
+                self.mesh, STREAM_AXIS, self.exact, self.bug_compat,
+                "pallas")
+        else:
+            self.state = jax.jit(
+                lambda: M.init_state(self.n_global),
+                out_shardings=M.DecoderState(store=sh(4), v_blocks=sh(4),
+                                             prev_lines=sh(2)))()
+            self._step = None
 
     # ---- device side (collective) ----
 
@@ -92,10 +110,14 @@ class MultiHostStreamDecoder(StreamDecoder):
         scf_s2 = self._global(self.scf_s, 1)
         meta2 = self._global(self.meta, 1)
         active = self._global(self.active, 0)
-        with self.mesh:
-            pcm, self.state = M.decode_frame_soa(
-                ix2, scf_l2, scf_s2, meta2, active, self.state,
-                exact=self.exact, bug_compat=self.bug_compat)
+        if self.kernel == "pallas":
+            pcm, self.state = self._step(ix2, scf_l2, scf_s2, meta2,
+                                         active, self.state)
+        else:
+            with self.mesh:
+                pcm, self.state = M.decode_frame_soa(
+                    ix2, scf_l2, scf_s2, meta2, active, self.state,
+                    exact=self.exact, bug_compat=self.bug_compat)
         act, meta = self.active.copy(), self.meta.copy()
         self._cur ^= 1
         self._bind_views()

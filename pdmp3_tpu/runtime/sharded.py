@@ -6,6 +6,12 @@ state never leaves its device, the per-step SoA tensors upload sharded,
 and the decode step runs SPMD (no collectives on the decode path — the
 psum telemetry in parallel/sharding.py is the only cross-chip traffic).
 
+Both device kernels shard: the XLA pipeline partitions under pjit, and
+the fused Pallas kernel (the fastest path, kernel="pallas") runs under
+``jax.shard_map`` — streams are embarrassingly parallel, so each device
+executes the same pallas_call on its local slot shard with zero
+collectives (parallel/sharding.sharded_frame_soa_step).
+
 This class expresses the single-controller form (one process addresses
 every device), which is also what the virtual-device tests exercise.
 The per-host form — one process per host running its own native
@@ -17,10 +23,11 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from ..models import decoder as M
-from ..parallel.sharding import STREAM_AXIS, batch_sharding, make_mesh
+from ..parallel.sharding import (STREAM_AXIS, batch_sharding, make_mesh,
+                                 pallas_state_specs,
+                                 sharded_frame_soa_step)
 from .scheduler import StreamDecoder
 
 
@@ -29,20 +36,32 @@ class ShardedStreamDecoder(StreamDecoder):
     mesh.  n_slots must be a multiple of the mesh size."""
 
     def __init__(self, n_slots: int, mesh=None, exact: bool = False,
-                 bug_compat: bool = True, parse_threads: int = 0):
+                 bug_compat: bool = True, parse_threads: int = 0,
+                 kernel: str = "xla"):
         super().__init__(n_slots, exact=exact, bug_compat=bug_compat,
-                         parse_threads=parse_threads)
+                         parse_threads=parse_threads, kernel=kernel)
         assert self.F == 1, "sharded serving uses one frame per step"
-        assert self.kernel == "xla", \
-            "pjit-sharded serving uses the XLA kernel (pallas_call is " \
-            "not auto-partitioned; see scheduler.StreamDecoder.kernel)"
         self.mesh = mesh if mesh is not None else make_mesh()
         assert n_slots % self.mesh.size == 0, (n_slots, self.mesh.size)
-        shard = lambda x: jax.device_put(
-            x, batch_sharding(self.mesh, x.ndim))
-        self.state = M.DecoderState(store=shard(self.state.store),
-                                    v_blocks=shard(self.state.v_blocks),
-                                    prev_lines=shard(self.state.prev_lines))
+        if kernel == "pallas":
+            # PallasState keeps the slot axis MINOR (feature-major
+            # kernel layout); shard that axis
+            specs = pallas_state_specs(STREAM_AXIS)
+            self.state = jax.tree.map(
+                lambda x, s: jax.device_put(
+                    x, jax.sharding.NamedSharding(self.mesh, s)),
+                self.state, specs)
+            self._step = sharded_frame_soa_step(
+                self.mesh, STREAM_AXIS, self.exact, self.bug_compat,
+                "pallas")
+        else:
+            shard = lambda x: jax.device_put(
+                x, batch_sharding(self.mesh, x.ndim))
+            self.state = M.DecoderState(
+                store=shard(self.state.store),
+                v_blocks=shard(self.state.v_blocks),
+                prev_lines=shard(self.state.prev_lines))
+            self._step = None
 
     def decode_step(self, fetch: bool = True):
         if not self.active.any():
@@ -62,8 +81,12 @@ class ShardedStreamDecoder(StreamDecoder):
         meta2 = put(self.meta)
         active = jax.device_put(
             self.active, batch_sharding(self.mesh, 1))
-        with self.mesh:
-            pcm, self.state = M.decode_frame_soa(
-                ix2, scf_l2, scf_s2, meta2, active, self.state,
-                exact=self.exact, bug_compat=self.bug_compat)
+        if self.kernel == "pallas":
+            pcm, self.state = self._step(ix2, scf_l2, scf_s2, meta2,
+                                         active, self.state)
+        else:
+            with self.mesh:
+                pcm, self.state = M.decode_frame_soa(
+                    ix2, scf_l2, scf_s2, meta2, active, self.state,
+                    exact=self.exact, bug_compat=self.bug_compat)
         return np.asarray(pcm) if fetch else pcm
