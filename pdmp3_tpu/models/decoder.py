@@ -249,9 +249,16 @@ def decode_frame_soa(ix2, scf_l2, scf_s2, meta2, active, state,
                      exact: bool = False, bug_compat: bool = True,
                      kernel: str = "xla", float_pcm: bool = False):
     """Decode a whole frame (two granule steps) from the native frontend's
-    SoA tensors: ix2 i16 [2,B,2,576], scf_l2 u8 [2,B,2,22], scf_s2 u8
-    [2,B,2,39], meta2 i32 [2,B,32], active i32 [B].
-    Returns (pcm i16 [B,1152,2], new_state)."""
+    SoA tensors: ix2 i16 [2,B,2,576], scf_l2 u8/i16 [2,B,2,22], scf_s2
+    u8/i16 [2,B,2,39], meta2 i32/i16 [2,B,32], active i32/i16 [B].
+    Returns (pcm i16 [B,1152,2], new_state).
+
+    meta/active are normalized to int32 here: the int16 wire views that
+    the sharded/multi-host serving paths upload directly would otherwise
+    overflow the fast path's exponent-bitcast gains ((n+127)<<23 in
+    int16), silently decoding to silence."""
+    meta2 = meta2.astype(jnp.int32)
+    active = active.astype(jnp.int32)
     step = _granule_step(kernel, float_pcm)
     outs = []
     for gr in range(2):

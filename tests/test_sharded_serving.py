@@ -35,6 +35,64 @@ def test_sharded_serving_equals_unsharded():
     assert len(devs) == 8
 
 
+def test_sharded_serving_pallas_kernel():
+    """The fused Pallas kernel under shard_map (round-2 VERDICT item 3):
+    sharded pallas serving must match unsharded pallas serving bitwise in
+    exact mode, and the state must be genuinely partitioned."""
+    B = 16
+    streams = [mp3gen.make_stream(n_frames=5, seed=430 + i,
+                                  blocks=["long", "short", "varied",
+                                          "mixed"][i % 4],
+                                  mode=1 if i % 2 else 0,
+                                  mode_extension=2 if i % 2 else 0)
+               for i in range(B)]
+    mesh = make_mesh(jax.devices()[:8])
+    dec_s = ShardedStreamDecoder(B, mesh=mesh, exact=True,
+                                 parse_threads=1, kernel="pallas")
+    dec_u = StreamDecoder(B, exact=True, kernel="pallas")
+    for s in range(B):
+        dec_s.feed(s, streams[s])
+        dec_u.feed(s, streams[s])
+    for step in range(4):
+        na_s = dec_s.parse_step()
+        na_u = dec_u.parse_step()
+        assert na_s == na_u
+        if na_s == 0:
+            break
+        p_s = dec_s.decode_step()
+        p_u = dec_u.decode_step()
+        np.testing.assert_array_equal(p_s, p_u, err_msg=f"step {step}")
+    devs = {sh.device.id for sh in dec_s.state.store_t.addressable_shards}
+    assert len(devs) == 8
+
+
+def test_sharded_pallas_fast_within_1lsb_of_xla():
+    """Fast mode: the sharded pallas path stays inside the fast-mode
+    contract (±1 LSB) vs the sharded XLA path on the same streams."""
+    B = 16
+    streams = [mp3gen.make_stream(n_frames=4, seed=460 + i,
+                                  blocks="varied")
+               for i in range(B)]
+    mesh = make_mesh(jax.devices()[:8])
+    dec_p = ShardedStreamDecoder(B, mesh=mesh, exact=False,
+                                 parse_threads=1, kernel="pallas")
+    dec_x = ShardedStreamDecoder(B, mesh=mesh, exact=False,
+                                 parse_threads=1)
+    for s in range(B):
+        dec_p.feed(s, streams[s])
+        dec_x.feed(s, streams[s])
+    for _ in range(3):
+        na_p = dec_p.parse_step()
+        na_x = dec_x.parse_step()
+        assert na_p == na_x
+        if na_p == 0:
+            break
+        p_p = dec_p.decode_step()
+        p_x = dec_x.decode_step()
+        assert int(np.abs(p_p.astype(np.int64)
+                          - p_x.astype(np.int64)).max()) <= 1
+
+
 def test_sharded_serving_dump_and_dumps_module():
     # exercise the debug dump facility (SURVEY.md §5 / reference dmp_*)
     import io

@@ -48,6 +48,29 @@ def test_sharded_equals_unsharded(batch16):
     assert int(clipped) == want_clip
 
 
+def test_sharded_pallas_exact_bitwise(batch16):
+    """GranuleBatch-level shard_map of the Pallas kernel: exact mode is
+    bitwise identical to the unsharded pallas decode (the sequential
+    accumulation order is shard-shape independent)."""
+    from pdmp3_tpu.ops import pallas_step as PSF
+    from pdmp3_tpu.parallel import place_pallas_state
+
+    batch, state = batch16
+    pstate = PSF.state_to_pallas(state)
+    pcm_ref, pstate_ref = PSF.decode_granules_pallas(batch, pstate,
+                                                     exact=True)
+    mesh = make_mesh(jax.devices()[:8])
+    sb = place_batch(batch, mesh)
+    sp = place_pallas_state(pstate, mesh)
+    pcm, new_state, _ = decode_granules_sharded(sb, sp, mesh, exact=True,
+                                                kernel="pallas")
+    np.testing.assert_array_equal(np.asarray(pcm), np.asarray(pcm_ref))
+    for a, b in zip(new_state, pstate_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    shard_devs = {s.device.id for s in new_state.store_t.addressable_shards}
+    assert len(shard_devs) == 8
+
+
 def test_sharding_is_real(batch16):
     """The batch axis must actually be partitioned over devices."""
     batch, state = batch16
