@@ -312,27 +312,20 @@ def _bench_parse(seconds: float = 2.5, B: int = 256) -> float:
     measured counterpart.  Streams loop; the parser resyncs across the
     seam, so a handful of frames per wrap hit the resync path (realistic
     for serving)."""
-    from pdmp3_tpu.runtime import StreamDecoder
+    from pdmp3_tpu.runtime import LoopFeeder, StreamDecoder
     from pdmp3_tpu.testing import mp3gen
 
     streams = [mp3gen.make_stream(n_frames=60, seed=40 + i, blocks="varied",
                                   mode=1, mode_extension=2,
                                   use_reservoir=True) for i in range(8)]
     dec = StreamDecoder(B, exact=False, parse_threads=1)
-    pos = [0] * B
+    feeder = LoopFeeder(dec, streams)
+    feeder.step()
+    dec.parse_step()  # warm cold pages out of the timed window
     frames = 0
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < seconds:
-        for i in range(B):
-            s = streams[i % 8]
-            free = dec.inbuf_free(i) - 1
-            if free >= 4096:
-                chunk = s[pos[i]:pos[i] + min(free, 8192)]
-                if not chunk:
-                    pos[i] = 0
-                    chunk = s[:min(free, 8192)]
-                dec.feed(i, chunk)
-                pos[i] += len(chunk)
+        feeder.step()
         frames += dec.parse_step()
     return frames / (time.perf_counter() - t0)
 

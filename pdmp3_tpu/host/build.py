@@ -70,6 +70,21 @@ def selftest_bin(sanitize: str | None = None) -> str:
     return exe
 
 
+def parsebench_bin(profile: bool = False) -> str:
+    """Build (cached) the native parse-throughput benchmark
+    (src/parsebench.cc).  profile=True adds -pg for gprof."""
+    src_dir = os.path.join(HOST_DIR, "src")
+    ensure_built()
+    exe = os.path.join(BUILD_DIR, "pdmp3_parsebench" + ("_pg" if profile
+                                                        else ""))
+    srcs = [os.path.join(src_dir, s) for s in SRCS + ["parsebench.cc"]]
+    if _stale(exe, srcs):
+        flags = list(CXXFLAGS) + (["-pg", "-g"] if profile else [])
+        subprocess.run(["g++", *flags, "-o", exe, *srcs], check=True,
+                       capture_output=True)
+    return exe
+
+
 def fuzzer_bin() -> str:
     """Build (cached) the coverage-guided frontend fuzzer: library TUs
     instrumented with GCC trace-pc edge coverage + ASan/UBSan, the

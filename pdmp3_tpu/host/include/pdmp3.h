@@ -183,6 +183,13 @@ long pdmp3_parse_stream(pdmp3_handle *id, const unsigned char *data,
 unsigned pdmp3_inbuf_filled(pdmp3_handle *id);
 unsigned pdmp3_inbuf_free(pdmp3_handle *id);
 
+/* Serving feeder: top up every slot's ring from its looping source
+ * buffer (pos[i] wraps to 0 at src_len[i]) in one call.  Returns total
+ * bytes fed.  One FFI round trip per step instead of 2·n_slots. */
+long long pdmp3_feed_loop(pdmp3_handle *const *ids, size_t n,
+                          const unsigned char *const *srcs,
+                          const size_t *src_len, size_t *pos);
+
 /* Checkpoint/resume: the handle is a trivially-copyable state blob
  * (ring buffer, reservoir, header/side-info, DSP carries, drain offset) —
  * cf. SURVEY.md §5.  save/restore round-trips a decoding session. */

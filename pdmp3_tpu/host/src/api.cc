@@ -18,11 +18,49 @@
 
 using namespace pdmp3host;
 
+#ifdef PDMP3_PARSE_STATS
+extern "C" {
+extern unsigned long long pdmp3_cyc_pack, pdmp3_cyc_frame;
+}
+#define PDMP3_TSC(dst, expr) do { \
+    unsigned long long t0_ = __builtin_ia32_rdtsc(); \
+    expr; \
+    dst += __builtin_ia32_rdtsc() - t0_; \
+  } while (0)
+#else
+#define PDMP3_TSC(dst, expr) expr
+#endif
+
 // The device wire carries *line-ordered* spectra: the short-block reorder
 // (pdmp3.c:1786-1823) is folded into this copy as a table-driven gather,
 // so the device never pays the [B,2,576] permutation (requantize reads
 // constant maps precomposed with kReorderSrc, ops/dsp.py).  Long-block
 // layouts (0,3,6) are the identity and keep the memcpy fast path.
+// Structured short-block gather: within each short sfb the raw
+// (Huffman-order) layout is [win][k] and line order is [k][win], so the
+// permutation is three stride-1 source runs interleaving into stride-3
+// destinations — a vectorizable pattern, vs. the 576 dependent loads of
+// a table-driven gather.  Verified against kReorderSrc by the frontend
+// parity tests (the Python packer still uses the table).
+static inline void copy_ix_short(int16_t *dst, const int16_t *src, int sf,
+                                 bool mixed) {
+  int b0 = 0;
+  if (mixed) {  // two long subbands stay in place (pdmp3.c:1791-1798)
+    std::memcpy(dst, src, 36 * sizeof(int16_t));
+    b0 = 3;
+  }
+  for (int b = b0; b < 13; b++) {
+    int lo = kSfbShort[sf][b], w = kSfbShort[sf][b + 1] - lo;
+    const int16_t *s0 = src + 3 * lo, *s1 = s0 + w, *s2 = s1 + w;
+    int16_t *d = dst + 3 * lo;
+    for (int k = 0; k < w; k++) {
+      d[3 * k] = s0[k];
+      d[3 * k + 1] = s1[k];
+      d[3 * k + 2] = s2[k];
+    }
+  }
+}
+
 static inline void copy_ix_wire(int16_t *dst, const int16_t *src,
                                 int layout) {
   unsigned lay = (unsigned)layout;
@@ -30,8 +68,7 @@ static inline void copy_ix_wire(int16_t *dst, const int16_t *src,
     std::memcpy(dst, src, 576 * sizeof(int16_t));
     return;
   }
-  const short *p = kReorderSrc[lay];
-  for (int i = 0; i < 576; i++) dst[i] = src[p[i]];
+  copy_ix_short(dst, src, (int)(lay / 3), lay % 3 == 2);
 }
 
 extern "C" {
@@ -60,6 +97,32 @@ int pdmp3_feed(pdmp3_handle *id, const unsigned char *in, size_t size) {
 
 unsigned pdmp3_inbuf_filled(pdmp3_handle *id) { return id->fp.in.filled(); }
 unsigned pdmp3_inbuf_free(pdmp3_handle *id) { return id->fp.in.free_space(); }
+
+long long pdmp3_feed_loop(pdmp3_handle *const *ids, size_t n,
+                          const unsigned char *const *srcs,
+                          const size_t *src_len, size_t *pos) {
+  // Top up every ring from its looping source buffer in ONE call — the
+  // serving/bench feeder (a per-slot Python feed loop costs more than
+  // the parse itself at 400k frames/s).  Stays a byte short of
+  // exactly-full: istart == iend is indistinguishable from empty
+  // (pdmp3.c:1062-1068).
+  long long total = 0;
+  for (size_t s = 0; s < n; s++) {
+    pdmp3_handle *id = ids[s];
+    if (!id || !srcs[s] || !src_len[s]) continue;
+    for (;;) {
+      unsigned free_b = id->fp.in.free_space();
+      if (free_b < 2) break;
+      if (pos[s] >= src_len[s]) pos[s] = 0;  // loop (resync at seam)
+      size_t take = src_len[s] - pos[s];
+      if (take > free_b - 1) take = free_b - 1;
+      if (id->fp.in.feed(srcs[s] + pos[s], take) != PDMP3_OK) break;
+      pos[s] += take;
+      total += (long long)take;
+    }
+  }
+  return total;
+}
 
 static_assert(std::is_trivially_copyable<pdmp3_handle>::value,
               "handle must remain a flat state blob for checkpoint/resume");
@@ -205,24 +268,43 @@ static int parse_range16(pdmp3_handle *const *ids, size_t lo, size_t hi,
     for (size_t f = 0; f < frames; f++) {
       active[f * n_slots + s] = 0;
       if (!id || id->fp.in.filled() < 2 * 576) continue;
-      if (pdmp3_parse_frame(id, &g) != PDMP3_OK) {
+      // long-block channels decode straight into the wire (identity
+      // layout); only short/mixed channels pay the reorder gather below
+      int16_t *dst[2][2];
+      for (int gr = 0; gr < 2; gr++) {
+        size_t base = f * six + (size_t)gr * n_slots * 2 * 576 +
+                      s * 2 * 576;
+        dst[gr][0] = ix + base;
+        dst[gr][1] = ix + base + 576;
+      }
+      size_t pos0 = id->fp.in.processed;
+      unsigned mark0 = id->fp.in.istart;
+      int pr_;
+      PDMP3_TSC(pdmp3_cyc_frame, pr_ = id->fp.parse_frame(&g, dst));
+      if (pr_ != PDMP3_OK) {
+        id->fp.in.processed = pos0;
+        id->fp.in.istart = mark0;
         // later frames stay inactive (double-buffered wire: stale
         // active entries are the previous step's values)
         for (size_t f2 = f + 1; f2 < frames; f2++)
           active[f2 * n_slots + s] = 0;
         break;
       }
+      PDMP3_TSC(pdmp3_cyc_pack, {
       for (int gr = 0; gr < 2; gr++) {
-        size_t base = f * six + (size_t)gr * n_slots * 2 * 576 +
-                      s * 2 * 576;
-        for (int ch = 0; ch < 2; ch++)
-          copy_ix_wire(ix + base + (size_t)ch * 576, g.ix[gr][ch],
-                       g.layout[gr][ch]);
+        for (int ch = 0; ch < g.nch; ch++) {
+          unsigned lay = (unsigned)g.layout[gr][ch];
+          if (lay <= 8 && lay % 3 != 0)
+            copy_ix_short(dst[gr][ch], g.ix[gr][ch], (int)(lay / 3),
+                          lay % 3 == 2);
+        }
+        if (g.nch == 1)
+          std::memset(dst[gr][1], 0, 576 * sizeof(int16_t));
         write_scf_meta16(
             g, gr, scf_l + f * sl + ((size_t)gr * n_slots + s) * 2 * 22,
             scf_s + f * ss + ((size_t)gr * n_slots + s) * 2 * 39,
             meta + f * sm + ((size_t)gr * n_slots + s) * PDMP3_META_WORDS);
-      }
+      }});
       active[f * n_slots + s] = 1;
       n_active++;
     }

@@ -107,41 +107,60 @@ int FrameParser::read_side_info() {
     side.byte_pos = 0;
     side.bit_idx = 0;
   }
-  si.main_data_begin = side.get_bits(9);
-  side.get_bits(nch == 1 ? 5 : 3);  // private bits, discarded
+  // register-resident cursor over the (80-byte, padded) side buffer;
+  // per-granule-channel reads (≤59 bits) refill at most twice
+  uint64_t rwin = 0;
+  unsigned rpos = side.byte_pos * 8 + side.bit_idx, ravail = 0;
+  auto take = [&](unsigned n) -> unsigned {
+    if (ravail < n) {
+      uint64_t w;
+      std::memcpy(&w, side.bytes + (rpos >> 3), 8);
+      rwin = __builtin_bswap64(w) << (rpos & 7);
+      ravail = 64 - (rpos & 7);
+    }
+    unsigned v = (unsigned)(rwin >> (64 - n));
+    rwin <<= n;
+    rpos += n;
+    ravail -= n;
+    return v;
+  };
+  si.main_data_begin = take(9);
+  take(nch == 1 ? 5 : 3);  // private bits, discarded
   for (int ch = 0; ch < nch; ch++)
-    for (int b = 0; b < 4; b++) si.scfsi[ch][b] = side.get_bits(1);
+    for (int b = 0; b < 4; b++) si.scfsi[ch][b] = take(1);
   for (int gr = 0; gr < 2; gr++) {
     for (int ch = 0; ch < nch; ch++) {
-      si.part2_3_length[gr][ch] = side.get_bits(12);
-      si.big_values[gr][ch] = side.get_bits(9);
-      si.global_gain[gr][ch] = side.get_bits(8);
-      si.scalefac_compress[gr][ch] = side.get_bits(4);
-      si.win_switch[gr][ch] = side.get_bits(1);
+      si.part2_3_length[gr][ch] = take(12);
+      si.big_values[gr][ch] = take(9);
+      si.global_gain[gr][ch] = take(8);
+      si.scalefac_compress[gr][ch] = take(4);
+      si.win_switch[gr][ch] = take(1);
       if (si.win_switch[gr][ch]) {
-        si.block_type[gr][ch] = side.get_bits(2);
-        si.mixed[gr][ch] = side.get_bits(1);
+        si.block_type[gr][ch] = take(2);
+        si.mixed[gr][ch] = take(1);
         for (int r = 0; r < 2; r++)
-          si.table_select[gr][ch][r] = side.get_bits(5);
+          si.table_select[gr][ch][r] = take(5);
         for (int w = 0; w < 3; w++)
-          si.subblock_gain[gr][ch][w] = side.get_bits(3);
+          si.subblock_gain[gr][ch][w] = take(3);
         // implicit region counts (pdmp3.c:1181-1185)
         si.region0_count[gr][ch] =
             (si.block_type[gr][ch] == 2 && !si.mixed[gr][ch]) ? 8 : 7;
         si.region1_count[gr][ch] = 20 - si.region0_count[gr][ch];
       } else {
         for (int r = 0; r < 3; r++)
-          si.table_select[gr][ch][r] = side.get_bits(5);
-        si.region0_count[gr][ch] = side.get_bits(4);
-        si.region1_count[gr][ch] = side.get_bits(3);
+          si.table_select[gr][ch][r] = take(5);
+        si.region0_count[gr][ch] = take(4);
+        si.region1_count[gr][ch] = take(3);
         si.block_type[gr][ch] = 0;
         si.mixed[gr][ch] = 0;
       }
-      si.preflag[gr][ch] = side.get_bits(1);
-      si.scalefac_scale[gr][ch] = side.get_bits(1);
-      si.count1table_select[gr][ch] = side.get_bits(1);
+      si.preflag[gr][ch] = take(1);
+      si.scalefac_scale[gr][ch] = take(1);
+      si.count1table_select[gr][ch] = take(1);
     }
   }
+  side.byte_pos = rpos >> 3;
+  side.bit_idx = rpos & 7;
   return PDMP3_OK;
 }
 
@@ -167,23 +186,41 @@ int FrameParser::get_main_data(unsigned size, unsigned begin) {
 
 void FrameParser::read_scalefactors(int gr, int ch, pdmp3_granules *g) {
   (void)g;
-  // incl. scfsi long-block sharing (pdmp3.c:1376-1435)
+  // incl. scfsi long-block sharing (pdmp3.c:1376-1435).  Reads go
+  // through a register-resident 64-bit window (same scheme as
+  // read_huffman): groups of ≤18 reads × ≤4 bits refill at most twice.
   int slen1 = kScalefacSizes[si.scalefac_compress[gr][ch]][0];
   int slen2 = kScalefacSizes[si.scalefac_compress[gr][ch]][1];
+  uint64_t rwin = 0;
+  unsigned rpos = res.pos(), ravail = 0;
+  auto take = [&](unsigned n) -> unsigned {
+    if (n == 0) return 0;
+    if (ravail < n) {
+      uint64_t w;
+      std::memcpy(&w, res.bytes + (rpos >> 3), 8);
+      rwin = __builtin_bswap64(w) << (rpos & 7);
+      ravail = 64 - (rpos & 7);
+    }
+    unsigned v = (unsigned)(rwin >> (64 - n));
+    rwin <<= n;
+    rpos += n;
+    ravail -= n;
+    return v;
+  };
   if (si.win_switch[gr][ch] && si.block_type[gr][ch] == 2) {
     if (si.mixed[gr][ch]) {
       for (int b = 0; b < 8; b++)
-        scf_l_state[gr][ch][b] = (uint8_t)res.get_bits(slen1);
+        scf_l_state[gr][ch][b] = (uint8_t)take(slen1);
       for (int b = 3; b < 12; b++) {
         int nb = b < 6 ? slen1 : slen2;
         for (int w = 0; w < 3; w++)
-          scf_s_state[gr][ch][b][w] = (uint8_t)res.get_bits(nb);
+          scf_s_state[gr][ch][b][w] = (uint8_t)take(nb);
       }
     } else {
       for (int b = 0; b < 12; b++) {
         int nb = b < 6 ? slen1 : slen2;
         for (int w = 0; w < 3; w++)
-          scf_s_state[gr][ch][b][w] = (uint8_t)res.get_bits(nb);
+          scf_s_state[gr][ch][b][w] = (uint8_t)take(nb);
       }
     }
   } else {
@@ -194,18 +231,20 @@ void FrameParser::read_scalefactors(int gr, int ch, pdmp3_granules *g) {
       int sl = grp[gi][2] ? slen2 : slen1;
       if (si.scfsi[ch][gi] == 0 || gr == 0) {
         for (int b = lo; b < hi; b++)
-          scf_l_state[gr][ch][b] = (uint8_t)res.get_bits(sl);
+          scf_l_state[gr][ch][b] = (uint8_t)take(sl);
       } else if (si.scfsi[ch][gi] == 1 && gr == 1) {
         for (int b = lo; b < hi; b++)
           scf_l_state[1][ch][b] = scf_l_state[0][ch][b];
       }
     }
   }
+  res.set_pos(rpos);
 }
 
 // LUT Huffman decode of one (x,y) pair; consumes exactly the code length.
 static inline void huff_pair(Reservoir &res, int tnum, int32_t *x,
                              int32_t *y) {
+  // (slow/reference path; the hot loops use the fused sign tables below)
   int maxlen = kHuffMaxlen[tnum];
   if (maxlen == 0) {  // empty tables 0/4/14 (pdmp3.c:1599-1602)
     *x = *y = 0;
@@ -233,16 +272,457 @@ static inline void huff_pair(Reservoir &res, int tnum, int32_t *x,
   *y = payload & 0xF;
 }
 
-void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
-                               pdmp3_granules *g) {
-  // (pdmp3.c:2051-2115) incl. overrun rollback + stuffing-bit skip
-  int16_t *line = g->ix[gr][ch];
-  if (si.part2_3_length[gr][ch] == 0) {
-    std::memset(line, 0, 576 * sizeof(int16_t));
-    si.count1[gr][ch] = 0;
-    return;
+// ---- fused code+sign lookup tables ----
+//
+// A Huffman (x,y) pair costs codeword + up to 2 sign bits; both sign
+// branches are data-random (≈50% mispredict each).  For every codeword
+// where code + signs fit in 11 bits — the overwhelming majority, since
+// frequent codes are short by construction — one 2048-entry lookup
+// yields the *signed* values and the total bit advance, making the pair
+// decode branch-free.  Longer codes and linbits escapes take the
+// two-level huff_pair path.  Count1 table A (6-bit codes + 4 signs
+// ≤ 10 bits) resolves every quad in one 1024-entry lookup whose four
+// signed int16 values store as a single 8-byte copy.
+//
+// Built once at startup by running the existing decoder over every
+// 11-bit pattern (twice, with 0/1 padding, keeping only entries whose
+// decode never looks past the index) — derived from, and therefore
+// bit-identical to, the reference-parity decode path.
+#ifdef PDMP3_PARSE_STATS
+extern "C" {
+unsigned long long pdmp3_stat_pairs = 0, pdmp3_stat_slow = 0,
+                   pdmp3_stat_quads = 0;
+unsigned long long pdmp3_cyc_regions = 0, pdmp3_cyc_count1 = 0,
+                   pdmp3_cyc_zfill = 0, pdmp3_cyc_scf = 0,
+                   pdmp3_cyc_maindata = 0, pdmp3_cyc_header = 0,
+                   pdmp3_cyc_sideinfo = 0, pdmp3_cyc_pack = 0,
+                   pdmp3_cyc_frame = 0;
+}
+#define PDMP3_STAT(x) (x)++
+#define PDMP3_TSC(dst, expr) do { \
+    unsigned long long t0_ = __builtin_ia32_rdtsc(); \
+    expr; \
+    dst += __builtin_ia32_rdtsc() - t0_; \
+  } while (0)
+#else
+#define PDMP3_STAT(x) ((void)0)
+#define PDMP3_TSC(dst, expr) expr
+#endif
+
+namespace {
+
+constexpr uint32_t kSlowEntry = 0x80000000u;
+
+struct FastTables {
+  // [table][11-bit peek] -> adv<<16 | (int8)x<<8 | (int8)y, or kSlowEntry
+  uint32_t pair[34][2048];
+  int16_t quad_val[1024][4];  // [10-bit peek] -> signed (v,w,x,y)
+  uint8_t quad_adv[1024];
+};
+
+const FastTables &fast_tables() {
+  static const FastTables ft = [] {
+    FastTables t;
+    for (int tn = 0; tn < 34; tn++) {
+      int lb = kHuffLinbits[tn];
+      for (uint32_t idx = 0; idx < 2048; idx++) {
+        t.pair[tn][idx] = kSlowEntry;
+        if (kHuffMaxlen[tn] == 0 || tn >= 32) continue;
+        uint32_t enc[2];
+        bool ok = true;
+        for (int fill = 0; fill < 2 && ok; fill++) {
+          uint32_t word = idx << 21;
+          if (fill) word |= (1u << 21) - 1u;
+          Reservoir r{};
+          for (int b = 0; b < 4; b++) r.bytes[b] = (uint8_t)(word >> (24 - 8 * b));
+          std::memset(r.bytes + 4, fill ? 0xFF : 0x00, 8);
+          int32_t x, y;
+          huff_pair(r, tn, &x, &y);
+          int len = (int)r.pos();
+          int tot = len + (x > 0) + (y > 0);
+          if ((lb && (x == 15 || y == 15)) || tot > 11) {
+            ok = false;
+            break;
+          }
+          if (x > 0 && ((word >> (31 - len)) & 1)) x = -x;
+          if (y > 0 && ((word >> (31 - len - (x != 0))) & 1)) y = -y;
+          enc[fill] = ((uint32_t)tot << 16) |
+                      ((uint32_t)(uint8_t)(int8_t)x << 8) |
+                      (uint8_t)(int8_t)y;
+        }
+        if (ok && enc[0] == enc[1]) t.pair[tn][idx] = enc[0];
+      }
+    }
+    for (uint32_t idx = 0; idx < 1024; idx++) {
+      uint16_t e = kHuffPrimary[32][idx >> 1];  // codes ≤ 6 bits
+      int len = e >> 8;
+      uint32_t q = e & 0xF;
+      int32_t v[4] = {(int32_t)((q >> 3) & 1), (int32_t)((q >> 2) & 1),
+                      (int32_t)((q >> 1) & 1), (int32_t)(q & 1)};
+      int adv = len;
+      for (int k = 0; k < 4; k++)
+        if (v[k]) {
+          if ((idx >> (9 - adv)) & 1) v[k] = -v[k];
+          adv++;
+        }
+      for (int k = 0; k < 4; k++) t.quad_val[idx][k] = (int16_t)v[k];
+      t.quad_adv[idx] = (uint8_t)adv;
+    }
+    return t;
+  }();
+  return ft;
+}
+
+// Slow-path (x,y) decode from a freshly refilled ≥57-bit window: covers
+// the worst case 19-bit code + 2×(13 linbits + sign) = 47 bits.
+struct PairDec {
+  int32_t x, y;
+  unsigned adv;
+};
+
+static inline PairDec decode_pair_slow(uint64_t rwin, int tnum, int lb) {
+  uint32_t p9 = (uint32_t)(rwin >> (64 - PDMP3_HUFF_PRIMARY_BITS));
+  uint16_t pe = kHuffPrimary[tnum][p9];
+  unsigned len, payload;
+  if (pe & 0x8000u) {
+    int d2 = pe & 0x7FFF;
+    int ext = kHuffEscExt[d2];
+    uint32_t b2 =
+        (uint32_t)((rwin << PDMP3_HUFF_PRIMARY_BITS) >> (64 - ext));
+    uint16_t e2 = kHuffSecondary[kHuffEscOff[d2] + (int)b2];
+    len = e2 >> 8;
+    payload = e2 & 0xFF;
+  } else {
+    len = pe >> 8;
+    payload = pe & 0xFF;
   }
-  unsigned bit_pos_end = part_2_start + si.part2_3_length[gr][ch] - 1;
+  int32_t x = (payload >> 4) & 0xF;
+  int32_t y = payload & 0xF;
+  unsigned adv = len;
+  if (lb && x == 15) {
+    x += (int32_t)((rwin << adv) >> (64 - lb));
+    adv += (unsigned)lb;
+  }
+  if (x > 0) {
+    if ((rwin >> (63 - adv)) & 1) x = -x;
+    adv++;
+  }
+  if (lb && y == 15) {
+    y += (int32_t)((rwin << adv) >> (64 - lb));
+    adv += (unsigned)lb;
+  }
+  if (y > 0) {
+    if ((rwin >> (63 - adv)) & 1) y = -y;
+    adv++;
+  }
+  return {x, y, adv};
+}
+
+// ---- interleaved two-slice Huffman decode ----
+//
+// The four granule-channel main_data slices are bit-independent: each
+// starts exactly part2_3_length bits after the previous one
+// (pdmp3.c:2113 always resumes at bit_pos_end+1), so the start positions
+// are known from the side info alone.  A single slice decode is a serial
+// dependency chain (window → table → shift → window…, ~17 cycles/symbol
+// measured); stepping two slices in lockstep overlaps the two chains in
+// the out-of-order core.  Decode order across slices is irrelevant —
+// every store targets the slice's own line buffer.
+struct HuffSlice {
+  int16_t *line = nullptr;
+  const uint8_t *bytes = nullptr;  // reservoir storage
+  int *count1_out = nullptr;
+  uint64_t win = 0;
+  unsigned pos = 0, avail = 0, bit_end = 0;
+  int is_pos = 0, big = 0;
+  int run = 0, nruns = 0;
+  int run_start[3] = {}, run_end[3] = {};
+  int16_t run_tnum[3] = {}, run_lb[3] = {};
+  const uint32_t *fast = nullptr;
+  int tnum = 0, lb = 0, cur_end = 0;
+  bool in_count1 = false, table_b = false, spec_b = false, done = false;
+
+  inline void refill() {
+    uint64_t w;
+    std::memcpy(&w, bytes + (pos >> 3), 8);
+    win = __builtin_bswap64(w) << (pos & 7);
+    avail = 64 - (pos & 7);
+  }
+
+  inline void enter_run(const FastTables &ft) {
+    while (run < nruns && is_pos >= run_end[run]) run++;
+    if (run < nruns) {
+      if (is_pos < run_start[run]) is_pos = run_start[run];
+      cur_end = run_end[run];
+      tnum = run_tnum[run];
+      lb = run_lb[run];
+      fast = ft.pair[tnum];
+    } else {
+      in_count1 = true;
+      is_pos = big;
+    }
+  }
+
+  // ends/tnums as computed by FrameParser::region_bounds; empty-table
+  // regions consume no bits, so their zero fill happens here at init
+  void init(int16_t *ln, const uint8_t *resbytes, int *c1_out,
+            unsigned start_pos, unsigned bitend, int big_, bool tb,
+            bool spec, const int ends[3], const int tnums[3],
+            const FastTables &ft) {
+    line = ln;
+    bytes = resbytes;
+    count1_out = c1_out;
+    pos = start_pos;
+    bit_end = bitend;
+    big = big_;
+    table_b = tb;
+    spec_b = spec;
+    int prev = 0;
+    for (int r = 0; r < 3; r++) {
+      int e = ends[r];
+      if (e <= prev) continue;
+      int tn = tnums[r];
+      if (kHuffMaxlen[tn] == 0) {
+        std::memset(ln + prev, 0, (size_t)(e - prev) * sizeof(int16_t));
+      } else {
+        run_start[nruns] = prev;
+        run_end[nruns] = e;
+        run_tnum[nruns] = (int16_t)tn;
+        run_lb[nruns] = (int16_t)kHuffLinbits[tn];
+        nruns++;
+      }
+      prev = e;
+    }
+    refill();
+    enter_run(ft);
+  }
+
+  inline void finish() {
+    if (pos > bit_end + 1) is_pos -= 4;  // Huffman overrun rollback
+    *count1_out = is_pos;
+    int zlo = is_pos < 0 ? 0 : is_pos;
+    if (zlo < 576)
+      std::memset(line + zlo, 0, (size_t)(576 - zlo) * sizeof(int16_t));
+    done = true;
+  }
+
+  // decode one symbol (pair or quad); returns done
+  inline bool step(const FastTables &ft) {
+    if (!in_count1) {
+      if (avail < 11) refill();
+      uint32_t e = fast[(uint32_t)(win >> 53)];
+      PDMP3_STAT(pdmp3_stat_pairs);
+      if (__builtin_expect(!(e & kSlowEntry), 1)) {
+        unsigned adv = (e >> 16) & 31u;
+        win <<= adv;
+        pos += adv;
+        avail -= adv;
+        line[is_pos] = (int16_t)(int8_t)(e >> 8);
+        line[is_pos + 1] = (int16_t)(int8_t)(e & 0xFF);
+      } else {
+        PDMP3_STAT(pdmp3_stat_slow);
+        refill();
+        PairDec p = decode_pair_slow(win, tnum, lb);
+        win <<= p.adv;
+        pos += p.adv;
+        avail -= p.adv;
+        line[is_pos] = (int16_t)p.x;
+        line[is_pos + 1] = (int16_t)p.y;
+      }
+      is_pos += 2;
+      if (is_pos >= cur_end) enter_run(ft);
+      return false;
+    }
+    if (is_pos > 572 || pos > bit_end) {
+      finish();
+      return true;
+    }
+    if (!table_b) {
+      if (avail < 10) refill();
+      uint32_t idx = (uint32_t)(win >> 54);
+      PDMP3_STAT(pdmp3_stat_quads);
+      std::memcpy(line + is_pos, ft.quad_val[idx], 8);
+      unsigned adv = ft.quad_adv[idx];
+      win <<= adv;
+      pos += adv;
+      avail -= adv;
+    } else if (spec_b) {
+      // spec profile: real ISO count1 table B (4-bit code, one's
+      // complement) + sign bits
+      if (avail < 8) refill();
+      uint32_t q = 15u - (uint32_t)(win >> 60);
+      int32_t v = (q >> 3) & 1, w = (q >> 2) & 1, x = (q >> 1) & 1,
+              y = q & 1;
+      unsigned adv = 4;
+      if (v) { if ((win >> (63 - adv)) & 1) v = -v; adv++; }
+      if (w) { if ((win >> (63 - adv)) & 1) w = -w; adv++; }
+      if (x) { if ((win >> (63 - adv)) & 1) x = -x; adv++; }
+      if (y) { if ((win >> (63 - adv)) & 1) y = -y; adv++; }
+      win <<= adv;
+      pos += adv;
+      avail -= adv;
+      line[is_pos] = (int16_t)v;
+      line[is_pos + 1] = (int16_t)w;
+      line[is_pos + 2] = (int16_t)x;
+      line[is_pos + 3] = (int16_t)y;
+    } else {
+      // reference's stale table-33 pointer: every quad (0,0,±1,±1),
+      // two sign bits (pdmp3.c:569, 1627-1635)
+      if (avail < 2) refill();
+      line[is_pos] = 0;
+      line[is_pos + 1] = 0;
+      line[is_pos + 2] = (win >> 63) & 1 ? -1 : 1;
+      line[is_pos + 3] = (win >> 62) & 1 ? -1 : 1;
+      win <<= 2;
+      pos += 2;
+      avail -= 2;
+    }
+    is_pos += 4;
+    return false;
+  }
+};
+
+static void decode_two(HuffSlice &a, HuffSlice &b, const FastTables &ft) {
+  // Lockstep over the big-values runs with every hot field hoisted into
+  // locals so the two serial decode chains actually overlap (a
+  // struct-field version measured no better than serial — the per-step
+  // field traffic re-serialized it).  Region ends are always even (sfb
+  // edges and 2·big_values), so counted pair runs hit boundaries
+  // exactly.
+  while (!a.in_count1 && !b.in_count1) {
+    int rem_a = a.cur_end - a.is_pos, rem_b = b.cur_end - b.is_pos;
+    int n = (rem_a < rem_b ? rem_a : rem_b) >> 1;
+    uint64_t wa = a.win, wb = b.win;
+    unsigned pa = a.pos, pb = b.pos, va = a.avail, vb = b.avail;
+    int ia = a.is_pos, ib = b.is_pos;
+    const uint32_t *fa = a.fast, *fb = b.fast;
+    int16_t *la = a.line, *lb = b.line;
+    for (int k = 0; k < n; k++) {
+      PDMP3_STAT(pdmp3_stat_pairs);
+      PDMP3_STAT(pdmp3_stat_pairs);
+      if (va < 11) {
+        uint64_t w;
+        std::memcpy(&w, a.bytes + (pa >> 3), 8);
+        wa = __builtin_bswap64(w) << (pa & 7);
+        va = 64 - (pa & 7);
+      }
+      uint32_t ea = fa[(uint32_t)(wa >> 53)];
+      if (vb < 11) {
+        uint64_t w;
+        std::memcpy(&w, b.bytes + (pb >> 3), 8);
+        wb = __builtin_bswap64(w) << (pb & 7);
+        vb = 64 - (pb & 7);
+      }
+      uint32_t eb = fb[(uint32_t)(wb >> 53)];
+      if (__builtin_expect(!(ea & kSlowEntry), 1)) {
+        unsigned adv = (ea >> 16) & 31u;
+        wa <<= adv;
+        pa += adv;
+        va -= adv;
+        la[ia] = (int16_t)(int8_t)(ea >> 8);
+        la[ia + 1] = (int16_t)(int8_t)(ea & 0xFF);
+      } else {
+        PDMP3_STAT(pdmp3_stat_slow);
+        uint64_t w;
+        std::memcpy(&w, a.bytes + (pa >> 3), 8);
+        wa = __builtin_bswap64(w) << (pa & 7);
+        va = 64 - (pa & 7);
+        PairDec p = decode_pair_slow(wa, a.tnum, a.lb);
+        wa <<= p.adv;
+        pa += p.adv;
+        va -= p.adv;
+        la[ia] = (int16_t)p.x;
+        la[ia + 1] = (int16_t)p.y;
+      }
+      ia += 2;
+      if (__builtin_expect(!(eb & kSlowEntry), 1)) {
+        unsigned adv = (eb >> 16) & 31u;
+        wb <<= adv;
+        pb += adv;
+        vb -= adv;
+        lb[ib] = (int16_t)(int8_t)(eb >> 8);
+        lb[ib + 1] = (int16_t)(int8_t)(eb & 0xFF);
+      } else {
+        PDMP3_STAT(pdmp3_stat_slow);
+        uint64_t w;
+        std::memcpy(&w, b.bytes + (pb >> 3), 8);
+        wb = __builtin_bswap64(w) << (pb & 7);
+        vb = 64 - (pb & 7);
+        PairDec p = decode_pair_slow(wb, b.tnum, b.lb);
+        wb <<= p.adv;
+        pb += p.adv;
+        vb -= p.adv;
+        lb[ib] = (int16_t)p.x;
+        lb[ib + 1] = (int16_t)p.y;
+      }
+      ib += 2;
+    }
+    a.win = wa;
+    a.pos = pa;
+    a.avail = va;
+    a.is_pos = ia;
+    b.win = wb;
+    b.pos = pb;
+    b.avail = vb;
+    b.is_pos = ib;
+    if (ia >= a.cur_end) a.enter_run(ft);
+    if (ib >= b.cur_end) b.enter_run(ft);
+  }
+  // lockstep count1 (table A for both — the common case)
+  if (a.in_count1 && b.in_count1 && !a.table_b && !b.table_b) {
+    uint64_t wa = a.win, wb = b.win;
+    unsigned pa = a.pos, pb = b.pos, va = a.avail, vb = b.avail;
+    int ia = a.is_pos, ib = b.is_pos;
+    int16_t *la = a.line, *lb = b.line;
+    while (ia <= 572 && pa <= a.bit_end && ib <= 572 && pb <= b.bit_end) {
+      PDMP3_STAT(pdmp3_stat_quads);
+      PDMP3_STAT(pdmp3_stat_quads);
+      if (va < 10) {
+        uint64_t w;
+        std::memcpy(&w, a.bytes + (pa >> 3), 8);
+        wa = __builtin_bswap64(w) << (pa & 7);
+        va = 64 - (pa & 7);
+      }
+      uint32_t xa = (uint32_t)(wa >> 54);
+      if (vb < 10) {
+        uint64_t w;
+        std::memcpy(&w, b.bytes + (pb >> 3), 8);
+        wb = __builtin_bswap64(w) << (pb & 7);
+        vb = 64 - (pb & 7);
+      }
+      uint32_t xb = (uint32_t)(wb >> 54);
+      std::memcpy(la + ia, ft.quad_val[xa], 8);
+      unsigned adv_a = ft.quad_adv[xa];
+      wa <<= adv_a;
+      pa += adv_a;
+      va -= adv_a;
+      ia += 4;
+      std::memcpy(lb + ib, ft.quad_val[xb], 8);
+      unsigned adv_b = ft.quad_adv[xb];
+      wb <<= adv_b;
+      pb += adv_b;
+      vb -= adv_b;
+      ib += 4;
+    }
+    a.win = wa;
+    a.pos = pa;
+    a.avail = va;
+    a.is_pos = ia;
+    b.win = wb;
+    b.pos = pb;
+    b.avail = vb;
+    b.is_pos = ib;
+  }
+  // drain whatever remains serially
+  while (!a.done) a.step(ft);
+  while (!b.done) b.step(ft);
+}
+
+}  // namespace
+
+void FrameParser::region_bounds(int gr, int ch, int ends[3],
+                                int tnums[3]) const {
+  // big-values region boundaries (pdmp3.c:2064-2076)
   int region_1_start, region_2_start;
   if (si.win_switch[gr][ch] && si.block_type[gr][ch] == 2) {
     region_1_start = 36;
@@ -261,60 +741,84 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
         r2i <= 22 ? kSfbLong[sf][r2i] : kSfbShort[sf][r2i - 23];
   }
   int big = (int)si.big_values[gr][ch] * 2;
-  // The table only changes at the two region boundaries: decode each
-  // region as one run with the table pointers hoisted out of the loop
-  // (read_huffman dominates parse time; this removes two compares and
-  // three table derefs per pair).
-  int ends[3], tnums[3];
-  {
-    int e0 = region_1_start < 0 ? 0 : region_1_start;
-    if (e0 > big) e0 = big;
-    int e1 = region_2_start < e0 ? e0 : region_2_start;
-    if (e1 > big) e1 = big;
-    ends[0] = e0; ends[1] = e1; ends[2] = big;
-    for (int r = 0; r < 3; r++) tnums[r] = (int)si.table_select[gr][ch][r];
+  int e0 = region_1_start < 0 ? 0 : region_1_start;
+  if (e0 > big) e0 = big;
+  int e1 = region_2_start < e0 ? e0 : region_2_start;
+  if (e1 > big) e1 = big;
+  ends[0] = e0;
+  ends[1] = e1;
+  ends[2] = big;
+  for (int r = 0; r < 3; r++) tnums[r] = (int)si.table_select[gr][ch][r];
+}
+
+void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
+                               pdmp3_granules *g, int16_t *line) {
+  // (pdmp3.c:2051-2115) incl. overrun rollback + stuffing-bit skip
+  if (!line) line = g->ix[gr][ch];
+  if (si.part2_3_length[gr][ch] == 0) {
+    std::memset(line, 0, 576 * sizeof(int16_t));
+    si.count1[gr][ch] = 0;
+    return;
   }
+  unsigned bit_pos_end = part_2_start + si.part2_3_length[gr][ch] - 1;
+  int big = (int)si.big_values[gr][ch] * 2;
+  // The table only changes at the two region boundaries: decode each
+  // region as one run with the table pointers hoisted out of the loop.
+  int ends[3], tnums[3];
+  region_bounds(gr, ch, ends, tnums);
   bool guarded = big > 576;  // only corrupt streams; keep stores checked
+  const FastTables &ft = fast_tables();
+  // Register-resident bit cursor: the per-symbol serial chain is
+  // load→bswap→shift→table→advance (~25 cycles measured when the window
+  // reloads every pair); keeping the window in a register turns the
+  // common step into table→shift (the reload every ~4 pairs overlaps).
+  // `rpos` is the absolute bit position, `rwin` holds the next bits at
+  // the MSB, `ravail` how many of them are valid.
+  uint64_t rwin = 0;
+  unsigned rpos = res.pos(), ravail = 0;
+  auto refill = [&] {
+    uint64_t w;
+    std::memcpy(&w, res.bytes + (rpos >> 3), 8);
+    rwin = __builtin_bswap64(w) << (rpos & 7);
+    ravail = 64 - (rpos & 7);
+  };
+  refill();
   int is_pos = 0;
   for (int r = 0; r < 3; r++) {
     int end = ends[r], tnum = tnums[r];
     int lb = kHuffLinbits[tnum];
     int maxlen = kHuffMaxlen[tnum];
-    if (lb == 0 && maxlen != 0 && !guarded) {
-      // fast path (no linbits): one 64-bit window covers the codeword
-      // (<=19 bits) and both sign bits — single load, single advance
-      const uint16_t *prim = kHuffPrimary[tnum];
+    if (maxlen == 0 && !guarded) {
+      // empty tables 0/4/14: every pair is (0,0), zero bits consumed
+      std::memset(line + is_pos, 0,
+                  (size_t)(end - is_pos) * sizeof(int16_t));
+      is_pos = end;
+    } else if (!guarded) {
+      const uint32_t *fast = ft.pair[tnum];
       for (; is_pos < end; is_pos += 2) {
-        uint64_t win = (res.window() << res.bit_idx);
-        uint32_t p9 = (uint32_t)(win >> (64 - PDMP3_HUFF_PRIMARY_BITS));
-        uint16_t e = prim[p9];
-        unsigned len, payload;
-        if (e & 0x8000u) {
-          int d2 = e & 0x7FFF;
-          int ext = kHuffEscExt[d2];
-          uint32_t b2 = (uint32_t)(
-              (win << PDMP3_HUFF_PRIMARY_BITS) >> (64 - ext));
-          uint16_t e2 = kHuffSecondary[kHuffEscOff[d2] + (int)b2];
-          len = e2 >> 8;
-          payload = e2 & 0xFF;
+        if (ravail < 11) refill();
+        uint32_t e = fast[(uint32_t)(rwin >> 53)];
+        PDMP3_STAT(pdmp3_stat_pairs);
+        if (__builtin_expect(!(e & kSlowEntry), 1)) {
+          // fused path: one lookup = codeword + both signs, branch-free
+          unsigned adv = (e >> 16) & 31u;
+          rwin <<= adv;
+          rpos += adv;
+          ravail -= adv;
+          line[is_pos] = (int16_t)(int8_t)(e >> 8);
+          line[is_pos + 1] = (int16_t)(int8_t)(e & 0xFF);
         } else {
-          len = e >> 8;
-          payload = e & 0xFF;
+          PDMP3_STAT(pdmp3_stat_slow);
+          // long codeword or linbits escape — decoded from a fresh
+          // refill (≥57 bits covers the worst case)
+          refill();
+          PairDec p = decode_pair_slow(rwin, tnum, lb);
+          rwin <<= p.adv;
+          rpos += p.adv;
+          ravail -= p.adv;
+          line[is_pos] = (int16_t)p.x;
+          line[is_pos + 1] = (int16_t)p.y;
         }
-        int32_t x = (payload >> 4) & 0xF;
-        int32_t y = payload & 0xF;
-        unsigned adv = len;
-        if (x > 0) {
-          if ((win >> (63 - adv)) & 1) x = -x;
-          adv++;
-        }
-        if (y > 0) {
-          if ((win >> (63 - adv)) & 1) y = -y;
-          adv++;
-        }
-        res.advance(adv);
-        line[is_pos] = (int16_t)x;
-        line[is_pos + 1] = (int16_t)y;
       }
     } else {
       for (; is_pos < end; is_pos += 2) {
@@ -331,9 +835,34 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
   }
   bool table_b = si.count1table_select[gr][ch] != 0;
   is_pos = big;
-  while (is_pos <= 572 && res.pos() <= bit_pos_end) {
+  if (!table_b) {
+    // table A: one 10-bit lookup per quad (code + 4 signs ≤ 10 bits),
+    // four signed int16 values stored as a single 8-byte copy.  big is
+    // even, so is_pos stays even and the ≤572 gate keeps all four
+    // stores in-bounds (the reference's per-value 576 breaks are
+    // unreachable from an even start, pdmp3.c:2090-2103).
+    if (guarded) {
+      rpos = res.pos();
+      refill();
+    }
+    while (is_pos <= 572 && rpos <= bit_pos_end) {
+      if (ravail < 10) refill();
+      uint32_t idx = (uint32_t)(rwin >> 54);
+      PDMP3_STAT(pdmp3_stat_quads);
+      std::memcpy(line + is_pos, ft.quad_val[idx], 8);
+      unsigned adv = ft.quad_adv[idx];
+      rwin <<= adv;
+      rpos += adv;
+      ravail -= adv;
+      is_pos += 4;
+    }
+    res.set_pos(rpos);
+  } else {
+    if (!guarded) res.set_pos(rpos);
+  }
+  while (table_b && is_pos <= 572 && res.pos() <= bit_pos_end) {
     int32_t v, w, x, y;
-    if (table_b && (profile & PDMP3_PROFILE_COUNT1B_SPEC)) {
+    if (profile & PDMP3_PROFILE_COUNT1B_SPEC) {
       // spec profile: the REAL ISO count1 table B — every code is 4 bits,
       // quad value = one's complement of the code — plus sign bits
       uint32_t q = 15u - res.get_bits(4);
@@ -345,30 +874,13 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
       if (w && res.get_bit()) w = -w;
       if (x && res.get_bit()) x = -x;
       if (y && res.get_bit()) y = -y;
-    } else if (table_b) {
+    } else {
       // reference's stale table-33 pointer hits a 0-bit leaf (x=2,y=3):
       // every quad is (0,0,±1,±1), two sign bits (pdmp3.c:569, 1627-1635)
       v = 0;
       w = 0;
       x = res.get_bit() ? -1 : 1;
       y = res.get_bit() ? -1 : 1;
-    } else {
-      // table A quads: codeword (<=6 bits) + up to 4 sign bits in one
-      // 64-bit window
-      uint64_t win = (res.window() << res.bit_idx);
-      uint32_t p9 = (uint32_t)(win >> (64 - PDMP3_HUFF_PRIMARY_BITS));
-      uint16_t e = kHuffPrimary[32][p9];
-      unsigned len = e >> 8, q = e & 0xF;
-      v = (q >> 3) & 1;
-      w = (q >> 2) & 1;
-      x = (q >> 1) & 1;
-      y = q & 1;
-      unsigned adv = len;
-      if (v) { if ((win >> (63 - adv)) & 1) v = -v; adv++; }
-      if (w) { if ((win >> (63 - adv)) & 1) w = -w; adv++; }
-      if (x) { if ((win >> (63 - adv)) & 1) x = -x; adv++; }
-      if (y) { if ((win >> (63 - adv)) & 1) y = -y; adv++; }
-      res.advance(adv);
     }
     line[is_pos++] = (int16_t)v;
     if (is_pos >= 576) break;
@@ -380,26 +892,85 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
   }
   if (res.pos() > bit_pos_end + 1) is_pos -= 4;
   si.count1[gr][ch] = is_pos;
-  for (int i = is_pos < 0 ? 0 : is_pos; i < 576; i++) line[i] = 0;
+  int zlo = is_pos < 0 ? 0 : is_pos;
+  if (zlo < 576)
+    PDMP3_TSC(pdmp3_cyc_zfill,
+              std::memset(line + zlo, 0,
+                          (size_t)(576 - zlo) * sizeof(int16_t)));
   res.set_pos(bit_pos_end + 1);
 }
 
-int FrameParser::read_main(pdmp3_granules *g) {
+int FrameParser::read_main(pdmp3_granules *g,
+                           int16_t *const (*wire_dst)[2]) {
   // (pdmp3.c:1346-1442)
   int nch = hdr.nch();
   long framesize = hdr.frame_size();
   if (framesize > 2000) return PDMP3_ERR;
   long main_data_size = framesize - (nch == 1 ? 17 : 32) - 4;
   if (hdr.protection_bit == 0) main_data_size -= 2;
-  int r = get_main_data((unsigned)main_data_size, si.main_data_begin);
+  int r;
+  PDMP3_TSC(pdmp3_cyc_maindata,
+            r = get_main_data((unsigned)main_data_size,
+                              si.main_data_begin));
   if (r != PDMP3_OK) return r;
+  // Granule-channel slices are decoded pairwise-interleaved (HuffSlice):
+  // slice starts derive from part2_3_length alone, so after reading each
+  // slice's scalefactors sequentially (scfsi copies need granule 0's
+  // values first) the Huffman decodes are fully independent.  Corrupt
+  // slices (big_values > 288) fall back to the serial bounds-checked
+  // read_huffman path.
+  const FastTables &ft = fast_tables();
+  HuffSlice slices[2];
+  int n_ready = 0;
+  unsigned start = res.pos();  // 0 after get_main_data
   for (int gr = 0; gr < 2; gr++) {
     for (int ch = 0; ch < nch; ch++) {
-      unsigned part_2_start = res.pos();
-      read_scalefactors(gr, ch, g);
-      read_huffman(part_2_start, gr, ch, g);
+      unsigned part_2_start = start;
+      res.set_pos(start);
+      PDMP3_TSC(pdmp3_cyc_scf, read_scalefactors(gr, ch, g));
+      // long-block channels may decode straight into the caller's wire
+      bool short_blk =
+          si.win_switch[gr][ch] && si.block_type[gr][ch] == 2;
+      int16_t *line = (wire_dst && !short_blk) ? wire_dst[gr][ch]
+                                               : g->ix[gr][ch];
+      unsigned p23 = si.part2_3_length[gr][ch];
+      if (p23 == 0) {
+        // reference quirk: with no main-data bits the cursor is left
+        // where the (garbage) scalefactor reads ended (pdmp3.c:2057)
+        std::memset(line, 0, 576 * sizeof(int16_t));
+        si.count1[gr][ch] = 0;
+        start = res.pos();
+        continue;
+      }
+      unsigned hstart = res.pos();
+      start = part_2_start + p23;
+      int big = (int)si.big_values[gr][ch] * 2;
+      if (big > 576) {
+        PDMP3_TSC(pdmp3_cyc_regions,
+                  read_huffman(part_2_start, gr, ch, g, line));
+        continue;
+      }
+      int ends[3], tnums[3];
+      region_bounds(gr, ch, ends, tnums);
+      slices[n_ready].init(
+          line, res.bytes, &si.count1[gr][ch], hstart,
+          part_2_start + p23 - 1, big,
+          si.count1table_select[gr][ch] != 0,
+          (profile & PDMP3_PROFILE_COUNT1B_SPEC) != 0, ends, tnums, ft);
+      if (++n_ready == 2) {
+        PDMP3_TSC(pdmp3_cyc_regions, decode_two(slices[0], slices[1], ft));
+        slices[0] = HuffSlice();
+        slices[1] = HuffSlice();
+        n_ready = 0;
+      }
     }
   }
+  if (n_ready) {
+    PDMP3_TSC(pdmp3_cyc_regions,
+              while (!slices[0].step(ft)) {});
+    slices[0] = HuffSlice();
+  }
+  res.set_pos(start);
   // sfb21 alias slots (pdmp3.c:1896-1902 OOB read emulation): by struct
   // layout scalefac_l[gr][ch][21] aliases the next granule-channel's
   // scalefac 0; the last aliases scalefac_s[0][0][0][0]; pretab[21] is
@@ -421,9 +992,11 @@ int FrameParser::read_main(pdmp3_granules *g) {
   return PDMP3_OK;
 }
 
-int FrameParser::parse_frame(pdmp3_granules *g) {
+int FrameParser::parse_frame(pdmp3_granules *g,
+                             int16_t *const (*wire_dst)[2]) {
   // Read_Frame (pdmp3.c:1217-1244); caller rolls back on non-OK
-  int r = search_header();
+  int r;
+  PDMP3_TSC(pdmp3_cyc_header, r = search_header());
   if (r != PDMP3_OK) return r == PDMP3_ERR ? PDMP3_ERR : r;
   if (hdr.protection_bit == 0) {
     // CRC read and discarded; EOF silently ignored (Read_CRC returns
@@ -432,10 +1005,19 @@ int FrameParser::parse_frame(pdmp3_granules *g) {
     in.get_byte();
   }
   if (hdr.layer != 3) return PDMP3_ERR;
-  std::memset(g, 0, sizeof(*g));
-  r = read_side_info();
+  // read_huffman writes every parsed channel's 576 lines (decode +
+  // rzero fill) and read_main overwrites the scalefactor arrays, so only
+  // the meta tail needs zeroing here — plus the unparsed channel's lines
+  // for mono, which the SoA wire packers copy verbatim
+  std::memset(g->scf_l, 0,
+              sizeof(*g) - offsetof(pdmp3_granules, scf_l[0][0][0]));
+  if (hdr.mode == 3) {
+    std::memset(g->ix[0][1], 0, sizeof g->ix[0][1]);
+    std::memset(g->ix[1][1], 0, sizeof g->ix[1][1]);
+  }
+  PDMP3_TSC(pdmp3_cyc_sideinfo, r = read_side_info());
   if (r != PDMP3_OK) return PDMP3_ERR;
-  r = read_main(g);
+  r = read_main(g, wire_dst);
   if (r != PDMP3_OK) return r;
   // fill granule tensor metadata
   g->nch = hdr.nch();

@@ -155,19 +155,19 @@ struct SideBuf {
   // padded: the reference's stale-cursor side-info quirk (EOF during the
   // side-info read keeps the previous bit cursor, pdmp3.c:1576-1586) can
   // run a full 32-byte parse from a cursor near the end of the buffer
-  uint8_t bytes[32 + 48] = {0};
+  // (+8 over the worst stale-cursor parse so the 64-bit window loads
+  // stay inside the buffer)
+  uint8_t bytes[32 + 56] = {0};
   unsigned byte_pos = 0, bit_idx = 0;
   unsigned get_bits(unsigned n) {
-    uint32_t w = ((uint32_t)bytes[byte_pos] << 24) |
-                 ((uint32_t)bytes[byte_pos + 1] << 16) |
-                 ((uint32_t)bytes[byte_pos + 2] << 8) |
-                 (uint32_t)bytes[byte_pos + 3];
-    w <<= bit_idx;
-    w >>= 32 - n;
+    uint64_t w;
+    std::memcpy(&w, bytes + byte_pos, 8);
+    w = __builtin_bswap64(w) << bit_idx;
+    unsigned v = (unsigned)(w >> (64 - n));
     bit_idx += n;
     byte_pos += bit_idx >> 3;
     bit_idx &= 7;
-    return w;
+    return v;
   }
 };
 
@@ -224,10 +224,17 @@ struct FrameParser {
   int read_side_info();
   int get_main_data(unsigned size, unsigned begin);
   void read_scalefactors(int gr, int ch, pdmp3_granules *g);
+  void region_bounds(int gr, int ch, int ends[3], int tnums[3]) const;
   void read_huffman(unsigned part_2_start, int gr, int ch,
-                    pdmp3_granules *g);
-  int read_main(pdmp3_granules *g);
-  int parse_frame(pdmp3_granules *g);  // full frame; NEED_MORE/ERR/OK
+                    pdmp3_granules *g, int16_t *line = nullptr);
+  // wire_dst: optional per-(gr,ch) destinations; long-block channels
+  // decode straight into them (the wire is line-ordered and long-block
+  // layouts are the identity), short/mixed channels still land in
+  // g->ix for the reorder gather.  g->ix of redirected channels is left
+  // stale — callers passing wire_dst must not read it.
+  int read_main(pdmp3_granules *g, int16_t *const (*wire_dst)[2] = nullptr);
+  int parse_frame(pdmp3_granules *g,
+                  int16_t *const (*wire_dst)[2] = nullptr);
 };
 
 // ---- scalar bit-exact DSP (cf. oracle.py; pdmp3.c:1649-2045) ----
