@@ -267,6 +267,45 @@ def _bench_e2e_ab(streams, B: int = 4096, trials: int = 3,
     }
 
 
+def _bench_drain_ab(streams, B: int = 2048, trials: int = 3,
+                    seconds: float = 3.0) -> dict:
+    """Drain-inclusive serving: synchronous PCM fetch per step vs the
+    async pipelined drain (decode_step_pipelined), interleaved A/B.  On
+    this harness D2H rides the ~0.04 GB/s tunnel, so both numbers are
+    drain-bound 2-3 orders below PCIe; the async/sync RATIO is the
+    meaningful result (the parse + H2D + compute hidden under the copy).
+    """
+    from pdmp3_tpu.runtime import LoopFeeder, StreamDecoder
+
+    decs = {k: StreamDecoder(B, exact=False, kernel="pallas")
+            for k in ("sync", "async")}
+    feeders = {k: LoopFeeder(decs[k], streams) for k in decs}
+    for k, dec in decs.items():  # warm compile
+        feeders[k].step()
+        dec.parse_step()
+        np.asarray(dec.decode_step())
+    results = {k: [] for k in decs}
+    for _ in range(trials):
+        for k, dec in decs.items():
+            granules = 0
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < seconds:
+                feeders[k].step()
+                na = dec.parse_step()
+                if na == 0:
+                    continue
+                if k == "sync":
+                    dec.decode_step(fetch=True)
+                else:
+                    dec.decode_step_pipelined()
+                granules += 2 * na
+            if k == "async":
+                dec.drain_pending()
+            el = time.perf_counter() - t0
+            results[k].append(granules * 576 / 44100.0 / el)
+    return {k: float(np.median(v)) for k, v in results.items()}
+
+
 def _bench_single_core(seconds: float = 3.0):
     """Native scalar decoder vs the reference binary, same core."""
     import subprocess
@@ -379,6 +418,7 @@ def main() -> None:
     e2e_rtf, dense_bpg = ab["dense_xla"], ab["dense_bpg"]
     e2e_rtf_sparse, sparse_bpg = ab["sparse_xla"], ab["sparse_bpg"]
     e2e_rtf_flagship = ab["sparse_pallas"]
+    drain_ab = _bench_drain_ab(e2e_streams)
 
     # single-core comparison: native scalar decoder vs the reference binary
     native_fps, ref_fps = _bench_single_core()
@@ -412,6 +452,8 @@ def main() -> None:
         "e2e_serving_rtf_this_harness": round(e2e_rtf, 1),
         "e2e_serving_rtf_sparse_wire": round(e2e_rtf_sparse, 1),
         "e2e_serving_rtf_sparse_pallas": round(e2e_rtf_flagship, 1),
+        "e2e_rtf_drain_sync": round(drain_ab["sync"], 1),
+        "e2e_rtf_drain_async": round(drain_ab["async"], 1),
         "e2e_serving_rtf_dense_pallas": round(ab["dense_pallas"], 1),
         "e2e_method": "interleaved A/B medians (3 trials/config)",
         "wire_bytes_per_granule_dense": round(dense_bpg, 1),

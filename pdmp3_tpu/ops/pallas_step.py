@@ -724,17 +724,19 @@ def decode_granules_pallas(batch, pstate: PallasState,
             ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, act, bt_t,
             pstate.store_t, pstate.v_t, block_lanes=block_lanes,
             bug_compat=bug_compat)
-    # interleave in the kernel's feature-major layout and cast to int16
-    # BEFORE the [2,576,B] -> [B,576,2] relayout: the batch-minor ->
-    # batch-major transpose is the single most expensive op in the step
-    # (measured 1.5 ms at B=8192), and on packed int16 it costs ~2.4x
-    # less than on the int32 it used to run on
+    # interleave in the kernel's feature-major layout BEFORE the
+    # batch-minor -> batch-major relayout, packing the stereo pair into
+    # one uint32 word (left low, right high): the transpose then moves
+    # [576,B] int32 instead of [2,576,B] int16 — half the elements at a
+    # natively-tiled width — and a bitcast unpacks to [B,576,2] int16
+    # for free (little-endian: low half first = left)
     q16 = q.astype(jnp.int16)                             # [2,576,B]
     left = q16[0]
     right = jnp.where((batch.nch == 1)[None, :], left, q16[1])
-    out = jnp.stack([left, right], axis=0)                # [2,576,B]
-    out = jnp.where((act != 0)[None, None, :], out, 0)
-    out = out.transpose(2, 1, 0)                          # [B,576,2]
+    packed = (left.astype(jnp.uint16).astype(jnp.uint32)
+              | (right.astype(jnp.uint16).astype(jnp.uint32) << 16))
+    packed = jnp.where((act != 0)[None, :], packed, 0)    # [576,B]
+    out = jax.lax.bitcast_convert_type(packed.T, jnp.int16)  # [B,576,2]
 
     new_prev = jnp.where(((batch.gr1 == 0) & (act != 0))[:, None],
                          prev3.T, pstate.prev_lines)

@@ -181,6 +181,27 @@ class StreamDecoder:
         self.meta[:] = meta
         return np.asarray(pcm) if fetch else pcm
 
+    def decode_step_pipelined(self):
+        """decode_step with an asynchronous D2H PCM drain (ROADMAP /
+        round-2 VERDICT item 5): decodes this step, starts the device→
+        host copy of its PCM without blocking, and returns the PREVIOUS
+        step's PCM as numpy (None on the first call or idle steps).  The
+        returned array corresponds to the active mask of the previous
+        step — callers consuming per-slot PCM one step late must
+        snapshot active/meta alongside.  In steady state the host parse,
+        H2D wire upload, device step, and D2H drain of step k-1 all
+        overlap (tools/drain_trace.py captures the profile)."""
+        pcm = self.decode_step(fetch=False)
+        if pcm is not None:
+            pcm.copy_to_host_async()
+        prev, self._pending_pcm = getattr(self, "_pending_pcm", None), pcm
+        return np.asarray(prev) if prev is not None else None
+
+    def drain_pending(self):
+        """Fetch the last pipelined step's PCM (flush at end of stream)."""
+        prev, self._pending_pcm = getattr(self, "_pending_pcm", None), None
+        return np.asarray(prev) if prev is not None else None
+
     def nch(self, slot: int) -> int:
         return max(int(self.meta[0, slot, _M_NCH]), 1)
 

@@ -136,3 +136,38 @@ def test_batched_files_grouped_slots(corpus):
     got = decode_files_batched(corpus, n_slots=2, exact=True)
     for i, data in enumerate(corpus):
         assert got[i] == native_decode_file(data), f"file {i}"
+
+
+def test_pipelined_drain_equals_sync(corpus):
+    """decode_step_pipelined returns the same PCM one step late, with the
+    async D2H copy overlapping the next step (VERDICT r2 item 5)."""
+    B = 4
+    streams = [mp3gen.make_stream(n_frames=5, seed=600 + i,
+                                  blocks=["long", "short", "varied",
+                                          "mixed"][i % 4],
+                                  mode=1 if i % 2 else 0,
+                                  mode_extension=2 if i % 2 else 0)
+               for i in range(B)]
+    dec_s = StreamDecoder(B, exact=True)
+    dec_p = StreamDecoder(B, exact=True)
+    for s in range(B):
+        assert dec_s.feed(s, streams[s]) == 0
+        assert dec_p.feed(s, streams[s]) == 0
+    want, got = [], []
+    while True:
+        na_s = dec_s.parse_step()
+        na_p = dec_p.parse_step()
+        assert na_s == na_p
+        if na_s == 0:
+            break
+        want.append(dec_s.decode_step())
+        out = dec_p.decode_step_pipelined()
+        if out is not None:
+            got.append(out)
+    tail = dec_p.drain_pending()
+    if tail is not None:
+        got.append(tail)
+    assert dec_p.drain_pending() is None
+    assert len(want) == len(got)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
