@@ -5,6 +5,10 @@ import sys
 # exercised by bench.py / __graft_entry__.py on hardware.  The axon
 # sitecustomize force-registers the TPU backend whenever
 # PALLAS_AXON_POOL_IPS is set, so clear it and pin the platform to cpu.
+# stash the original so the on-TPU conformance subprocess (marker `tpu`)
+# can restore the axon plugin in its own environment
+os.environ.setdefault("PDMP3_AXON_POOL_IPS_ORIG",
+                      os.environ.get("PALLAS_AXON_POOL_IPS", ""))
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

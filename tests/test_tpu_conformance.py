@@ -130,6 +130,9 @@ def test_tpu_kernel_and_serving_conformance(tmp_path):
         + env.get("PYTHONPATH", "").split(os.pathsep))
     for var in ("JAX_PLATFORMS", "XLA_FLAGS"):
         env.pop(var, None)
+    orig = env.pop("PDMP3_AXON_POOL_IPS_ORIG", "")
+    if orig:
+        env["PALLAS_AXON_POOL_IPS"] = orig  # conftest wiped it in-process
     r = subprocess.run([sys.executable, str(worker)], env=env, cwd=_REPO,
                        capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-4000:]
