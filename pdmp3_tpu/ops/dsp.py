@@ -23,12 +23,19 @@ formulations are redesigned for batched tensor execution (see docstrings).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from .. import tables as T
+
+# Bench-only ablation hooks (tools/abl_exact.py): selectively degrade the
+# exact path's precision points to attribute its cost (ABL_EXACT_r03.json).
+# Read once at import so every trace of a process is consistent.  Never set
+# in production.
+_ABL = os.environ.get("PDMP3_ABL", "")
 
 F32 = jnp.float32
 _MAPS = T.layout_maps()
@@ -149,6 +156,66 @@ def _gather2(table: np.ndarray, idx: jnp.ndarray, lo_bits: int
                       precision=_HIGH, preferred_element_type=F32)
 
 
+def split_bf16x3(table: np.ndarray) -> tuple[np.ndarray, ...] | None:
+    """Split an f32 table into three bf16 planes whose f32 sum
+    reconstructs every entry bit-exactly (non-overlapping 8-bit mantissa
+    segments), or None if any entry fails to reconstruct (then callers
+    must keep the HIGHEST-precision path).  pow43's 8207 entries all
+    reconstruct — asserted by test_dsp_stages.test_bf16x3_split_exact."""
+    t = np.asarray(table, np.float32)
+    import ml_dtypes
+    planes = []
+    resid = t
+    for _ in range(3):
+        p = resid.astype(ml_dtypes.bfloat16)
+        planes.append(p)
+        resid = np.float32(resid - p.astype(np.float32))
+    rec = planes[0].astype(np.float32)
+    for p in planes[1:]:
+        rec = rec + p.astype(np.float32)
+    if rec.tobytes() != t.tobytes():
+        return None
+    return tuple(np.asarray(p, np.float32) for p in planes)
+
+
+@functools.lru_cache(maxsize=None)
+def _gather2_planes(key: str, lo_bits: int):
+    """Padded [hi, lo] bf16x3 planes for a named table (or None)."""
+    table = {"pow43": T.POW43}[key]
+    planes = split_bf16x3(np.asarray(table))
+    if planes is None:
+        return None
+    n = np.asarray(table).shape[0]
+    lo_n = 1 << lo_bits
+    hi_n = (n + lo_n - 1) // lo_n
+    out = []
+    for p in planes:
+        t2 = np.zeros((hi_n, lo_n), np.float32)
+        t2.reshape(-1)[:n] = p
+        out.append(t2)
+    return tuple(out)
+
+
+def _gather2_fast_exact(key: str, idx: jnp.ndarray, lo_bits: int
+                        ) -> jnp.ndarray:
+    """_gather2, but as THREE single-pass bf16 contractions against the
+    bf16x3-split table planes instead of one HIGHEST contraction (~2x
+    cheaper on the MXU: the one-hot operands are exactly bf16, so only
+    the table side needs decomposition, and HIGHEST decomposes both).
+    Bit-exact: each plane contraction selects one bf16 value exactly,
+    and the f32 plane sum reconstructs the f32 entry (split_bf16x3)."""
+    planes = _gather2_planes(key, lo_bits)
+    if planes is None:  # pragma: no cover - pow43 reconstructs
+        return _gather2(np.asarray({"pow43": T.POW43}[key]), idx, lo_bits)
+    lo_n = 1 << lo_bits
+    hi = _onehot(idx >> lo_bits, planes[0].shape[0])
+    lo = _onehot(idx & (lo_n - 1), lo_n)
+    parts = [jnp.einsum("...h,...l,hl->...", hi, lo, jnp.asarray(p),
+                        precision=_FAST, preferred_element_type=F32)
+             for p in planes]
+    return (parts[0] + parts[1]) + parts[2]
+
+
 def _pow43(mag: jnp.ndarray, exact: bool) -> jnp.ndarray:
     """x^(4/3) for integer magnitudes 0..8206 (pdmp3.c:971-1018).
 
@@ -159,7 +226,7 @@ def _pow43(mag: jnp.ndarray, exact: bool) -> jnp.ndarray:
     the table, restoring the ±1 LSB budget at ~6 extra VPU ops.
     """
     if exact:
-        return _gather2(np.asarray(T.POW43), mag, 7)
+        return _gather2_fast_exact("pow43", mag, 7)
     m = mag.astype(F32)
     safe = jnp.maximum(m, F32(1.0))
     c = jnp.exp2(jnp.log2(safe) * F32(1.0 / 3.0))
@@ -195,22 +262,32 @@ def _gain_quarter(q: jnp.ndarray, exact: bool,
     true_table selects GAIN_QUARTER_TRUE (real values through the f32
     underflow point, +0.0 for q >= 640 via the out-of-range one-hot) for
     the band-12 OOB path; the default table carries the sentinel-63 zero
-    region instead.  Valid in-spec q never exceeds 72, where both agree.
+    region instead.
 
-    fast: 2^(-q/4) = f32(2^(-(q&3)/4)) * 2^(-(q>>2)) — the power-of-two
-    scaling is exact, so the fast gain equals the table bit-for-bit for
-    every normal-range q (denormals flush to +0.0, inside the budget).
+    The closed form 2^(-q/4) = f32(2^(-(q&3)/4)) * 2^(-(q>>2)) is
+    BIT-IDENTICAL to the frozen table wherever the result is a normal
+    f32 (power-of-two scaling only shifts the exponent; asserted against
+    both tables entry-for-entry by test_dsp_stages.test_gain_closed_forms),
+    so the exact path uses it too and keeps only the table's sentinel
+    semantics: GAIN_QUARTER_DOWN is zero for q >= 100 (the host's
+    sentinel-63 scalefactor, q = 126/252, must decode as zero gain).
+    Exact callers with q reaching the denormal/underflow region (the
+    band-12 bit-pattern scalefactors) must instead gather
+    GAIN_QUARTER_TRUE directly — see requantize's g12 path.
     """
+    del true_table
+    g = _quarter_frac(q & 3, _QUARTER_DOWN4) * _pow2_int(-(q >> 2))
     if exact:
-        tab = T.GAIN_QUARTER_TRUE if true_table else T.GAIN_QUARTER_DOWN
-        return _gather2(np.asarray(tab), q, 5 if true_table else 4)
-    return _quarter_frac(q & 3, _QUARTER_DOWN4) * _pow2_int(-(q >> 2))
+        g = jnp.where(q >= 100, F32(0.0), g)
+    return g
 
 
 def _gain_global(e: jnp.ndarray, exact: bool) -> jnp.ndarray:
-    """2^((e-266)/4) (global gain, pdmp3.c:2128/2145)."""
-    if exact:
-        return _gather2(np.asarray(T.GAIN_GLOBAL), e, 4)
+    """2^((e-266)/4) (global gain, pdmp3.c:2128/2145).  Closed form in
+    both modes: every reachable index (0..311) yields a normal f32, where
+    the exponent-shift construction equals the frozen table bit-for-bit
+    (test_dsp_stages.test_gain_closed_forms)."""
+    del exact
     eo = e - T.GAIN_GLOBAL_OFF
     # arithmetic >> floors negative e, keeping d = e & 3 in [0, 3]
     return _quarter_frac(eo & 3, _QUARTER_UP4) * _pow2_int(eo >> 2)
@@ -219,6 +296,22 @@ def _gain_global(e: jnp.ndarray, exact: bool) -> jnp.ndarray:
 def _gather_map(table: np.ndarray, layout: jnp.ndarray) -> jnp.ndarray:
     """Compatibility alias for map row selection (int maps)."""
     return _map_select(table, layout, out_int=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _win_line_map(pre_reordered: bool = False) -> np.ndarray:
+    """Short-window index per (layout, line), optionally composed with the
+    wire reorder (for the band-12 gain override)."""
+    src = _MAPS["win"]
+    return _compose_reorder(src) if pre_reordered else np.asarray(src)
+
+
+@functools.lru_cache(maxsize=1)
+def _sfb12_short_map() -> np.ndarray:
+    """1 where (layout, line) is a short-block band-12 line (reorder-
+    invariant: the permutation moves lines only within a band)."""
+    return ((_MAPS["is_short"] == 1)
+            & (_MAPS["sfb"] == 12)).astype(np.int32)
 
 
 @functools.lru_cache(maxsize=1)
@@ -265,16 +358,6 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     Returns xr f32 [B,2,576].
     """
     band12_bits = gr1 is not None and prev_lines is not None
-    if band12_bits:
-        bits = jax.lax.bitcast_convert_type(prev_lines, jnp.uint32)  # [B,3]
-        # any bits >= 640/qpu gives gain +0.0; clamp to keep the one-hot
-        # index width small and the f32 expansion exact (< 2^24)
-        scf12 = jnp.where(bits < 1024, bits,
-                          jnp.uint32(1024)).astype(jnp.int32)
-        scf_s = scf_s.astype(jnp.int32)  # wire may carry int16
-        cur = scf_s[:, 1, 12, :]
-        scf_s = scf_s.at[:, 1, 12, :].set(
-            jnp.where((gr1 != 0)[:, None], scf12, cur))
 
     lay_oh = _onehot(layout, T.N_LAYOUTS)            # [B,2,9]
     short = _map_select(_MAPS["is_short"], layout)   # [B,2,576]
@@ -298,7 +381,29 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     scf_s_line = _expand(scf_s_flat, _expansion_sfb_s(pre_reordered),
                          lay_oh, prec)
     q_short = qpu * scf_s_line.astype(jnp.int32)
-    tmp1_short = _gain_quarter(q_short, exact, true_table=band12_bits)
+    tmp1_short = _gain_quarter(q_short, exact)
+    if band12_bits:
+        # The reference's scalefac_s[1][1][12][w] OOB read aliases the
+        # float BITS of is[0][0][w]: gather the denormal-capable true
+        # 2^(-q/4) table for just those 3 values per slot and overwrite
+        # the granule-1 ch1 band-12 short lines (win-selected) — the
+        # in-spec lines everywhere else stay on the closed form, which
+        # the tables match bit-for-bit (see _gain_quarter).
+        bits = jax.lax.bitcast_convert_type(prev_lines, jnp.uint32)  # [B,3]
+        scf12 = jnp.minimum(bits, jnp.uint32(1024)).astype(jnp.int32)
+        qpu1 = (2 << scalefac_scale[:, 1])[:, None]          # [B,1]
+        # indices past the 640-entry table one-hot to all-zero rows -> +0.0
+        g12 = _gather2(np.asarray(T.GAIN_QUARTER_TRUE),
+                       qpu1 * scf12, 5)                      # [B,3]
+        win_line1 = _map_select(_win_line_map(pre_reordered),
+                                layout[:, 1])                # [B,576]
+        g12_line = jnp.where(win_line1 == 0, g12[:, 0:1],
+                             jnp.where(win_line1 == 1, g12[:, 1:2],
+                                       g12[:, 2:3]))
+        mask12 = ((_map_select(_sfb12_short_map(), layout[:, 1]) == 1)
+                  & (gr1 != 0)[:, None])
+        tmp1_short = tmp1_short.at[:, 1, :].set(
+            jnp.where(mask12, g12_line, tmp1_short[:, 1, :]))
     sbg_line = _expand(subblock_gain,
                        _expansion_const("win", 3, pre_reordered), lay_oh,
                        prec)
@@ -351,7 +456,7 @@ def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
     ms_mask = (ms_flag[:, None] != 0) & (idx[None, :] < mp[:, None])
     mid = l + r
     sid = l - r
-    if exact:
+    if exact and _ABL != "ms32":
         ms_l = (mid.astype(jnp.float64) * T.INV_SQRT2).astype(F32)
         ms_r = (sid.astype(jnp.float64) * T.INV_SQRT2).astype(F32)
     else:
@@ -394,7 +499,7 @@ def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
     if bug_compat_short_intensity:
         # pdmp3.c:2212-2213: short-block intensity assigns through unsigned
         # temporaries; both channels become (float)(uint32)(int64)trunc(l).
-        wide = jnp.float64 if exact else F32
+        wide = jnp.float64 if (exact and _ABL != "ms32") else F32
         t = jnp.trunc(l.astype(wide))
         u = jnp.mod(t, wide(2.0 ** 32)).astype(F32)
         int_l = jnp.where(short == 1, u, int_l)

@@ -667,7 +667,8 @@ def decode_granules_pallas(batch, pstate: PallasState,
         x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s,
                            batch.layout, batch.global_gain,
                            batch.scalefac_scale, batch.preflag,
-                           batch.subblock_gain, exact=True,
+                           batch.subblock_gain,
+                           exact=dsp._ABL != "rqfast",
                            gr1=batch.gr1, prev_lines=pstate.prev_lines,
                            pre_reordered=True)
         x = dsp.stereo(x, batch.layout, batch.scf_l, batch.scf_s,
@@ -685,10 +686,11 @@ def decode_granules_pallas(batch, pstate: PallasState,
         # XLA front half behind this step's kernel (see _prev3)
         prev3 = _prev3(xa_t, pstate.store_t, bt_t, True)
         # reference quantization rounds through float64 (pdmp3.c:2028)
-        scaled = pcm_t.astype(jnp.float64) * 32767.0
+        _w = jnp.float32 if dsp._ABL == "q32" else jnp.float64
+        scaled = pcm_t.astype(_w) * 32767.0
         t = jnp.trunc(scaled)
         oob = jnp.isnan(scaled) | (t < -2147483648.0) | (t > 2147483647.0)
-        q = jnp.where(oob, jnp.float64(-32767.0),
+        q = jnp.where(oob, _w(-32767.0),
                       jnp.clip(t, -32767.0, 32767.0))
     else:
         # fast mode: the whole granule step is ONE fused kernel; the

@@ -189,3 +189,40 @@ def test_requantize_pre_reordered_equals_reorder():
             b_wire.global_gain, b_wire.scalefac_scale, b_wire.preflag,
             b_wire.subblock_gain, exact=exact, pre_reordered=True))
         np.testing.assert_array_equal(got, want, err_msg=f"exact={exact}")
+
+
+def test_gain_closed_forms_match_frozen_tables():
+    """The exact path's closed-form gains (exponent-shift construction)
+    must equal the reference's frozen tables bit-for-bit over every
+    reachable index — the invariant that lets requantize skip the
+    one-hot table gathers (ops/dsp.py:_gain_quarter/_gain_global)."""
+    # 2^((e-266)/4): all 312 indices are normal f32
+    e = np.arange(312, dtype=np.int32)
+    got = np.asarray(dsp._gain_global(jnp.asarray(e), exact=True))
+    assert got.tobytes() == np.asarray(T.GAIN_GLOBAL).tobytes()
+    # 2^(-q/4): table is sentinel-zero from 100 up; closed form matches
+    # the real region bit-for-bit and reproduces the sentinel via the
+    # q >= 100 mask
+    q = np.arange(256, dtype=np.int32)
+    got = np.asarray(dsp._gain_quarter(jnp.asarray(q), exact=True))
+    assert got.tobytes() == np.asarray(T.GAIN_QUARTER_DOWN).tobytes()
+    # the denormal-capable true table agrees with the closed form over
+    # its normal range (the band-12 path gathers it directly beyond)
+    qt = np.arange(504, dtype=np.int32)
+    got = np.asarray(dsp._gain_quarter(jnp.asarray(qt), exact=False))
+    assert got.tobytes() == np.asarray(T.GAIN_QUARTER_TRUE[:504]).tobytes()
+
+
+def test_bf16x3_split_exact():
+    """pow43's 8207 f32 entries reconstruct exactly from three bf16
+    planes — the invariant behind the single-pass exact gather
+    (ops/dsp.py:_gather2_fast_exact)."""
+    planes = dsp.split_bf16x3(np.asarray(T.POW43))
+    assert planes is not None
+    rec = planes[0] + planes[1] + planes[2]
+    assert rec.tobytes() == np.asarray(T.POW43).tobytes()
+    # and the jitted gather agrees with a plain numpy gather
+    idx = np.concatenate([np.arange(64), [100, 1000, 8206, 4095]])
+    got = np.asarray(dsp._gather2_fast_exact(
+        "pow43", jnp.asarray(idx, jnp.int32), 7))
+    assert got.tobytes() == np.asarray(T.POW43)[idx].tobytes()
