@@ -23,11 +23,14 @@ from .oracle import OracleDSP
 class PDMP3:
     """One decoder stream handle (pdmp3_new/open_feed/feed/read/decode)."""
 
-    def __init__(self, dsp=None):
-        self.fe = Frontend()
+    def __init__(self, dsp=None, lsf: bool = False):
+        self.fe = Frontend(lsf=lsf)
         self.dsp = dsp if dsp is not None else OracleDSP()
         self.out = np.zeros((2, 576), np.uint32)  # packed PCM words
         self.ostart = 0
+        # PCM words the current frame actually carries: 1152 for MPEG-1
+        # (2 granules), 576 for LSF frames (Frontend(lsf=True) only)
+        self.owords = 2 * 576
 
     # -- pdmp3_open_feed (pdmp3.c:2369-2384) --
     def open_feed(self) -> int:
@@ -45,7 +48,7 @@ class PDMP3:
         into interleaved S16LE honoring the ostart resume offset."""
         nch = self.fe.header.nch
         framesz = 2 * nch
-        nsamps = min(outsize // framesz, 2 * 576 - self.ostart)
+        nsamps = min(outsize // framesz, self.owords - self.ostart)
         flat = self.out.reshape(-1)[self.ostart:self.ostart + nsamps]
         if nch == 1:
             pcm = (flat & 0xFFFF).astype(np.uint16)
@@ -54,7 +57,7 @@ class PDMP3:
             pcm[0::2] = (flat >> 16) & 0xFFFF
             pcm[1::2] = flat & 0xFFFF
         self.ostart += nsamps
-        if self.ostart == 2 * 576:
+        if self.ostart == self.owords:
             self.ostart = 0
         return pcm.astype("<u2").tobytes()
 
@@ -76,6 +79,7 @@ class PDMP3:
                 res, fd = self.fe.read_frame()
                 if res == T.OK:
                     self.out = self.dsp.decode_frame(fd)
+                    self.owords = 576 * fd.header.ngr
                     b = self._convert_frame_s16(outsize)
                     chunks.append(b)
                     outsize -= len(b)
@@ -118,9 +122,10 @@ class PDMP3:
         return T.OK, rate, channels, T.ENC_SIGNED_16
 
 
-def decode_file(data: bytes, dsp=None, chunk: int = 4096) -> bytes:
+def decode_file(data: bytes, dsp=None, chunk: int = 4096,
+                lsf: bool = False) -> bytes:
     """CLI-equivalent loop (pdmp3.c:2540-2589): feed/read to exhaustion."""
-    h = PDMP3(dsp=dsp)
+    h = PDMP3(dsp=dsp, lsf=lsf)
     h.open_feed()
     pos = 0
     out = []

@@ -66,19 +66,37 @@ class Header:
     copyright: int = 0
     original_or_copy: int = 0
     emphasis: int = 0
+    # 0 = MPEG-1, 1 = MPEG-2, 2 = MPEG-2.5 (LSF extension; the reference
+    # rejects id==0, pdmp3.c:1295 — families 1/2 exist only behind
+    # Frontend(lsf=True))
+    family: int = 0
 
     @property
     def nch(self) -> int:
         return 1 if self.mode == 3 else 2
 
     @property
+    def lsf(self) -> bool:
+        return self.family != 0
+
+    @property
+    def ngr(self) -> int:
+        """Granules per frame: LSF frames carry ONE 576-sample granule."""
+        return 1 if self.family else 2
+
+    @property
     def sample_rate(self) -> int:
         # a rejected header can leave sampling_frequency == 3 here; the
         # reference's getformat reads its table out of bounds for that
         # (pdmp3.c:2530, layout-dependent garbage) — guard instead
-        return int(T.SAMPLE_RATES[min(self.sampling_frequency, 2)])
+        return int(T.SAMPLE_RATES_FAM[self.family]
+                   [min(self.sampling_frequency, 2)])
 
     def frame_size(self) -> int:
+        if self.family:
+            return T.lsf_frame_size(self.bitrate_index,
+                                    self.sampling_frequency, self.family,
+                                    self.padding_bit)
         return (144 * int(T.BITRATES[self.layer - 1][self.bitrate_index])
                 // int(T.SAMPLE_RATES[self.sampling_frequency])
                 + self.padding_bit)
@@ -91,6 +109,13 @@ class FrameData:
     scalefac_l: np.ndarray  # [2,2,22] int32 (index 21 = sfb21-region policy)
     scalefac_s: np.ndarray  # [2,2,13,3] int32 (index 12 = policy)
     ix: np.ndarray          # [2,2,576] int32 Huffman-decoded lines
+    # LSF intensity-stereo sidecar (None for MPEG-1): ch1's transmitted
+    # is_pos per band with the per-partition illegal value ((1<<slen)-1,
+    # 13818-3 §2.4.3.4.3) already mapped to tables.LSF_IS_ILLEGAL, plus
+    # intensity_scale (scalefac_compress bit 0 of ch1)
+    is_eff_l: np.ndarray | None = None   # [22] int32
+    is_eff_s: np.ndarray | None = None   # [13,3] int32
+    intensity_scale: int = 0
 
 
 class Frontend:
@@ -99,10 +124,20 @@ class Frontend:
     count1_table_b_spec: decode count1table_select=1 quads with the REAL
     ISO table B tree instead of emulating the reference's stale-pointer
     bug (see tables.HuffTable.ref_broken).  Default off for bit parity.
+
+    lsf: also accept MPEG-2 / MPEG-2.5 (13818-3 low-sampling-frequency)
+    streams — 11-bit sync, 9/17-byte one-granule side info, the 9-bit
+    scalefac_compress partition derivation.  Default OFF: the reference
+    rejects id==0 (pdmp3.c:1295), and accepting the shorter sync word
+    would change resync behavior on hostile MPEG-1 streams, breaking the
+    bit-parity differentials.  MPEG-1 frames parse identically either
+    way; only sync acceptance differs.
     """
 
-    def __init__(self, count1_table_b_spec: bool = False):
+    def __init__(self, count1_table_b_spec: bool = False,
+                 lsf: bool = False):
         self.count1_table_b_spec = count1_table_b_spec
+        self.lsf = lsf
         self.inbuf = bytearray(T.INBUF_SIZE)
         self.istart = 0
         self.iend = 0
@@ -216,12 +251,17 @@ class Frontend:
         if C_EOF in b:
             return T.ERR
         hdr = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
-        while (hdr & 0xFFF00000) != 0xFFF00000:
+        # lsf mode scans for the 11-bit sync (MPEG-2.5 clears sync bit 0,
+        # 13818-3 extension framing); reference-parity mode keeps the
+        # 12-bit scan of pdmp3.c:1272
+        sync = 0xFFE00000 if self.lsf else 0xFFF00000
+        while (hdr & sync) != sync:
             nb = self.get_byte()
             if nb == C_EOF:
                 return T.ERR
             hdr = ((hdr << 8) & 0xFFFFFF00) | nb
         h = self.header
+        ver = (hdr >> 19) & 3        # 0=2.5, 1=reserved, 2=MPEG-2, 3=MPEG-1
         h.id = (hdr >> 19) & 1
         h.layer = (hdr >> 17) & 3
         h.protection_bit = (hdr >> 16) & 1
@@ -234,7 +274,10 @@ class Frontend:
         h.copyright = (hdr >> 3) & 1
         h.original_or_copy = (hdr >> 2) & 1
         h.emphasis = hdr & 3
-        if h.id != 1 or h.bitrate_index in (0, 15) \
+        h.family = {3: 0, 2: 1, 0: 2}.get(ver, -1)
+        if not self.lsf and h.id != 1:
+            return T.ERR
+        if h.family < 0 or h.bitrate_index in (0, 15) \
                 or h.sampling_frequency == 3 or h.layer == 0:
             return T.ERR
         h.layer = 4 - h.layer
@@ -269,7 +312,10 @@ class Frontend:
         framesize = h.frame_size()
         if framesize > 2000:
             return T.ERR
-        sideinfo_size = 17 if nch == 1 else 32
+        if h.family:
+            sideinfo_size = 9 if nch == 1 else 17
+        else:
+            sideinfo_size = 17 if nch == 1 else 32
         # Load side-info bytes.  Quirk parity: on input underrun the
         # reference stores the bytes it got, keeps the *stale* bit cursor,
         # and parses on regardless (Get_Sideinfo's early return skips the
@@ -285,6 +331,8 @@ class Frontend:
             self.side_byte = 0
             self.side_idx = 0
         s = self.side
+        if h.family:
+            return self._read_side_info_lsf()
         s.main_data_begin = self.get_side_bits(9)
         s.private_bits = self.get_side_bits(5 if nch == 1 else 3)
         for ch in range(nch):
@@ -322,6 +370,46 @@ class Frontend:
                 s.count1table_select[gr][ch] = self.get_side_bits(1)
         return T.OK
 
+    def _read_side_info_lsf(self) -> int:
+        """LSF side info (13818-3 §2.4.1.7): 8-bit main_data_begin, no
+        scfsi, ONE granule, 9-bit scalefac_compress, no preflag bit
+        (computed from scalefac_compress during scalefactor decode)."""
+        s, nch = self.side, self.header.nch
+        s.main_data_begin = self.get_side_bits(8)
+        s.private_bits = self.get_side_bits(1 if nch == 1 else 2)
+        s.scfsi[:] = 0
+        gr = 0
+        for ch in range(nch):
+            s.part2_3_length[gr][ch] = self.get_side_bits(12)
+            s.big_values[gr][ch] = self.get_side_bits(9)
+            s.global_gain[gr][ch] = self.get_side_bits(8)
+            s.scalefac_compress[gr][ch] = self.get_side_bits(9)
+            s.win_switch_flag[gr][ch] = self.get_side_bits(1)
+            if s.win_switch_flag[gr][ch]:
+                s.block_type[gr][ch] = self.get_side_bits(2)
+                s.mixed_block_flag[gr][ch] = self.get_side_bits(1)
+                for r in range(2):
+                    s.table_select[gr][ch][r] = self.get_side_bits(5)
+                for w in range(3):
+                    s.subblock_gain[gr][ch][w] = self.get_side_bits(3)
+                # implicit region counts, same rule as MPEG-1
+                if s.block_type[gr][ch] == 2 and not s.mixed_block_flag[gr][ch]:
+                    s.region0_count[gr][ch] = 8
+                else:
+                    s.region0_count[gr][ch] = 7
+                s.region1_count[gr][ch] = 20 - s.region0_count[gr][ch]
+            else:
+                for r in range(3):
+                    s.table_select[gr][ch][r] = self.get_side_bits(5)
+                s.region0_count[gr][ch] = self.get_side_bits(4)
+                s.region1_count[gr][ch] = self.get_side_bits(3)
+                s.block_type[gr][ch] = 0
+                s.mixed_block_flag[gr][ch] = 0
+            s.preflag[gr][ch] = 0   # derived in _read_scalefacs_lsf
+            s.scalefac_scale[gr][ch] = self.get_side_bits(1)
+            s.count1table_select[gr][ch] = self.get_side_bits(1)
+        return T.OK
+
     # ---- bit reservoir (pdmp3.c:1096-1122) ----
 
     def _get_main_data(self, size: int, begin: int) -> int:
@@ -356,13 +444,32 @@ class Frontend:
         framesize = h.frame_size()
         if framesize > 2000:
             return T.ERR
-        sideinfo_size = 17 if nch == 1 else 32
+        if h.family:
+            sideinfo_size = 9 if nch == 1 else 17
+        else:
+            sideinfo_size = 17 if nch == 1 else 32
         main_data_size = framesize - sideinfo_size - 4
         if h.protection_bit == 0:
             main_data_size -= 2
         res = self._get_main_data(main_data_size, s.main_data_begin)
         if res != T.OK:
             return res
+        if h.family:
+            # LSF: one granule, 13818-3 scalefactor partitions; arrays are
+            # reused across frames so clear everything including granule 1
+            # and the untransmitted policy slots (sfb21 / short band 12
+            # stay scalefactor 0 — the spec default, no reference quirk
+            # to emulate since the reference rejects LSF streams)
+            scalefac_l[:] = 0
+            scalefac_s[:] = 0
+            self._lsf_is_l = None
+            self._lsf_is_s = None
+            self._lsf_iscale = 0
+            for ch in range(nch):
+                part_2_start = self.main_pos()
+                self._read_scalefacs_lsf(ch, scalefac_l, scalefac_s)
+                self._read_huffman(part_2_start, 0, ch, ix)
+            return T.OK
         for gr in range(2):
             for ch in range(nch):
                 part_2_start = self.main_pos()
@@ -393,6 +500,70 @@ class Frontend:
                 self._read_huffman(part_2_start, gr, ch, ix)
         return T.OK
 
+    def _read_scalefacs_lsf(self, ch: int,
+                            scalefac_l, scalefac_s) -> None:
+        """LSF scalefactor decode (13818-3 §2.4.3.4, dist10's
+        III_get_LSF_scale_factors partitioning).
+
+        The channel's raw transmitted values land in scalefac_l/s exactly
+        like MPEG-1 (the requantizer treats them identically; preflag is
+        derived, not transmitted).  For the intensity channel (ch1 when
+        mode==joint-stereo with intensity on) the same values double as
+        intensity positions: the per-partition all-ones value is the
+        "no intensity" sentinel, which we map to tables.LSF_IS_ILLEGAL in
+        a separate sidecar so the raw requantizer inputs stay intact.
+        slen==0 partitions transmit nothing and yield position 0 (legal,
+        k0=k1=1) — the minimp3/spec reading, not libmad's vacuous-truth
+        "all bits set" one.  Untransmitted bands (beyond the partition
+        sums: long sfb21, short band 12) are scalefactor 0 / position 0.
+        """
+        h, s = self.header, self.side
+        intensity_ch = bool(ch == 1 and h.mode == 1
+                            and (h.mode_extension & 1))
+        sc = int(s.scalefac_compress[0][ch])
+        slen, _blocknum, preflag, iscale = T.lsf_slen(sc, intensity_ch)
+        s.preflag[0][ch] = preflag
+        short = s.win_switch_flag[0][ch] and s.block_type[0][ch] == 2
+        mixed = bool(short and s.mixed_block_flag[0][ch])
+        bclass = 2 if mixed else (1 if short else 0)
+        counts = T.NR_OF_SFB[_blocknum][bclass]
+        raw: list[int] = []
+        pos: list[int] = []
+        for p in range(4):
+            w = int(slen[p])
+            for _ in range(int(counts[p])):
+                v = self.get_main_bits(w) if w else 0
+                raw.append(v)
+                pos.append(T.LSF_IS_ILLEGAL
+                           if (w and v == (1 << w) - 1) else v)
+        if intensity_ch:
+            self._lsf_iscale = iscale
+            is_l = np.zeros(22, np.int32)
+            is_s = np.zeros((13, 3), np.int32)
+        k = 0
+        if bclass == 0:
+            for sfb in range(21):
+                scalefac_l[0][ch][sfb] = raw[k]
+                if intensity_ch:
+                    is_l[sfb] = pos[k]
+                k += 1
+        else:
+            if mixed:
+                for sfb in range(T.SWITCH_SFB_L[h.family]):
+                    scalefac_l[0][ch][sfb] = raw[k]
+                    if intensity_ch:
+                        is_l[sfb] = pos[k]
+                    k += 1
+            for sfb in range(T.SWITCH_SFB_S if mixed else 0, 12):
+                for w in range(3):
+                    scalefac_s[0][ch][sfb][w] = raw[k]
+                    if intensity_ch:
+                        is_s[sfb][w] = pos[k]
+                    k += 1
+        if intensity_ch:
+            self._lsf_is_l = is_l
+            self._lsf_is_s = is_s
+
     def _read_huffman(self, part_2_start: int, gr: int, ch: int, ix) -> None:
         s = self.side
         line = ix[gr][ch]
@@ -405,16 +576,22 @@ class Frontend:
             region_1_start = 36
             region_2_start = 576
         else:
-            sfreq = self.header.sampling_frequency
-            region_1_start = int(T.SFB_LONG[sfreq][s.region0_count[gr][ch] + 1])
+            h = self.header
+            sfreq = h.sampling_frequency
+            longs = T.SFB_LONG_FAM[h.family][sfreq]
+            region_1_start = int(longs[s.region0_count[gr][ch] + 1])
             # hostile side info can push this index past l[22] (region
             # counts are raw 4+3 bit fields: 15+7+2 = 24); the
             # reference's struct layout aliases .l[23+k] onto .s[k]
             # (pdmp3.c:108-112, 2074-2076) — emulate the alias (found by
-            # tools/fuzz.py as a native OOB / python IndexError)
+            # tools/fuzz.py as a native OOB / python IndexError).  LSF
+            # has no reference to mirror: clamp to the 576 end instead.
             r2i = int(s.region0_count[gr][ch] + s.region1_count[gr][ch] + 2)
-            region_2_start = int(T.SFB_LONG[sfreq][r2i] if r2i <= 22
-                                 else T.SFB_SHORT[sfreq][r2i - 23])
+            if h.family:
+                region_2_start = int(longs[min(r2i, 22)])
+            else:
+                region_2_start = int(longs[r2i] if r2i <= 22
+                                     else T.SFB_SHORT[sfreq][r2i - 23])
         tabs = T.huffman_tables()
         big = int(s.big_values[gr][ch]) * 2
         is_pos = 0
@@ -535,6 +712,15 @@ class Frontend:
         res = self._read_main(scalefac_l, scalefac_s, ix)
         if res != T.OK:
             return res, None
+        import copy
+        if self.header.family:
+            # LSF: no alias quirks to emulate (reference rejects id==0);
+            # policy slots already zeroed by _read_main
+            return T.OK, FrameData(
+                copy.deepcopy(self.header), copy.deepcopy(self.side),
+                scalefac_l.copy(), scalefac_s.copy(), ix,
+                is_eff_l=self._lsf_is_l, is_eff_s=self._lsf_is_s,
+                intensity_scale=self._lsf_iscale)
         # sfb21-region policy slot: the reference's requantizer reads
         # scalefac_l[gr][ch][21] out of bounds when count1 exceeds band 21
         # (pdmp3.c:1896-1902); by struct layout that aliases the NEXT

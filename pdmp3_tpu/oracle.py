@@ -33,10 +33,11 @@ def _requantize(fd: FrameData, gr: int, ch: int,
     the full-array form produce identical bits.
     """
     s = fd.side
+    fam = fd.header.family
     sfreq = fd.header.sampling_frequency
     lay = T.layout_id(sfreq, int(s.win_switch_flag[gr][ch]),
                       int(s.block_type[gr][ch]), int(s.mixed_block_flag[gr][ch]))
-    maps = T.layout_maps()
+    maps = T.layout_maps(fam)
     sfb = maps["sfb"][lay]
     win = maps["win"][lay]
     short = maps["is_short"][lay]
@@ -52,11 +53,15 @@ def _requantize(fd: FrameData, gr: int, ch: int,
     scf_l = fd.scalefac_l[gr][ch]  # [22]
     scf_s = fd.scalefac_s[gr][ch]  # [13,3]
 
-    # long lines
+    # long lines.  LSF intensity-channel scalefactors reach 31 (slen 5,
+    # 13818-3 §2.4.3.4) so q reaches 124, inside GAIN_QUARTER_DOWN's
+    # sentinel-zero region — use the true 2^(-q/4) table there (identical
+    # values below q=100).
+    qtab = T.GAIN_QUARTER_TRUE if fam else T.GAIN_QUARTER_DOWN
     q_long = quarters_per_unit * (scf_l[sfb] + int(s.preflag[gr][ch]) * pretab22[sfb])
     e_long = int(s.global_gain[gr][ch]) - 210
     tmp2_long = T.GAIN_GLOBAL[e_long + T.GAIN_GLOBAL_OFF]
-    tmp1_long = T.GAIN_QUARTER_DOWN[q_long]
+    tmp1_long = qtab[q_long]
 
     # short lines (clamp sfb: long layouts carry band ids up to 21 but the
     # short gather is masked out by `short == 0` there)
@@ -77,7 +82,7 @@ def _requantize(fd: FrameData, gr: int, ch: int,
     # reference's libm call)
     tmp1_short = np.where(
         q_short < 100,
-        T.GAIN_QUARTER_DOWN[np.minimum(q_short, 99)],
+        qtab[np.minimum(q_short, 99)],
         np.power(2.0, -0.25 * np.minimum(q_short, 6000).astype(np.float64))
         .astype(F32))
 
@@ -95,7 +100,7 @@ def _reorder(fd: FrameData, gr: int, ch: int, x: np.ndarray) -> np.ndarray:
         return x
     sfreq = fd.header.sampling_frequency
     lay = T.layout_id(sfreq, 1, 2, int(s.mixed_block_flag[gr][ch]))
-    perm = T.layout_maps()["reorder"][lay]
+    perm = T.layout_maps(fd.header.family)["reorder"][lay]
     return x[perm]
 
 
@@ -116,6 +121,9 @@ def _stereo(fd: FrameData, gr: int, x: np.ndarray,
         x[0][:mp] = (mid.astype(np.float64) * T.INV_SQRT2).astype(F32)
         x[1][:mp] = (sid.astype(np.float64) * T.INV_SQRT2).astype(F32)
     if h.mode_extension & 0x1:
+        if h.family:
+            _intensity_lsf(fd, x)
+            return
         sfreq = h.sampling_frequency
         c1r = int(s.count1[gr][1])
 
@@ -180,6 +188,67 @@ def _stereo(fd: FrameData, gr: int, x: np.ndarray,
                     intensity_long(sfb)
 
 
+def _intensity_lsf(fd: FrameData, x: np.ndarray) -> None:
+    """LSF intensity stereo (13818-3 §2.4.3.2).  Spec-derived — the
+    reference rejects LSF streams, so there is no bug parity here; this
+    is the semantic contract the JAX and native paths must match.
+
+    Positions come from ch1's transmitted scalefactors (frontend sidecar
+    fd.is_eff_l/s, illegal values pre-mapped to tables.LSF_IS_ILLEGAL).
+    Gains: io = 2^(-(intensity_scale+1)/4); odd p -> (io^((p+1)/2), 1),
+    even p -> (1, io^(p/2)).  Bands whose position is illegal, and the
+    untransmitted tail regions (long sfb21 / short band 12), pass
+    through untouched — the same convention as the MPEG-1 path's
+    is_pos==7 bands.  Band iteration follows ch0's block layout; a band
+    is intensity-processed when it starts at or above ch1's count1
+    (rzero), mirroring the MPEG-1 path."""
+    h, s = fd.header, fd.side
+    fam, sfreq = h.family, h.sampling_frequency
+    longs = T.SFB_LONG_FAM[fam][sfreq]
+    shorts = T.SFB_SHORT_FAM[fam][sfreq]
+    k0t, k1t = T.lsf_intensity_tables()
+    isc = int(fd.intensity_scale)
+    c1r = int(s.count1[0][1])
+
+    def ilong(sfb: int) -> None:
+        p = int(fd.is_eff_l[sfb])
+        if p == T.LSF_IS_ILLEGAL:
+            return
+        lo, hi = int(longs[sfb]), int(longs[sfb + 1])
+        seg = x[0][lo:hi].copy()
+        x[0][lo:hi] = F32(k0t[isc][p]) * seg
+        x[1][lo:hi] = F32(k1t[isc][p]) * seg
+
+    def ishort(sfb: int) -> None:
+        wl = int(shorts[sfb + 1] - shorts[sfb])
+        for w in range(3):
+            p = int(fd.is_eff_s[sfb][w])
+            if p == T.LSF_IS_ILLEGAL:
+                continue
+            lo = int(shorts[sfb]) * 3 + wl * w
+            hi = lo + wl
+            seg = x[0][lo:hi].copy()
+            x[0][lo:hi] = F32(k0t[isc][p]) * seg
+            x[1][lo:hi] = F32(k1t[isc][p]) * seg
+
+    if s.win_switch_flag[0][0] and s.block_type[0][0] == 2:
+        if s.mixed_block_flag[0][0]:
+            for sfb in range(int(T.SWITCH_SFB_L[fam])):
+                if longs[sfb] >= c1r:
+                    ilong(sfb)
+            for sfb in range(T.SWITCH_SFB_S, 12):
+                if shorts[sfb] * 3 >= c1r:
+                    ishort(sfb)
+        else:
+            for sfb in range(12):
+                if shorts[sfb] * 3 >= c1r:
+                    ishort(sfb)
+    else:
+        for sfb in range(21):
+            if longs[sfb] >= c1r:
+                ilong(sfb)
+
+
 def _antialias(fd: FrameData, gr: int, ch: int, x: np.ndarray) -> None:
     """pdmp3.c:1706-1732. In place on float32[576]."""
     s = fd.side
@@ -235,7 +304,7 @@ class OracleDSP:
         nch = fd.header.nch
         out = np.zeros((2, 576), np.uint32)
         prev = None
-        for gr in range(2):
+        for gr in range(fd.header.ngr):   # LSF frames: one granule
             x = np.zeros((2, 576), F32)
             for ch in range(nch):
                 xr = _requantize(fd, gr, ch, prev_gr0_ch0=prev)

@@ -194,18 +194,21 @@ def layout_id(sfreq: int, win_switch: int, block_type: int, mixed: int) -> int:
     return sfreq * 3 + LONG
 
 
-@functools.lru_cache(maxsize=1)
-def layout_maps():
+@functools.lru_cache(maxsize=None)
+def layout_maps(family: int = 0):
     """Per-layout [9, 576] int32 maps used by the batched requantize/stereo
-    kernels, plus the short-block reorder permutation.
+    kernels, plus the short-block reorder permutation.  family selects the
+    sample-rate generation's band-edge tables (0 = MPEG-1; 1/2 = LSF, same
+    layout-id space, different edges and a switch point of 6 long bands
+    for mixed blocks instead of 8 — SWITCH_SFB_L).
 
     Returns dict of arrays, each [N_LAYOUTS, 576] unless noted:
       sfb:        scalefactor band index of each line (long band 0-21 for
                   long regions incl. the untransmitted sfb21 region; short
                   band 0-12 for short regions)
       win:        window index 0-2 for short regions, 0 for long regions
-      is_short:   1 where the line belongs to a short-block region
       sbgain_win: same as win (alias kept for clarity)
+      is_short:   1 where the line belongs to a short-block region
       reorder:    permutation p with  is_reordered[i] = is_raw[p[i]]
                   (identity for long layouts)
     """
@@ -213,10 +216,15 @@ def layout_maps():
     win_map = np.zeros((N_LAYOUTS, 576), np.int32)
     short_map = np.zeros((N_LAYOUTS, 576), np.int32)
     reorder = np.tile(np.arange(576, dtype=np.int32), (N_LAYOUTS, 1))
+    switch_l = SWITCH_SFB_L[family]
 
     for sf in range(3):
-        louts = SFB_LONG[sf]
-        shrts = SFB_SHORT[sf]
+        louts = SFB_LONG_FAM[family][sf]
+        shrts = SFB_SHORT_FAM[family][sf]
+        # the mixed long/short regions tile 576 without gap or overlap in
+        # every family: long sfbs 0..switch_l-1 end exactly where short
+        # sfb 3 starts (incl. the 8 kHz 72-line case)
+        assert louts[switch_l] == 3 * shrts[SWITCH_SFB_S]
 
         # long layout: sfb index per line (sfb 21 = untransmitted region)
         lay = sf * 3 + LONG
@@ -225,13 +233,11 @@ def layout_maps():
 
         for kind in (SHORT, MIXED):
             lay = sf * 3 + kind
-            start_sfb = 3 if kind == MIXED else 0
+            start_sfb = SWITCH_SFB_S if kind == MIXED else 0
             if kind == MIXED:
-                # first 36 lines: long bands 0..7 (sfreq-dependent edges)
-                for b in range(8):
-                    lo, hi = louts[b], min(louts[b + 1], 36)
-                    if lo < 36:
-                        sfb_map[lay, lo:hi] = b
+                # leading long region: bands 0..switch_l-1
+                for b in range(switch_l):
+                    sfb_map[lay, louts[b]:louts[b + 1]] = b
             # short bands cover [3*shrts[start_sfb], 576) in groups of
             # 3 windows x win_len
             i = 3 * shrts[start_sfb]
@@ -268,19 +274,20 @@ def layout_maps():
     }
 
 
-@functools.lru_cache(maxsize=1)
-def stereo_maps():
+@functools.lru_cache(maxsize=None)
+def stereo_maps(family: int = 0):
     """Per-layout [9,576] maps for the batched intensity-stereo kernel:
 
       band_start:   first frequency line of the line's scalefactor band
                     (short bands: 3*s[sfb], the value compared against
                     count1 of the right channel, pdmp3.c:1946-1965)
       intensity_ok: 1 where the reference's band loops can reach this line
-                    (long sfb 0-20 only; short sfb 0-11; mixed long 0-7 +
+                    (long sfb 0-20 only; short sfb 0-11; mixed long +
                     short 3-11 — the sfb21/band-12 regions are never
-                    intensity processed)
+                    intensity processed); the LSF families keep the same
+                    eligibility bounds (spec-mode, docs/DESIGN.md)
     """
-    maps = layout_maps()
+    maps = layout_maps(family)
     band_start = np.zeros((N_LAYOUTS, 576), np.int32)
     ok = np.zeros((N_LAYOUTS, 576), np.int32)
     for sf in range(3):
@@ -291,12 +298,156 @@ def stereo_maps():
             for i in range(576):
                 b = sfb[i]
                 if short[i]:
-                    band_start[lay, i] = 3 * SFB_SHORT[sf][b]
+                    band_start[lay, i] = 3 * SFB_SHORT_FAM[family][sf][b]
                     ok[lay, i] = 1 if b < 12 else 0
                 else:
-                    band_start[lay, i] = SFB_LONG[sf][b]
+                    band_start[lay, i] = SFB_LONG_FAM[family][sf][b]
                     ok[lay, i] = 1 if b < 21 else 0
     return {"band_start": band_start, "intensity_ok": ok}
+
+
+# ---------------------------------------------------------------------------
+# MPEG-2 / MPEG-2.5 low-sampling-frequency (LSF) extension (ISO 13818-3).
+#
+# The reference decoder REJECTS id==0 headers outright (pdmp3.c:1295), so
+# everything in this section is spec-derived capability beyond the
+# reference; there is no bug-parity target and no external oracle in this
+# image — correctness rests on 3-way in-tree agreement (frontend.py /
+# host frontend / JAX) plus the spec-vector tests in tests/test_lsf.py.
+#
+# A "family" selects the sample-rate generation:
+#   0 = MPEG-1   (44.1 / 48 / 32 kHz, 2 granules per frame)
+#   1 = MPEG-2   (22.05 / 24 / 16 kHz, 1 granule per frame)
+#   2 = MPEG-2.5 (11.025 / 12 / 8 kHz, 1 granule per frame)
+# Layout ids stay 0..8 *within* a family (sfreq*3 + kind); every derived
+# map below takes a family argument so each family compiles its own
+# device program with [9,576] constants — folding all 27 layouts into one
+# table set would tax the hot requantize expansions 3x (docs/ROADMAP.md).
+# ---------------------------------------------------------------------------
+
+N_FAMILIES = 3
+
+SAMPLE_RATES_FAM = np.array([
+    [44100, 48000, 32000],
+    [22050, 24000, 16000],
+    [11025, 12000, 8000],
+], np.int64)
+
+# Layer III LSF bitrates (13818-3 Table B.2; shared by MPEG-2 and 2.5)
+BITRATES_LSF = np.array(
+    [0, 8000, 16000, 24000, 32000, 40000, 48000, 56000, 64000,
+     80000, 96000, 112000, 128000, 144000, 160000], np.int64)
+
+# Scalefactor band edges per LSF sample rate (13818-3 Table B.8):
+# long[23] / short[14].  22.05, 16, 11.025 and 12 kHz share the long
+# table; 16/11.025/12 share the short table; 8 kHz carries the famous
+# 2-line tail bands.
+_SFB_L_22 = [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
+             200, 238, 284, 336, 396, 464, 522, 576]
+_SFB_L_24 = [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136, 162,
+             194, 232, 278, 332, 394, 464, 540, 576]
+_SFB_L_8 = [0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232, 280,
+            336, 400, 476, 566, 568, 570, 572, 574, 576]
+_SFB_S_22 = [0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192]
+_SFB_S_24 = [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192]
+_SFB_S_16 = [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192]
+_SFB_S_8 = [0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192]
+
+SFB_LONG_FAM = np.array([
+    SFB_LONG,
+    [_SFB_L_22, _SFB_L_24, _SFB_L_22],
+    [_SFB_L_22, _SFB_L_22, _SFB_L_8],
+], np.int32)         # [family, sfreq, 23]
+
+SFB_SHORT_FAM = np.array([
+    SFB_SHORT,
+    [_SFB_S_22, _SFB_S_24, _SFB_S_16],
+    [_SFB_S_16, _SFB_S_16, _SFB_S_8],
+], np.int32)         # [family, sfreq, 14]
+
+# Scalefactor-count partitions for the LSF scalefac_compress derivation
+# (13818-3 §2.4.3.4): [block_number, block_class, partition] where
+# block_class is 0 long / 1 short / 2 mixed.  Rows 0-2 serve the normal
+# derivation, rows 3-5 the intensity-channel variant.
+NR_OF_SFB = np.array([
+    [[6, 5, 5, 5], [9, 9, 9, 9], [6, 9, 9, 9]],
+    [[6, 5, 7, 3], [9, 9, 12, 6], [6, 9, 12, 6]],
+    [[11, 10, 0, 0], [18, 18, 0, 0], [15, 18, 0, 0]],
+    [[7, 7, 7, 0], [12, 12, 12, 0], [6, 15, 12, 0]],
+    [[6, 6, 6, 3], [12, 9, 9, 6], [6, 12, 9, 6]],
+    [[8, 8, 5, 0], [15, 12, 9, 0], [6, 18, 9, 0]],
+], np.int32)
+
+# LSF mixed blocks switch from long to short scalefactor bands at long
+# sfb 6 (MPEG-1: 8) — the nr_of_sfb mixed rows all start with 6.
+SWITCH_SFB_L = (8, 6, 6)      # per family
+SWITCH_SFB_S = 3
+
+# "No intensity position" sentinel on the wire: the host maps each band
+# whose transmitted is_pos equals the all-ones illegal value
+# ((1<<slen)-1, 13818-3 §2.4.3.4.3) to this, and the device skips it.
+LSF_IS_ILLEGAL = 63
+
+
+def lsf_slen(scalefac_compress: int, intensity_ch: bool
+             ) -> tuple[tuple[int, int, int, int], int, int, int]:
+    """LSF scalefactor field-width derivation (13818-3 §2.4.3.4).
+
+    Returns (slen[4], block_number, preflag, intensity_scale).  For the
+    intensity channel (ch1 of an intensity-stereo frame) the 9-bit field
+    is split: bit 0 is intensity_scale, bits 1.. select the variant rows.
+    """
+    sc = int(scalefac_compress)
+    if not intensity_ch:
+        if sc < 400:
+            sl = ((sc >> 4) // 5, (sc >> 4) % 5, (sc % 16) >> 2, sc % 4)
+            return sl, 0, 0, 0
+        if sc < 500:
+            s2 = sc - 400
+            return ((s2 >> 2) // 5, (s2 >> 2) % 5, s2 % 4, 0), 1, 0, 0
+        s2 = sc - 500
+        return (s2 // 3, s2 % 3, 0, 0), 2, 1, 0
+    iscale = sc & 1
+    si = sc >> 1
+    if si < 180:
+        return (si // 36, (si % 36) // 6, si % 6, 0), 3, 0, iscale
+    if si < 244:
+        s2 = si - 180
+        return ((s2 % 64) >> 4, (s2 % 16) >> 2, s2 % 4, 0), 4, 0, iscale
+    s2 = si - 244
+    return (s2 // 3, s2 % 3, 0, 0), 5, 0, iscale
+
+
+@functools.lru_cache(maxsize=8)
+def lsf_intensity_tables():
+    """LSF intensity-stereo gain pairs (13818-3 §2.4.3.2): k0/k1 [2, 64]
+    float32 indexed [intensity_scale, is_pos] with
+    io = 2^(-(intensity_scale+1)/4):
+
+        is_pos odd : (k0, k1) = (io^((is_pos+1)/2), 1)
+        is_pos even: (k0, k1) = (1, io^(is_pos/2))
+
+    Index LSF_IS_ILLEGAL (and anything >= 32) returns (1, 1); callers
+    must additionally *skip* the band (pass-through, not re-scale) —
+    the sentinel rows only make masked gathers safe."""
+    k0 = np.ones((2, 64), np.float64)
+    k1 = np.ones((2, 64), np.float64)
+    for iscale in range(2):
+        io = 2.0 ** (-0.25 * (iscale + 1))
+        for p in range(32):
+            if p & 1:
+                k0[iscale, p] = io ** ((p + 1) >> 1)
+            else:
+                k1[iscale, p] = io ** (p >> 1)
+    return k0.astype(np.float32), k1.astype(np.float32)
+
+
+def lsf_frame_size(bitrate_index: int, sfreq: int, family: int,
+                   padding: int) -> int:
+    """LSF Layer III frames carry ONE 576-sample granule: size =
+    72 * bitrate / rate + padding (vs MPEG-1's 144 factor)."""
+    return (72 * int(BITRATES_LSF[bitrate_index])
+            // int(SAMPLE_RATES_FAM[family][sfreq]) + padding)
 
 
 # What the reference reads for is_pos 8..15: Stereo_Process_Intensity_Long

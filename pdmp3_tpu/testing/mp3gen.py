@@ -99,6 +99,12 @@ class GranuleSpec:
     big_values: int = 0
     n_quads: int = 0
     stuffing_bits: int = 0
+    # LSF only (13818-3): flat scalefactors in transmission order, and
+    # the partition widths they were drawn under (scalefac_compress is
+    # 9-bit; preflag is derived, not transmitted)
+    lsf_flat: list | None = None
+    lsf_slen: tuple | None = None
+    lsf_counts: tuple | None = None
 
 
 def _table_max(table_num: int) -> int:
@@ -117,7 +123,8 @@ def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
                  stuffing: int = 0, scalefac_scale: int | None = None,
                  preflag: int | None = None,
                  intensity_pos: int | None = None,
-                 max_lines: int = 576) -> GranuleSpec:
+                 max_lines: int = 576, family: int = 0,
+                 intensity_ch: bool = False) -> GranuleSpec:
     """Build a random-but-valid granule spec.
 
     block: "long" | "start" | "stop" | "short" | "mixed"
@@ -133,7 +140,12 @@ def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
     g.win_switch = 1 if block in ("start", "stop", "short", "mixed") else 0
     g.mixed = 1 if block == "mixed" else 0
     g.global_gain = rng.randrange(120, 200)
-    g.scalefac_compress = rng.randrange(16)
+    if family:
+        # LSF: every 9-bit scalefac_compress value is decodable; preflag
+        # is derived (blocknumber 2 <=> sc >= 500 on a normal channel)
+        g.scalefac_compress = rng.randrange(512)
+    else:
+        g.scalefac_compress = rng.randrange(16)
     g.scalefac_scale = rng.randrange(2) if scalefac_scale is None else scalefac_scale
     g.preflag = (rng.randrange(2) if preflag is None else preflag) \
         if not g.win_switch else rng.randrange(2)
@@ -141,9 +153,9 @@ def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
 
     # stay clear of the reference's OOB scalefac region (see module doc)
     if g.win_switch and g.block_type == 2:
-        limit = 3 * int(T.SFB_SHORT[sfreq][12])
+        limit = 3 * int(T.SFB_SHORT_FAM[family][sfreq][12])
     else:
-        limit = int(T.SFB_LONG[sfreq][21])
+        limit = int(T.SFB_LONG_FAM[family][sfreq][21])
     limit -= 8 + 4 * stuffing  # headroom for stuffing-driven extra quads
 
     if g.win_switch:
@@ -163,18 +175,45 @@ def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
             for _ in range(3))
 
     # scalefactors
-    slen1, slen2 = (int(v) for v in T.SCALEFAC_SIZES[g.scalefac_compress])
-
     def sf(nbits):
         if intensity_pos is not None:
             return min(intensity_pos, (1 << nbits) - 1) if nbits else 0
         return rng.randrange(1 << nbits) if nbits else 0
 
-    g.scalefac_l = np.array(
-        [sf(slen1 if b < 11 else slen2) for b in range(21)], np.int32)
-    g.scalefac_s = np.array(
-        [[sf(slen1 if b < 6 else slen2) for _ in range(3)]
-         for b in range(12)], np.int32)
+    if family:
+        # LSF partitioned scalefactors (13818-3 §2.4.3.4), transmission
+        # order; also distributed into scalefac_l/s in band order so the
+        # decoder-side arrays can be compared directly
+        slen, _bn, g.preflag, _isc = T.lsf_slen(g.scalefac_compress,
+                                                intensity_ch)
+        bclass = (2 if g.mixed else 1) \
+            if (g.win_switch and g.block_type == 2) else 0
+        counts = tuple(int(c) for c in T.NR_OF_SFB[_bn][bclass])
+        flat = []
+        for p in range(4):
+            flat += [sf(int(slen[p])) for _ in range(counts[p])]
+        g.lsf_flat, g.lsf_slen, g.lsf_counts = flat, tuple(slen), counts
+        g.scalefac_l = np.zeros(21, np.int32)
+        g.scalefac_s = np.zeros((12, 3), np.int32)
+        k = 0
+        if bclass == 0:
+            g.scalefac_l[:21] = flat
+        else:
+            if bclass == 2:
+                nl = int(T.SWITCH_SFB_L[family])
+                g.scalefac_l[:nl] = flat[:nl]
+                k = nl
+            for b in range(T.SWITCH_SFB_S if bclass == 2 else 0, 12):
+                for w in range(3):
+                    g.scalefac_s[b][w] = flat[k]
+                    k += 1
+    else:
+        slen1, slen2 = (int(v) for v in T.SCALEFAC_SIZES[g.scalefac_compress])
+        g.scalefac_l = np.array(
+            [sf(slen1 if b < 11 else slen2) for b in range(21)], np.int32)
+        g.scalefac_s = np.array(
+            [[sf(slen1 if b < 6 else slen2) for _ in range(3)]
+             for b in range(12)], np.int32)
 
     # spectrum: big_values pairs then count1 quads then rzero
     extent = max(2, min(int(limit * stereo_extent), max_lines)) & ~1
@@ -190,8 +229,9 @@ def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
         if g.win_switch and g.block_type == 2:
             region = 0 if i < 36 else 1
         else:
-            r1 = int(T.SFB_LONG[sfreq][g.region0_count + 1])
-            r2 = int(T.SFB_LONG[sfreq][g.region0_count + g.region1_count + 2])
+            longs = T.SFB_LONG_FAM[family][sfreq]
+            r1 = int(longs[g.region0_count + 1])
+            r2 = int(longs[g.region0_count + g.region1_count + 2])
             region = 0 if i < r1 else (1 if i < r2 else 2)
         cap = min(_table_max(g.table_select[region]), amp)
         v = rng.randrange(0, cap + 1) if cap else 0
@@ -237,15 +277,17 @@ def _write_scalefacs(bw: BitWriter, g: GranuleSpec, gr: int,
                     bw.put(int(g.scalefac_l[b]), sl)
 
 
-def _write_huffman(bw: BitWriter, g: GranuleSpec, sfreq: int) -> None:
+def _write_huffman(bw: BitWriter, g: GranuleSpec, sfreq: int,
+                   family: int = 0) -> None:
     enc = _enc()
     tabs = T.huffman_tables()
     big2 = g.big_values * 2
     if g.win_switch and g.block_type == 2:
         r1, r2 = 36, 576
     else:
-        r1 = int(T.SFB_LONG[sfreq][g.region0_count + 1])
-        r2 = int(T.SFB_LONG[sfreq][g.region0_count + g.region1_count + 2])
+        longs = T.SFB_LONG_FAM[family][sfreq]
+        r1 = int(longs[g.region0_count + 1])
+        r2 = int(longs[g.region0_count + g.region1_count + 2])
     for i in range(0, big2, 2):
         tnum = g.table_select[0 if i < r1 else (1 if i < r2 else 2)]
         tab, emap = tabs[tnum], enc[tnum]
@@ -314,6 +356,22 @@ class FrameSpec:
     mode_extension: int = 0
     granules: list = None         # [gr][ch] GranuleSpec
     scfsi: np.ndarray = None      # [2][4]
+    family: int = 0               # 0 MPEG-1, 1 MPEG-2, 2 MPEG-2.5
+
+    @property
+    def ngr(self) -> int:
+        return 1 if self.family else 2
+
+
+def _write_scalefacs_lsf(bw: BitWriter, g: GranuleSpec) -> None:
+    """Write the flat LSF scalefactors under their partition widths."""
+    k = 0
+    for p in range(4):
+        w = int(g.lsf_slen[p])
+        for _ in range(int(g.lsf_counts[p])):
+            if w:
+                bw.put(int(g.lsf_flat[k]), w)
+            k += 1
 
 
 def build_frame_main_data(fs: FrameSpec) -> tuple[bytes, list]:
@@ -324,13 +382,16 @@ def build_frame_main_data(fs: FrameSpec) -> tuple[bytes, list]:
     nch = 1 if fs.mode == 3 else 2
     bw = BitWriter()
     p23 = [[0, 0], [0, 0]]
-    for gr in range(2):
+    for gr in range(fs.ngr):
         for ch in range(nch):
             g = fs.granules[gr][ch]
             start = bw.nbits()
-            g0 = fs.granules[0][ch]
-            _write_scalefacs(bw, g, gr, fs.scfsi[ch], g0)
-            _write_huffman(bw, g, fs.sampling_frequency)
+            if fs.family:
+                _write_scalefacs_lsf(bw, g)
+            else:
+                g0 = fs.granules[0][ch]
+                _write_scalefacs(bw, g, gr, fs.scfsi[ch], g0)
+            _write_huffman(bw, g, fs.sampling_frequency, fs.family)
             for _ in range(g.stuffing_bits):
                 bw.put(0, 1)
             p23[gr][ch] = bw.nbits() - start
@@ -340,6 +401,8 @@ def build_frame_main_data(fs: FrameSpec) -> tuple[bytes, list]:
 
 def build_side_info(fs: FrameSpec, main_data_begin: int, p23) -> bytes:
     nch = 1 if fs.mode == 3 else 2
+    if fs.family:
+        return _build_side_info_lsf(fs, main_data_begin, p23, nch)
     bw = BitWriter()
     bw.put(main_data_begin, 9)
     bw.put(0, 5 if nch == 1 else 3)
@@ -375,8 +438,44 @@ def build_side_info(fs: FrameSpec, main_data_begin: int, p23) -> bytes:
     return out
 
 
+def _build_side_info_lsf(fs: FrameSpec, main_data_begin: int, p23,
+                         nch: int) -> bytes:
+    """LSF side info (13818-3 §2.4.1.7): 8-bit main_data_begin, 1/2
+    private bits, no scfsi, ONE granule, 9-bit scalefac_compress, no
+    preflag bit.  9 bytes mono / 17 stereo."""
+    bw = BitWriter()
+    bw.put(main_data_begin, 8)
+    bw.put(0, 1 if nch == 1 else 2)
+    for ch in range(nch):
+        g = fs.granules[0][ch]
+        bw.put(p23[0][ch], 12)
+        bw.put(g.big_values, 9)
+        bw.put(g.global_gain, 8)
+        bw.put(g.scalefac_compress, 9)
+        bw.put(g.win_switch, 1)
+        if g.win_switch:
+            bw.put(g.block_type, 2)
+            bw.put(g.mixed, 1)
+            for r in range(2):
+                bw.put(g.table_select[r], 5)
+            for w in range(3):
+                bw.put(g.subblock_gain[w], 3)
+        else:
+            for r in range(3):
+                bw.put(g.table_select[r], 5)
+            bw.put(g.region0_count, 4)
+            bw.put(g.region1_count, 3)
+        bw.put(g.scalefac_scale, 1)
+        bw.put(g.count1table_select, 1)
+    out = bw.to_bytes()
+    want = 9 if nch == 1 else 17
+    assert len(out) == want, (len(out), want)
+    return out
+
+
 def build_header(fs: FrameSpec) -> bytes:
-    hdr = (0xFFF << 20) | (1 << 19) | (1 << 17) \
+    ver = (3, 2, 0)[fs.family]   # header bits 20:19 (MPEG-2.5 clears 20)
+    hdr = (0x7FF << 21) | (ver << 19) | (1 << 17) \
         | ((0 if fs.protection else 1) << 16) \
         | (fs.bitrate_index << 12) | (fs.sampling_frequency << 10) \
         | (fs.padding << 9) | (fs.mode << 6) | (fs.mode_extension << 4)
@@ -385,9 +484,16 @@ def build_header(fs: FrameSpec) -> bytes:
 
 def frame_capacity(fs: FrameSpec) -> int:
     nch = 1 if fs.mode == 3 else 2
-    framesize = (144 * int(T.BITRATES[2][fs.bitrate_index])
-                 // int(T.SAMPLE_RATES[fs.sampling_frequency]) + fs.padding)
-    cap = framesize - (17 if nch == 1 else 32) - 4
+    if fs.family:
+        framesize = T.lsf_frame_size(fs.bitrate_index,
+                                     fs.sampling_frequency, fs.family,
+                                     fs.padding)
+        cap = framesize - (9 if nch == 1 else 17) - 4
+    else:
+        framesize = (144 * int(T.BITRATES[2][fs.bitrate_index])
+                     // int(T.SAMPLE_RATES[fs.sampling_frequency])
+                     + fs.padding)
+        cap = framesize - (17 if nch == 1 else 32) - 4
     if fs.protection:
         cap -= 2
     return cap
@@ -398,12 +504,13 @@ def assemble_stream(frames: list[FrameSpec], *, rng: random.Random,
                     leading_garbage: int = 0) -> bytes:
     """Pack frames + main-data blobs into a stream with reservoir chaining."""
     blobs, p23s, caps = [], [], []
+    resv = 255 if frames[0].family else 511   # main_data_begin field width
     for fs in frames:
         blob, p23 = build_frame_main_data(fs)
         blobs.append(blob)
         p23s.append(p23)
         caps.append(frame_capacity(fs))
-        assert len(blob) <= caps[-1] + 511, "blob cannot fit even with reservoir"
+        assert len(blob) <= caps[-1] + resv, "blob cannot fit even with reservoir"
 
     # Place blob i at stream offset pos_i within the concatenated main-data
     # space: S_i - 511 <= pos_i <= S_i, pos_i >= pos_{i-1} + len_{i-1},
@@ -412,7 +519,7 @@ def assemble_stream(frames: list[FrameSpec], *, rng: random.Random,
     pos_prev_end = 0
     positions = []
     for i, fs in enumerate(frames):
-        lo = max(pos_prev_end, S - 511, 0)
+        lo = max(pos_prev_end, S - resv, 0)
         hi = min(S, S + caps[i] - len(blobs[i]))
         assert lo <= hi, f"frame {i}: reservoir infeasible (lo={lo},hi={hi})"
         if use_reservoir and i > 0:
@@ -459,8 +566,15 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
                 stereo_extent_ch1: float = 1.0,
                 intensity_pos: bool | int = False,
                 scfsi: bool = False, leading_garbage: int = 0,
-                amp: int = 6, vbr: bool = False) -> bytes:
-    """Convenience builder for one homogeneous test stream."""
+                amp: int = 6, vbr: bool = False,
+                family: int = 0,
+                specs_out: list | None = None) -> bytes:
+    """Convenience builder for one homogeneous test stream.
+
+    family 1/2 emits MPEG-2 / MPEG-2.5 LSF frames (one granule each;
+    intensity positions ride ch1's scalefactors — intensity_pos is
+    ignored there, ch1 values are already drawn over the full field
+    width so legal and "illegal" positions both occur)."""
     rng = random.Random(seed)
     # intensity_pos True draws is_pos < 8 (the defined range); an int N
     # draws is_pos < N (N=16 reaches the reference's OOB is_ratios
@@ -479,27 +593,32 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
         # reservoir space that previous frames actually left behind, so we
         # regenerate with a shrinking spectrum until it fits conservatively.
         budget = None
+        ngr = 1 if family else 2
         for attempt in range(12):
             max_lines = max(8, 200 >> attempt)
             grans = []
             scf = np.zeros((2, 4), np.int32)
-            if scfsi and blk == "long":
+            if scfsi and blk == "long" and not family:
                 scf[:, :] = [[rng.randrange(2) for _ in range(4)]
                              for _ in range(2)]
-            for gr in range(2):
+            for gr in range(ngr):
                 row = []
                 for ch in range(nch):
                     row.append(make_granule(
                         rng, sfreq=sfreq, block=blk,
                         stereo_extent=stereo_extent_ch1 if ch == 1 else 1.0,
                         amp=amp, stuffing=stuffing, max_lines=max_lines,
+                        family=family,
+                        intensity_ch=bool(family and ch == 1 and mode == 1
+                                          and (mode_extension & 1)),
                         intensity_pos=(rng.randrange(ipos_max)
-                                       if (intensity_pos and ch == 0)
+                                       if (intensity_pos and ch == 0
+                                           and not family)
                                        else None)))
                 row += [row[0]] * (2 - len(row))
                 grans.append(row)
             if any(grans[g][c].win_switch and grans[g][c].block_type == 2
-                   for g in range(2) for c in range(nch)):
+                   for g in range(ngr) for c in range(nch)):
                 scf[:] = 0
             fs = FrameSpec(
                 bitrate_index=(rng.choice([5, 7, 9, 11, 12, 14]) if vbr
@@ -507,7 +626,7 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
                 sampling_frequency=sfreq,
                 padding=(f % 2 if vary_padding else 0), protection=protection,
                 mode=mode, mode_extension=mode_extension,
-                granules=grans, scfsi=scf)
+                granules=grans, scfsi=scf, family=family)
             blob, _ = build_frame_main_data(fs)
             slack = 200 if (use_reservoir and f > 0) else 0
             budget = frame_capacity(fs) + slack
@@ -516,5 +635,7 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
         else:
             raise RuntimeError("could not fit frame into bit budget")
         frames.append(fs)
+    if specs_out is not None:
+        specs_out.extend(frames)   # ground truth for round-trip tests
     return assemble_stream(frames, rng=rng, use_reservoir=use_reservoir,
                            leading_garbage=leading_garbage)
