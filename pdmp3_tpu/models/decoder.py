@@ -53,6 +53,12 @@ class GranuleBatch(NamedTuple):
     nch: jax.Array            # i32 [B]
     active: jax.Array         # i32 [B]: 0 = idle slot (state frozen)
     gr1: jax.Array            # i32 [B]: 1 = this slot decodes granule 1
+    # LSF only (family != 0): ch1's transmitted intensity positions with
+    # the illegal value pre-mapped to tables.LSF_IS_ILLEGAL, and the
+    # per-slot intensity_scale bit (13818-3 §2.4.3).  None for MPEG-1.
+    is_pos_l: jax.Array | None = None   # i32 [B,22]
+    is_pos_s: jax.Array | None = None   # i32 [B,13,3]
+    iscale: jax.Array | None = None     # i32 [B]
 
 
 class DecoderState(NamedTuple):
@@ -77,10 +83,10 @@ def init_state(batch_size: int) -> DecoderState:
 
 
 @functools.partial(jax.jit, static_argnames=("exact", "bug_compat",
-                                             "float_pcm"))
+                                             "float_pcm", "family"))
 def decode_granules(batch: GranuleBatch, state: DecoderState,
                     exact: bool = True, bug_compat: bool = True,
-                    float_pcm: bool = False
+                    float_pcm: bool = False, family: int = 0
                     ) -> tuple[jax.Array, DecoderState]:
     """One batched decode step: GranuleBatch + state -> (pcm, state').
 
@@ -88,15 +94,22 @@ def decode_granules(batch: GranuleBatch, state: DecoderState,
     reference packs it, pdmp3.c:2032-2041); float_pcm=True emits f32 in
     [-1, 1] instead (ops/dsp.float_pack — a serving option the
     reference's S16-only sink lacks).
+
+    family selects the sample-rate generation (0 MPEG-1, 1 MPEG-2,
+    2 MPEG-2.5 — tables.py LSF section): each family compiles its own
+    program with its own [9,576] layout constants, so the MPEG-1 hot
+    path is untaxed; streams route to per-family batch pools.
     """
     x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s, batch.layout,
                        batch.global_gain, batch.scalefac_scale,
                        batch.preflag, batch.subblock_gain, exact=exact,
                        gr1=batch.gr1, prev_lines=state.prev_lines,
-                       pre_reordered=True)
+                       pre_reordered=True, family=family)
     x = dsp.stereo(x, batch.layout, batch.scf_l, batch.scf_s, batch.count1,
                    batch.ms_flag, batch.is_flag, exact=exact,
-                   bug_compat_short_intensity=bug_compat)
+                   bug_compat_short_intensity=bug_compat, family=family,
+                   is_pos_l=batch.is_pos_l, is_pos_s=batch.is_pos_s,
+                   iscale=batch.iscale)
     x = dsp.antialias(x, batch.layout, batch.win_switch, batch.block_type,
                       batch.mixed)
     x_time, store = dsp.hybrid_synthesis(
@@ -137,17 +150,24 @@ def decode_granules(batch: GranuleBatch, state: DecoderState,
 
 def frame_to_batches(fds: list[FrameData],
                      pre_reorder: bool = True) -> list[GranuleBatch]:
-    """Convert one parsed frame per slot into the two granule batches
-    (granule 0 step, granule 1 step).
+    """Convert one parsed frame per slot into the per-granule batches
+    (two for MPEG-1, one for LSF — Header.ngr).
+
+    All slots must share one family: each family is its own compiled
+    program with its own layout constants (decode_granules' family
+    static), so the serving layer routes streams to per-family pools.
 
     pre_reorder applies the short-block permutation to ix (the
     GranuleBatch wire convention); False keeps bitstream order for
     stage-level unit tests that compare against the oracle's pre-reorder
     intermediates."""
-    perm = T.layout_maps()["reorder"]
+    family = fds[0].header.family
+    assert all(fd.header.family == family for fd in fds), \
+        "mixed-family batch: route streams to per-family pools"
+    perm = T.layout_maps(family)["reorder"]
     out = []
     B = len(fds)
-    for gr in range(2):
+    for gr in range(fds[0].header.ngr):
         ix = np.zeros((B, 2, 576), np.int32)
         scf_l = np.zeros((B, 2, 22), np.int32)
         scf_s = np.zeros((B, 2, 13, 3), np.int32)
@@ -158,11 +178,19 @@ def frame_to_batches(fds: list[FrameData],
         ms = np.zeros(B, np.int32)
         isf = np.zeros(B, np.int32)
         nch = np.zeros(B, np.int32)
+        if family:
+            ipl = np.full((B, 22), T.LSF_IS_ILLEGAL, np.int32)
+            ips = np.full((B, 13, 3), T.LSF_IS_ILLEGAL, np.int32)
+            isc = np.zeros(B, np.int32)
         for b, fd in enumerate(fds):
             h, s = fd.header, fd.side
             nch[b] = h.nch
             ms[b] = 1 if (h.mode == 1 and (h.mode_extension & 2)) else 0
             isf[b] = 1 if (h.mode == 1 and (h.mode_extension & 1)) else 0
+            if family and fd.is_eff_l is not None:
+                ipl[b] = fd.is_eff_l
+                ips[b] = fd.is_eff_s
+                isc[b] = fd.intensity_scale
             for ch in range(h.nch):
                 lay = T.layout_id(
                     h.sampling_frequency, int(s.win_switch_flag[gr][ch]),
@@ -196,7 +224,10 @@ def frame_to_batches(fds: list[FrameData],
             ms_flag=jnp.asarray(ms), is_flag=jnp.asarray(isf),
             nch=jnp.asarray(nch),
             active=jnp.ones(B, jnp.int32),
-            gr1=jnp.full(B, gr, jnp.int32)))
+            gr1=jnp.full(B, gr, jnp.int32),
+            is_pos_l=jnp.asarray(ipl) if family else None,
+            is_pos_s=jnp.asarray(ips) if family else None,
+            iscale=jnp.asarray(isc) if family else None))
     return out
 
 
@@ -431,12 +462,14 @@ class JaxDSP:
 
     def decode_frame(self, fd: FrameData) -> np.ndarray:
         """Returns packed PCM words uint32 [2,576] like the reference's
-        ``id->out`` (pdmp3.c:129)."""
+        ``id->out`` (pdmp3.c:129).  LSF frames fill row 0 only (one
+        granule per frame), matching OracleDSP."""
         out = np.zeros((2, 576), np.uint32)
         for gr, batch in enumerate(frame_to_batches([fd])):
             pcm, self.state = decode_granules(batch, self.state,
                                               exact=self.exact,
-                                              bug_compat=self.bug_compat)
+                                              bug_compat=self.bug_compat,
+                                              family=fd.header.family)
             pcm = np.asarray(pcm[0]).astype(np.uint16)  # [576,2]
             out[gr] = (pcm[:, 0].astype(np.uint32) << 16) | pcm[:, 1]
         return out

@@ -82,7 +82,7 @@ def _map_select(table: np.ndarray, layout: jnp.ndarray,
     return out.astype(jnp.int32) if out_int else out
 
 
-def _compose_reorder(src: np.ndarray) -> np.ndarray:
+def _compose_reorder(src: np.ndarray, family: int = 0) -> np.ndarray:
     """Precompose a per-(layout, line) map with the short-block reorder
     permutation: out[l, i] = src[l, perm_l[i]].  Wire-reordered spectra
     (line i holds bitstream line perm_l[i]) then read the right per-line
@@ -90,18 +90,23 @@ def _compose_reorder(src: np.ndarray) -> np.ndarray:
     is_short, pretab, band_start) are invariant under this — the reorder
     permutes strictly within each scalefactor band (pdmp3.c:1786-1823) —
     so only window-keyed maps actually change."""
-    return np.take_along_axis(np.asarray(src), _MAPS["reorder"], axis=1)
+    return np.take_along_axis(np.asarray(src),
+                              T.layout_maps(family)["reorder"], axis=1)
 
 
 @functools.lru_cache(maxsize=None)
 def _expansion_const(map_name: str, width: int,
-                     pre_reordered: bool = False) -> np.ndarray:
+                     pre_reordered: bool = False,
+                     family: int = 0) -> np.ndarray:
     """E[l, i, k] = 1 where layout l's line i reads slot k of a per-
-    granule-channel parameter vector (k = sfb / win / flat short index)."""
-    m = _MAPS if map_name in _MAPS else _SMAPS
+    granule-channel parameter vector (k = sfb / win / flat short index).
+    family selects the sample-rate generation's band-edge maps (LSF,
+    tables.py) — each family compiles its own [9,576,k] constants."""
+    lm = T.layout_maps(family)
+    m = lm if map_name in lm else T.stereo_maps(family)
     src = m[map_name]
     if pre_reordered:
-        src = _compose_reorder(src)
+        src = _compose_reorder(src, family)
     E = np.zeros((T.N_LAYOUTS, 576, width), np.float32)
     rows = np.arange(576)
     for lay in range(T.N_LAYOUTS):
@@ -110,12 +115,14 @@ def _expansion_const(map_name: str, width: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _expansion_sfb_s(pre_reordered: bool = False) -> np.ndarray:
+def _expansion_sfb_s(pre_reordered: bool = False,
+                     family: int = 0) -> np.ndarray:
     """E[l, i, k] for the flattened short scalefac slot k = min(sfb,12)*3
     + win, 39 wide."""
-    k_map = np.minimum(_MAPS["sfb"], 12) * 3 + _MAPS["win"]
+    m = T.layout_maps(family)
+    k_map = np.minimum(m["sfb"], 12) * 3 + m["win"]
     if pre_reordered:
-        k_map = _compose_reorder(k_map)
+        k_map = _compose_reorder(k_map, family)
     E = np.zeros((T.N_LAYOUTS, 576, 39), np.float32)
     rows = np.arange(576)
     for lay in range(T.N_LAYOUTS):
@@ -301,7 +308,7 @@ def _gather_map(table: np.ndarray, layout: jnp.ndarray) -> jnp.ndarray:
 @functools.lru_cache(maxsize=None)
 def _win_line_map(pre_reordered: bool = False) -> np.ndarray:
     """Short-window index per (layout, line), optionally composed with the
-    wire reorder (for the band-12 gain override)."""
+    wire reorder (for the band-12 gain override; MPEG-1 only)."""
     src = _MAPS["win"]
     return _compose_reorder(src) if pre_reordered else np.asarray(src)
 
@@ -314,20 +321,24 @@ def _sfb12_short_map() -> np.ndarray:
             & (_MAPS["sfb"] == 12)).astype(np.int32)
 
 
-@functools.lru_cache(maxsize=1)
-def _pretab_line_map() -> np.ndarray:
-    """pretab value per (layout, line) for long regions (pdmp3.c:2123)."""
+@functools.lru_cache(maxsize=None)
+def _pretab_line_map(family: int = 0) -> np.ndarray:
+    """pretab value per (layout, line) for long regions (pdmp3.c:2123;
+    13818-3 keeps the same pretab for LSF, preflag derived from
+    scalefac_compress >= 500)."""
+    m = T.layout_maps(family)
     out = np.zeros((T.N_LAYOUTS, 576), np.float32)
     for lay in range(T.N_LAYOUTS):
-        sfb = _MAPS["sfb"][lay]
-        long_mask = _MAPS["is_short"][lay] == 0
+        sfb = m["sfb"][lay]
+        long_mask = m["is_short"][lay] == 0
         out[lay][long_mask] = _PRETAB22[np.minimum(sfb[long_mask], 21)]
     return out
 
 
 def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
                preflag, subblock_gain, exact: bool = True,
-               gr1=None, prev_lines=None, pre_reordered: bool = False):
+               gr1=None, prev_lines=None, pre_reordered: bool = False,
+               family: int = 0):
     """Dequantize Huffman integers to spectral floats.
 
     Reference: pdmp3.c:1829-1905 (drivers), 2117-2152 (per-sample):
@@ -353,14 +364,21 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     the permutation.  Bitwise identical to requantize-then-reorder, since
     reorder only moves values (each output = 1.0 * input).
 
+    family selects the sample-rate generation's layout tables (LSF); the
+    LSF profile keeps true 2^(-q/4) gains through q >= 100 (5-bit
+    intensity-channel scalefactors reach q = 124; there is no sentinel-63
+    host scalefactor and no band-12 quirk to emulate — the reference
+    rejects id==0).
+
     Args: ix [B,2,576] i32; scf_l [B,2,22]; scf_s [B,2,13,3];
       layout/global_gain/scalefac_scale/preflag [B,2]; subblock_gain [B,2,3].
     Returns xr f32 [B,2,576].
     """
-    band12_bits = gr1 is not None and prev_lines is not None
+    band12_bits = gr1 is not None and prev_lines is not None and family == 0
+    sentinel = exact and family == 0
 
     lay_oh = _onehot(layout, T.N_LAYOUTS)            # [B,2,9]
-    short = _map_select(_MAPS["is_short"], layout)   # [B,2,576]
+    short = _map_select(T.layout_maps(family)["is_short"], layout)
 
     sign = jnp.where(ix < 0, F32(-1.0), F32(1.0))
     mag = jnp.clip(jnp.abs(ix), 0, 8206)
@@ -368,20 +386,20 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
 
     prec = _HIGH if exact else _FAST
     qpu = (2 << scalefac_scale)[..., None]           # quarters per sf unit
-    scf_l_line = _expand(scf_l, _expansion_const("sfb", 22, pre_reordered),
-                         lay_oh, prec)
-    pre_line = (_map_select(_pretab_line_map(), layout, out_int=False)
+    scf_l_line = _expand(scf_l, _expansion_const("sfb", 22, pre_reordered,
+                                                 family), lay_oh, prec)
+    pre_line = (_map_select(_pretab_line_map(family), layout, out_int=False)
                 * preflag[..., None])
     q_long = qpu * (scf_l_line + pre_line).astype(jnp.int32)
-    tmp1_long = _gain_quarter(q_long, exact)
+    tmp1_long = _gain_quarter(q_long, sentinel)
     e_long = global_gain - 210 + T.GAIN_GLOBAL_OFF   # [B,2]
     tmp2_long = _gain_global(e_long, exact)[..., None]
 
     scf_s_flat = scf_s.reshape(*scf_s.shape[:-2], 39)
-    scf_s_line = _expand(scf_s_flat, _expansion_sfb_s(pre_reordered),
+    scf_s_line = _expand(scf_s_flat, _expansion_sfb_s(pre_reordered, family),
                          lay_oh, prec)
     q_short = qpu * scf_s_line.astype(jnp.int32)
-    tmp1_short = _gain_quarter(q_short, exact)
+    tmp1_short = _gain_quarter(q_short, sentinel)
     if band12_bits:
         # The reference's scalefac_s[1][1][12][w] OOB read aliases the
         # float BITS of is[0][0][w]: gather the denormal-capable true
@@ -405,8 +423,8 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
         tmp1_short = tmp1_short.at[:, 1, :].set(
             jnp.where(mask12, g12_line, tmp1_short[:, 1, :]))
     sbg_line = _expand(subblock_gain,
-                       _expansion_const("win", 3, pre_reordered), lay_oh,
-                       prec)
+                       _expansion_const("win", 3, pre_reordered, family),
+                       lay_oh, prec)
     e_short = (global_gain[..., None] - 210 - 8 * sbg_line.astype(jnp.int32)
                + T.GAIN_GLOBAL_OFF)
     tmp2_short = _gain_global(e_short, exact)
@@ -417,7 +435,7 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     return (tmp1 * tmp2) * tmp3
 
 
-def reorder(xr, layout):
+def reorder(xr, layout, family: int = 0):
     """Short-block reorder (pdmp3.c:1786-1823) as constant-index
     permutations + one-hot select: long layouts (0,3,6) are identity; the
     six short/mixed layouts each apply a static permutation (XLA lowers
@@ -426,14 +444,15 @@ def reorder(xr, layout):
     oh = _onehot(layout, T.N_LAYOUTS)
     ident_w = oh[..., 0:1] + oh[..., 3:4] + oh[..., 6:7]
     out = ident_w * xr
-    perms = _MAPS["reorder"]
+    perms = T.layout_maps(family)["reorder"]
     for lay in (1, 2, 4, 5, 7, 8):
         out = out + oh[..., lay:lay + 1] * xr[:, :, perms[lay]]
     return out
 
 
 def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
-           exact: bool = True, bug_compat_short_intensity: bool = True):
+           exact: bool = True, bug_compat_short_intensity: bool = True,
+           family: int = 0, is_pos_l=None, is_pos_s=None, iscale=None):
     """Mid/side + intensity stereo (pdmp3.c:1911-1972, 2154-2220).
 
     MS butterflies lines < min(count1[0], count1[1]) (the reference's
@@ -441,6 +460,14 @@ def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
     both channels for eligible bands starting at/above ch1's count1 with
     is_pos = ch0's scalefactor (a reference quirk: the spec transmits
     intensity positions in the right channel's scalefacs).
+
+    family 1/2 (LSF) replaces the intensity gains with the 13818-3
+    §2.4.3.2 pairs: positions come from ch1's transmitted scalefactors
+    (is_pos_l [B,22] / is_pos_s [B,13,3] i32, illegal values pre-mapped
+    to tables.LSF_IS_ILLEGAL by the frontend), gains
+    io = 2^(-(iscale+1)/4), odd p -> (io^((p+1)/2), 1), even p ->
+    (1, io^(p/2)); illegal-position bands pass through untouched.  The
+    MS path is unchanged.  Spec-derived — the reference rejects LSF.
 
     x [B,2,576] f32; layout [B,2]; scf_* ch0-indexed; count1 [B,2];
     ms_flag/is_flag [B].
@@ -466,11 +493,44 @@ def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
     r = jnp.where(ms_mask, ms_r, r)
 
     # --- intensity ---
+    # Band iteration follows ch0's block layout; the window-keyed maps
+    # are deliberately NOT reorder-composed: the reference's post-reorder
+    # intensity pass addresses window w of band sfb as the contiguous
+    # lines [3*s[sfb] + w*wl, ...) (pdmp3.c:2186-2207), which is exactly
+    # the raw-domain window map — the LSF path keeps the same convention.
+    smaps = T.stereo_maps(family)
     lay0 = layout[:, 0]
     lay0_oh = _onehot(lay0, T.N_LAYOUTS)
-    band_start = _map_select(_SMAPS["band_start"], lay0)   # [B,576]
-    iok = _map_select(_SMAPS["intensity_ok"], lay0)
-    short = _map_select(_MAPS["is_short"], lay0)
+    band_start = _map_select(smaps["band_start"], lay0)   # [B,576]
+    iok = _map_select(smaps["intensity_ok"], lay0)
+    short = _map_select(T.layout_maps(family)["is_short"], lay0)
+
+    if family:
+        # LSF (13818-3 §2.4.3.2): positions from ch1's sidecar, per-slot
+        # intensity_scale selects the io = 2^(-(iscale+1)/4) gain row;
+        # illegal-position bands (sentinel 63) pass through untouched
+        pos_l = _expand(is_pos_l, _expansion_const("sfb", 22, False,
+                                                   family), lay0_oh, _FAST)
+        pos_s = _expand(is_pos_s.reshape(is_pos_s.shape[0], 39),
+                        _expansion_sfb_s(False, family), lay0_oh, _FAST)
+        pos = jnp.where(short == 1, pos_s, pos_l).astype(jnp.int32)
+        imask = ((is_flag[:, None] != 0) & (iok == 1)
+                 & (band_start >= c1r[:, None])
+                 & (pos != T.LSF_IS_ILLEGAL))
+        k0t, k1t = T.lsf_intensity_tables()                # [2,64] f32
+        krow = (iscale != 0)[:, None]                      # [B,1]
+        k0_tab = jnp.where(krow, jnp.asarray(k0t[1]), jnp.asarray(k0t[0]))
+        k1_tab = jnp.where(krow, jnp.asarray(k1t[1]), jnp.asarray(k1t[0]))
+        poh = _onehot(jnp.clip(pos, 0, 63), 64)            # [B,576,64]
+        # one-hot row gathers must stay HIGHEST: the k tables are real-
+        # valued f32 (io powers), not bf16-representable integers
+        k0 = jnp.einsum("bik,bk->bi", poh, k0_tab, precision=_HIGH,
+                        preferred_element_type=F32)
+        k1 = jnp.einsum("bik,bk->bi", poh, k1_tab, precision=_HIGH,
+                        preferred_element_type=F32)
+        l_out = jnp.where(imask, k0 * l, l)
+        r_out = jnp.where(imask, k1 * l, r)
+        return jnp.stack([l_out, r_out], axis=1)
 
     # scalefactor values are <= 15 here (intensity positions), so the
     # single-pass bf16 expansion is exact in both precision modes

@@ -119,13 +119,16 @@ def _sharded_pallas_step(mesh: Mesh, axis: str, exact: bool,
     return jax.jit(fn)
 
 
-# per-field ndims of GranuleBatch (leading axis = slots, see the class
-# docstring) — used to build PartitionSpec pytrees without materializing
-# a batch: ix, scf_l, scf_s, layout, block_type, win_switch, mixed,
-# global_gain, scalefac_scale, preflag, subblock_gain, count1, ms_flag,
-# is_flag, nch, active, gr1
+# per-field ndims of GranuleBatch's REQUIRED fields (leading axis =
+# slots, see the class docstring) — used to build PartitionSpec pytrees
+# without materializing a batch: ix, scf_l, scf_s, layout, block_type,
+# win_switch, mixed, global_gain, scalefac_scale, preflag, subblock_gain,
+# count1, ms_flag, is_flag, nch, active, gr1.  The defaulted LSF sidecar
+# fields stay None here: the SoA serving wire is MPEG-1 (None spec leaves
+# match the batch's None leaves as empty pytrees).
 _BATCH_NDIMS = [3, 3, 4, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1]
-assert len(_BATCH_NDIMS) == len(GranuleBatch._fields)
+assert len(_BATCH_NDIMS) == len(GranuleBatch._fields) - len(
+    GranuleBatch._field_defaults)
 
 
 def decoder_state_specs(axis: str = STREAM_AXIS):

@@ -278,6 +278,101 @@ def test_lsf_getformat_rates():
 
 
 # ---------------------------------------------------------------------------
+# batched JAX path: cross-implementation agreement with the oracle (no
+# reference binary exists for LSF — the oracle is the semantic contract)
+# ---------------------------------------------------------------------------
+
+JAX_MATRIX = [
+    dict(family=1, blocks="varied"),
+    dict(family=1, blocks="varied", mode=1, mode_extension=3,
+         stereo_extent_ch1=0.4, use_reservoir=True),
+    dict(family=1, blocks="mixed", sfreq=1),
+    dict(family=2, blocks="varied", sfreq=2, mode=1, mode_extension=1,
+         stereo_extent_ch1=0.3),
+    dict(family=2, blocks="short"),
+    dict(family=1, blocks="long", mode=3),
+]
+_JAX_IDS = ["m2-varied", "m2-js-resv", "m2-mixed-24k", "m25-8k-is",
+            "m25-short", "m2-mono"]
+
+
+def _decode_frames(stream: bytes, dsp) -> list[np.ndarray]:
+    fe = Frontend(lsf=True)
+    fe.feed(stream)
+    outs = []
+    while True:
+        res, fd = fe.read_frame()
+        if res != T.OK:
+            break
+        outs.append(dsp.decode_frame(fd).copy())
+    return outs
+
+
+@pytest.mark.parametrize("kw", JAX_MATRIX, ids=_JAX_IDS)
+def test_lsf_jax_exact_matches_oracle(kw):
+    from pdmp3_tpu.models import decoder as M
+    stream = mp3gen.make_stream(n_frames=8, seed=31, bitrate_index=11, **kw)
+    ref = _decode_frames(stream, OracleDSP())
+    got = _decode_frames(stream, M.JaxDSP(exact=True))
+    assert len(ref) == len(got) == 8
+    for fno, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {fno}")
+
+
+@pytest.mark.parametrize("kw", JAX_MATRIX, ids=_JAX_IDS)
+def test_lsf_jax_fast_within_1lsb(kw):
+    from pdmp3_tpu.models import decoder as M
+    stream = mp3gen.make_stream(n_frames=8, seed=31, bitrate_index=11, **kw)
+    ref = _decode_frames(stream, OracleDSP())
+    got = _decode_frames(stream, M.JaxDSP(exact=False))
+    for fno, (a, b) in enumerate(zip(ref, got)):
+        for half, shift in (("L", 16), ("R", 0)):
+            ra = ((a[0] >> shift) & 0xFFFF).astype(np.uint16) \
+                .astype(np.int16).astype(np.int32)
+            rb = ((b[0] >> shift) & 0xFFFF).astype(np.uint16) \
+                .astype(np.int16).astype(np.int32)
+            d = np.abs(ra - rb)
+            assert d.max() <= 1, f"frame {fno} {half}: {d.max()}"
+
+
+def test_lsf_batched_equals_per_stream():
+    """B=3 LSF slots (different rates/modes, same family) through ONE
+    batched program must equal three per-stream decodes — no cross-slot
+    leaks through the family-keyed constant maps."""
+    from pdmp3_tpu.models import decoder as M
+    kws = [dict(family=1, blocks="varied"),
+           dict(family=1, blocks="short", sfreq=2, mode=1, mode_extension=3,
+                stereo_extent_ch1=0.3),
+           dict(family=1, blocks="long", mode=3, sfreq=1)]
+    streams = [mp3gen.make_stream(n_frames=6, seed=41 + i, bitrate_index=11,
+                                  **kw) for i, kw in enumerate(kws)]
+    fes = []
+    for s in streams:
+        fe = Frontend(lsf=True)
+        fe.feed(s)
+        fes.append(fe)
+    # per-stream
+    solo = [_decode_frames(s, M.JaxDSP(exact=True)) for s in streams]
+    # batched
+    state = M.init_state(3)
+    for fno in range(6):
+        fds = []
+        for fe in fes:
+            res, fd = fe.read_frame()
+            assert res == T.OK
+            fds.append(fd)
+        (batch,) = M.frame_to_batches(fds)
+        pcm, state = M.decode_granules(batch, state, exact=True,
+                                       family=1)
+        pcm = np.asarray(pcm).astype(np.uint16)        # [3,576,2]
+        for b in range(3):
+            words = ((pcm[b, :, 0].astype(np.uint32) << 16)
+                     | pcm[b, :, 1])
+            np.testing.assert_array_equal(
+                words, solo[b][fno][0], err_msg=f"frame {fno} slot {b}")
+
+
+# ---------------------------------------------------------------------------
 # MPEG-1 must be unaffected by lsf=True (only sync acceptance differs)
 # ---------------------------------------------------------------------------
 
