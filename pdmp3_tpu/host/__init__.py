@@ -33,6 +33,12 @@ class _Granules(C.Structure):
         ("is_flag", C.c_int32),
         ("nch", C.c_int32),
         ("sample_rate", C.c_int32),
+        # MPEG-2/2.5 LSF extension (PDMP3_PROFILE_LSF handles)
+        ("family", C.c_int32),
+        ("iscale", C.c_int32),
+        ("is_pos_l", C.c_int16 * 22),
+        ("is_pos_s", C.c_int16 * (13 * 3)),
+        ("is_pos_pad", C.c_int16),
     ]
 
 
@@ -74,6 +80,7 @@ def lib() -> C.CDLL:
 # emulation; see PDMP3_PROFILE_* docs
 PROFILE_COUNT1B_SPEC = 1
 PROFILE_SPEC_INTENSITY = 2
+PROFILE_LSF = 4  # accept MPEG-2 / MPEG-2.5 (13818-3 LSF) streams
 
 
 class NativePDMP3:
@@ -159,6 +166,11 @@ class NativePDMP3:
             .astype(np.int32),
             "ms_flag": int(g.ms_flag), "is_flag": int(g.is_flag),
             "nch": int(g.nch), "sample_rate": int(g.sample_rate),
+            "family": int(g.family), "iscale": int(g.iscale),
+            "is_pos_l": np.ctypeslib.as_array(g.is_pos_l)
+            .astype(np.int32),
+            "is_pos_s": np.ctypeslib.as_array(g.is_pos_s)
+            .reshape(13, 3).astype(np.int32),
         }
         for name in ("layout", "block_type", "win_switch", "mixed",
                      "global_gain", "scalefac_scale", "preflag", "count1"):

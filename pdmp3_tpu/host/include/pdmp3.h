@@ -73,6 +73,17 @@ typedef struct pdmp3_granules {
   int32_t is_flag;            /* joint stereo + mode_ext bit 0 */
   int32_t nch;
   int32_t sample_rate;
+  /* MPEG-2/2.5 LSF extension (PDMP3_PROFILE_LSF; 13818-3).  family 0 =
+   * MPEG-1 (fields below unused); 1 = MPEG-2; 2 = MPEG-2.5.  LSF frames
+   * carry ONE granule: granule-1 rows of the arrays above stay zeroed.
+   * is_pos_*: ch1's transmitted intensity positions with the
+   * per-partition all-ones illegal value mapped to 63 (the "skip band"
+   * sentinel); iscale = intensity_scale bit of ch1's scalefac_compress. */
+  int32_t family;
+  int32_t iscale;
+  int16_t is_pos_l[22];
+  int16_t is_pos_s[13][3];
+  int16_t is_pos_pad;         /* keep the struct 4-byte aligned */
 } pdmp3_granules;
 
 int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *out);
@@ -104,6 +115,8 @@ int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *out);
 #define PDMP3_META_IS 23
 #define PDMP3_META_NCH 24
 #define PDMP3_META_SAMPLE_RATE 25
+#define PDMP3_META_FAMILY 26 /* LSF pools only (wire16_lsf) */
+#define PDMP3_META_ISCALE 27
 #define PDMP3_META_WORDS 32
 int pdmp3_parse_frame_soa(pdmp3_handle *id, size_t slot, size_t n_slots,
                           int16_t *ix, uint8_t *scf_l, uint8_t *scf_s,
@@ -142,6 +155,24 @@ int pdmp3_parse_step_wire16(pdmp3_handle *const *ids, size_t n_slots,
                             int n_threads, size_t frames_per_step,
                             int16_t *ix, int16_t *scf_l, int16_t *scf_s,
                             int16_t *meta, int16_t *active);
+
+/* LSF pool variant of pdmp3_parse_step_wire16 (PDMP3_PROFILE_LSF
+ * handles; all slots of a pool share one family — the serving layer
+ * routes streams to per-family pools).  LSF frames carry ONE granule, so
+ * sections drop the granule axis:
+ *   ix     [F][n_slots][2][576] int16 (line-ordered, family band edges)
+ *   scf_l  [F][n_slots][2][22]  int16
+ *   scf_s  [F][n_slots][2][39]  int16
+ *   meta   [F][n_slots][32]     int16 (incl. META_FAMILY / META_ISCALE)
+ *   is_pos [F][n_slots][64]     int16 (intensity sidecar: [0..21] long,
+ *                               [22..60] short flat, illegal = 63)
+ *   active [F][n_slots]         int16
+ * Returns the number of active slot-frames. */
+int pdmp3_parse_step_wire16_lsf(pdmp3_handle *const *ids, size_t n_slots,
+                                int n_threads, size_t frames_per_step,
+                                int16_t *ix, int16_t *scf_l,
+                                int16_t *scf_s, int16_t *meta,
+                                int16_t *is_pos, int16_t *active);
 
 /* Sparse count1-bounded wire: every granule's frequency lines are zero
  * from count1 up (rzero, pdmp3.c:2108-2111), so the spectra ship as
@@ -211,9 +242,17 @@ void pdmp3_dsp_frame(pdmp3_handle *id, const pdmp3_granules *g,
  *     panning (ratio tables, mirroring the long-block form) instead of
  *     the reference's unsigned-assignment transcription bug
  *     (pdmp3.c:2212-2213).
+ *   PDMP3_PROFILE_LSF            also accept MPEG-2 / MPEG-2.5
+ *     (13818-3 low-sampling-frequency) streams: 11-bit sync scan,
+ *     9/17-byte one-granule side info, the 9-bit scalefac_compress
+ *     partition derivation, LSF intensity stereo.  A capability the
+ *     reference lacks (it rejects id==0, pdmp3.c:1295).  Default OFF:
+ *     accepting the shorter sync word changes resync behavior on
+ *     hostile MPEG-1 streams, breaking bit-parity differentials.
  * The profile is part of the checkpoint blob. */
 #define PDMP3_PROFILE_COUNT1B_SPEC 1u
 #define PDMP3_PROFILE_SPEC_INTENSITY 2u
+#define PDMP3_PROFILE_LSF 4u
 void pdmp3_set_profile(pdmp3_handle *id, unsigned flags);
 unsigned pdmp3_get_profile(const pdmp3_handle *id);
 

@@ -42,15 +42,16 @@ extern unsigned long long pdmp3_cyc_pack, pdmp3_cyc_frame;
 // destinations — a vectorizable pattern, vs. the 576 dependent loads of
 // a table-driven gather.  Verified against kReorderSrc by the frontend
 // parity tests (the Python packer still uses the table).
-static inline void copy_ix_short(int16_t *dst, const int16_t *src, int sf,
-                                 bool mixed) {
+static inline void copy_ix_short_tab(int16_t *dst, const int16_t *src,
+                                     const int *S, bool mixed) {
   int b0 = 0;
-  if (mixed) {  // two long subbands stay in place (pdmp3.c:1791-1798)
-    std::memcpy(dst, src, 36 * sizeof(int16_t));
+  if (mixed) {  // long region stays in place (pdmp3.c:1791-1798); its
+    // extent is 3*S[3] lines: 36 except 8 kHz LSF, where it is 72
+    std::memcpy(dst, src, (size_t)(3 * S[3]) * sizeof(int16_t));
     b0 = 3;
   }
   for (int b = b0; b < 13; b++) {
-    int lo = kSfbShort[sf][b], w = kSfbShort[sf][b + 1] - lo;
+    int lo = S[b], w = S[b + 1] - lo;
     const int16_t *s0 = src + 3 * lo, *s1 = s0 + w, *s2 = s1 + w;
     int16_t *d = dst + 3 * lo;
     for (int k = 0; k < w; k++) {
@@ -59,6 +60,11 @@ static inline void copy_ix_short(int16_t *dst, const int16_t *src, int sf,
       d[3 * k + 2] = s2[k];
     }
   }
+}
+
+static inline void copy_ix_short(int16_t *dst, const int16_t *src, int sf,
+                                 bool mixed) {
+  copy_ix_short_tab(dst, src, kSfbShort[sf], mixed);
 }
 
 static inline void copy_ix_wire(int16_t *dst, const int16_t *src,
@@ -87,6 +93,7 @@ int pdmp3_open_feed(pdmp3_handle *id) {
   id->fp.reset();
   id->dsp.reset();
   id->ostart = 0;
+  id->owords = 2 * 576;
   return PDMP3_OK;
 }
 
@@ -191,6 +198,8 @@ int pdmp3_parse_frame_soa(pdmp3_handle *id, size_t slot, size_t n_slots,
     m[PDMP3_META_IS] = g.is_flag;
     m[PDMP3_META_NCH] = g.nch;
     m[PDMP3_META_SAMPLE_RATE] = g.sample_rate;
+    m[PDMP3_META_FAMILY] = g.family;
+    m[PDMP3_META_ISCALE] = g.iscale;
   }
   return PDMP3_OK;
 }
@@ -251,6 +260,8 @@ static void write_scf_meta16(const pdmp3_granules &g, int gr, int16_t *pl,
   m[PDMP3_META_IS] = (int16_t)g.is_flag;
   m[PDMP3_META_NCH] = (int16_t)g.nch;
   m[PDMP3_META_SAMPLE_RATE] = (int16_t)(g.sample_rate / 25);
+  m[PDMP3_META_FAMILY] = (int16_t)g.family;
+  m[PDMP3_META_ISCALE] = (int16_t)g.iscale;
 }
 
 static int parse_range16(pdmp3_handle *const *ids, size_t lo, size_t hi,
@@ -289,6 +300,14 @@ static int parse_range16(pdmp3_handle *const *ids, size_t lo, size_t hi,
         for (size_t f2 = f + 1; f2 < frames; f2++)
           active[f2 * n_slots + s] = 0;
         break;
+      }
+      if (g.family) {
+        // an LSF frame in a dense MPEG-1 pool (only reachable when the
+        // caller set PDMP3_PROFILE_LSF on a dense-pool handle): the wire
+        // has no one-granule layout here — skip the frame WITHOUT
+        // rollback (a rollback would re-parse it forever); the slot
+        // stays inactive this step.  LSF pools use the _lsf packer.
+        continue;
       }
       PDMP3_TSC(pdmp3_cyc_pack, {
       for (int gr = 0; gr < 2; gr++) {
@@ -340,6 +359,96 @@ int pdmp3_parse_step_wire16(pdmp3_handle *const *ids, size_t n_slots,
   return n_active;
 }
 
+// LSF pool packer (see pdmp3.h): one granule per frame, so sections drop
+// the granule axis; carries the intensity-stereo sidecar + family/iscale
+// meta.  Handles must have PDMP3_PROFILE_LSF; frames of a different
+// family than the pool's first-seen one are skipped without rollback.
+static int parse_range16_lsf(pdmp3_handle *const *ids, size_t lo,
+                             size_t hi, size_t n_slots, size_t frames,
+                             int16_t *ix, int16_t *scf_l, int16_t *scf_s,
+                             int16_t *meta, int16_t *is_pos,
+                             int16_t *active) {
+  const size_t six = n_slots * 2 * 576;
+  const size_t sl = n_slots * 2 * 22;
+  const size_t ss = n_slots * 2 * 39;
+  const size_t sm = n_slots * PDMP3_META_WORDS;
+  const size_t sp = n_slots * 64;
+  int n_active = 0;
+  pdmp3_granules g;
+  int16_t scratch[2][576];  // gr-1 sink if a stray MPEG-1 frame decodes
+  for (size_t s = lo; s < hi; s++) {
+    pdmp3_handle *id = ids[s];
+    for (size_t f = 0; f < frames; f++) {
+      active[f * n_slots + s] = 0;
+      if (!id || id->fp.in.filled() < 2 * 576) continue;
+      size_t base = f * six + s * 2 * 576;
+      int16_t *dst[2][2] = {{ix + base, ix + base + 576},
+                            {scratch[0], scratch[1]}};
+      size_t pos0 = id->fp.in.processed;
+      unsigned mark0 = id->fp.in.istart;
+      int pr_;
+      PDMP3_TSC(pdmp3_cyc_frame, pr_ = id->fp.parse_frame(&g, dst));
+      if (pr_ != PDMP3_OK) {
+        id->fp.in.processed = pos0;
+        id->fp.in.istart = mark0;
+        for (size_t f2 = f + 1; f2 < frames; f2++)
+          active[f2 * n_slots + s] = 0;
+        break;
+      }
+      if (!g.family) continue;  // stray MPEG-1 frame: skip, no rollback
+      PDMP3_TSC(pdmp3_cyc_pack, {
+        for (int ch = 0; ch < g.nch; ch++) {
+          unsigned lay = (unsigned)g.layout[0][ch];
+          if (lay <= 8 && lay % 3 != 0)
+            copy_ix_short_tab(dst[0][ch], g.ix[0][ch],
+                              kSfbShortFam[g.family][lay / 3],
+                              lay % 3 == 2);
+        }
+        if (g.nch == 1) std::memset(dst[0][1], 0, 576 * sizeof(int16_t));
+        write_scf_meta16(g, 0, scf_l + f * sl + s * 2 * 22,
+                         scf_s + f * ss + s * 2 * 39,
+                         meta + f * sm + s * PDMP3_META_WORDS);
+        int16_t *ip = is_pos + f * sp + s * 64;
+        std::memcpy(ip, g.is_pos_l, sizeof g.is_pos_l);
+        std::memcpy(ip + 22, g.is_pos_s, sizeof g.is_pos_s);
+        ip[61] = ip[62] = ip[63] = 0;
+      });
+      active[f * n_slots + s] = 1;
+      n_active++;
+    }
+  }
+  return n_active;
+}
+
+int pdmp3_parse_step_wire16_lsf(pdmp3_handle *const *ids, size_t n_slots,
+                                int n_threads, size_t frames_per_step,
+                                int16_t *ix, int16_t *scf_l,
+                                int16_t *scf_s, int16_t *meta,
+                                int16_t *is_pos, int16_t *active) {
+  if (n_threads <= 0)
+    n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 1 || n_slots < 64)
+    return parse_range16_lsf(ids, 0, n_slots, n_slots, frames_per_step,
+                             ix, scf_l, scf_s, meta, is_pos, active);
+  std::vector<std::thread> pool;
+  std::vector<int> counts((size_t)n_threads, 0);
+  size_t chunk = (n_slots + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    size_t lo = (size_t)t * chunk;
+    size_t hi = lo + chunk < n_slots ? lo + chunk : n_slots;
+    if (lo >= hi) break;
+    pool.emplace_back([=, &counts] {
+      counts[(size_t)t] = parse_range16_lsf(ids, lo, hi, n_slots,
+                                            frames_per_step, ix, scf_l,
+                                            scf_s, meta, is_pos, active);
+    });
+  }
+  int n_active = 0;
+  for (auto &th : pool) th.join();
+  for (int c : counts) n_active += c;
+  return n_active;
+}
+
 // Sparse count1-bounded wire (see pdmp3.h): frequency lines are zero from
 // count1 up (rzero, pdmp3.c:2108-2111), so only ceil(count1/128) 128-line
 // blocks per (gr,ch) ship.  One atomic cursor allocates blocks across
@@ -363,7 +472,8 @@ static int parse_range16_sparse(pdmp3_handle *const *ids, size_t lo,
     for (size_t f = 0; f < frames; f++) {
       active[f * n_slots + s] = 0;
       bool ok = id && id->fp.in.filled() >= 2 * 576 &&
-                pdmp3_parse_frame(id, &g) == PDMP3_OK;
+                pdmp3_parse_frame(id, &g) == PDMP3_OK &&
+                g.family == 0;  // LSF frames skip (see dense packer)
       for (int gr = 0; gr < 2; gr++) {
         int16_t *e =
             blk + f * sb + (((size_t)gr * n_slots + s) * 2) * 4;
@@ -558,7 +668,9 @@ static size_t convert_s16(pdmp3_handle *id, unsigned char *outbuf,
   int nch = id->fp.hdr.nch();
   size_t framesz = 2 * (size_t)nch;
   size_t nsamps = buflen / framesz;
-  if (nsamps > 2 * 576 - id->ostart) nsamps = 2 * 576 - id->ostart;
+  // owords = PCM words this frame carries: 1152 for MPEG-1, 576 for LSF
+  // one-granule frames (cf. api.PDMP3.owords)
+  if (nsamps > id->owords - id->ostart) nsamps = id->owords - id->ostart;
   int16_t *s = (int16_t *)outbuf;
   const uint32_t *flat = &id->out[0][0];
   for (size_t q = 0; q < nsamps; q++) {
@@ -571,7 +683,7 @@ static size_t convert_s16(pdmp3_handle *id, unsigned char *outbuf,
     }
   }
   id->ostart += (unsigned)nsamps;
-  if (id->ostart == 2 * 576) id->ostart = 0;
+  if (id->ostart == id->owords) id->ostart = 0;
   return nsamps * framesz;
 }
 
@@ -597,6 +709,7 @@ int pdmp3_read(pdmp3_handle *id, unsigned char *outmemory, size_t outsize,
       res = id->fp.parse_frame(&g);
       if (res == PDMP3_OK || res == PDMP3_NEW_FORMAT) {
         id->dsp.decode_frame(g, id->out, id->fp.profile);
+        id->owords = g.family ? 576 : 2 * 576;
         size_t n = convert_s16(id, outmemory, outsize);
         outmemory += n;
         outsize -= n;
@@ -650,7 +763,10 @@ int pdmp3_getformat(pdmp3_handle *id, long *rate, int *channels,
   // follows its table (pdmp3.c:2530 — layout-dependent garbage, not an
   // emulatable quirk).  Guard instead (found by tools/fuzz.py).
   unsigned sf = (unsigned)id->fp.hdr.sampling_frequency;
-  *rate = kSampleRates[sf <= 2 ? sf : 2];
+  // family is -1 after a REJECTED reserved-version header (LSF mode's
+  // parse-then-validate, like sampling_frequency == 3) — guard both
+  int fam = id->fp.hdr.family;
+  *rate = kSampleRatesFam[fam >= 0 && fam <= 2 ? fam : 0][sf <= 2 ? sf : 2];
   *channels = id->fp.hdr.nch();
   id->fp.new_header = -1;
   return PDMP3_OK;
@@ -693,7 +809,9 @@ static void audio_write(pdmp3_handle *id, const char *audio_name,
       ioctl(sink->oss_fd, SNDCTL_DSP_SETFMT, &format);
       ioctl(sink->oss_fd, SNDCTL_DSP_CHANNELS, &stereo);
     }
-    long rate = kSampleRates[id->fp.hdr.sampling_frequency];
+    int fam_ = id->fp.hdr.family;
+    long rate = kSampleRatesFam[fam_ >= 0 && fam_ <= 2 ? fam_ : 0]
+                               [id->fp.hdr.sampling_frequency];
     if (sink->oss_rate != rate) {
       sink->oss_rate = rate;
       int speed = (int)rate;

@@ -40,8 +40,12 @@ inline float pow43_signed(int v) {
 
 void requantize(const pdmp3_granules &g, int gr, int ch, int lay,
                 float x[576], const float *prev_gr0_ch0) {
-  // pdmp3.c:1829-1905, 2117-2152 — all 576 lines (zeros stay +0.0)
-  const LayoutMaps &m = layout_maps();
+  // pdmp3.c:1829-1905, 2117-2152 — all 576 lines (zeros stay +0.0).
+  // LSF (g.family != 0): family band maps; long scalefactors reach 31
+  // (slen 5, 13818-3 §2.4.3.4) so q reaches 124 — past the MPEG-1 gain
+  // table's 100-entry live region, handled by the same true-2^(-q/4)
+  // fallback the short path uses (cf. oracle GAIN_QUARTER_TRUE).
+  const LayoutMaps &m = layout_maps(g.family);
   int qpu = g.scalefac_scale[gr][ch] ? 4 : 2;
   int gg = g.global_gain[gr][ch];
   float t2_long = kGainGlobal[gg - 210 + kGainGlobalOff];
@@ -64,16 +68,18 @@ void requantize(const pdmp3_granules &g, int gr, int ch, int lay,
                        kGainGlobalOff];
     } else {
       int scf = g.scf_l[gr][ch][sfb];
-      t1 = kGainQuarter[qpu * (scf + g.preflag[gr][ch] * kPretab[sfb])];
+      int q = qpu * (scf + g.preflag[gr][ch] * kPretab[sfb]);
+      t1 = q < 100 ? kGainQuarter[q]
+                   : (float)std::pow(2.0, -0.25 * (double)q);
       t2 = t2_long;
     }
     x[i] = (t1 * t2) * pow43_signed(g.ix[gr][ch][i]);
   }
 }
 
-void reorder(int lay, float x[576]) {
+void reorder(int family, int lay, float x[576]) {
   // static permutation form of pdmp3.c:1786-1823
-  const LayoutMaps &m = layout_maps();
+  const LayoutMaps &m = layout_maps(family);
   float tmp[576];
   for (int i = 0; i < 576; i++) tmp[i] = x[m.reorder[lay][i]];
   std::memcpy(x, tmp, sizeof tmp);
@@ -94,6 +100,30 @@ void stereo(const pdmp3_granules &g, int gr, float x[2][576],
       x[0][i] = (float)((double)mid * kInvSqrt2);
       x[1][i] = (float)((double)sid * kInvSqrt2);
     }
+  }
+  if (g.is_flag && g.family) {
+    // LSF intensity stereo (13818-3 §2.4.3.2; cf. oracle._intensity_lsf):
+    // positions from ch1's transmitted scalefactors (sidecar is_pos_*,
+    // illegal pre-mapped to 63 = skip), gains k0/k1 selected by
+    // intensity_scale and position parity.  Spec-derived — the reference
+    // rejects LSF streams, so there is no bug set to emulate.
+    const LayoutMaps &m = layout_maps(g.family);
+    int lay = g.layout[gr][0];
+    int c1r = g.count1[gr][1];
+    const float *k0 = kLsfK0[g.iscale & 1], *k1 = kLsfK1[g.iscale & 1];
+    for (int i = 0; i < 576; i++) {
+      if (!m.intensity_ok[lay][i]) continue;
+      if (m.band_start[lay][i] < c1r) continue;
+      int sfb = m.sfb[lay][i];
+      int p = m.is_short[lay][i]
+                  ? g.is_pos_s[sfb > 12 ? 12 : sfb][m.win[lay][i]]
+                  : g.is_pos_l[sfb];
+      if (p == kLsfIsIllegal) continue;
+      float seg = x[0][i];
+      x[0][i] = k0[p & 63] * seg;
+      x[1][i] = k1[p & 63] * seg;
+    }
+    return;
   }
   if (g.is_flag) {
     const LayoutMaps &m = layout_maps();
@@ -195,14 +225,15 @@ void imdct_win(const float in[18], float out[36], int bt) {
 void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576],
                              unsigned profile) {
   int nch = g.nch;
+  int ngr = g.family ? 1 : 2;  // LSF frames carry ONE granule
   float prev_gr0_ch0[3] = {0, 0, 0};
-  for (int gr = 0; gr < 2; gr++) {
+  for (int gr = 0; gr < ngr; gr++) {
     float x[2][576] = {};
     for (int ch = 0; ch < nch; ch++) {
       int lay = g.layout[gr][ch];
       requantize(g, gr, ch, lay, x[ch], gr == 1 ? prev_gr0_ch0 : nullptr);
       if (g.win_switch[gr][ch] && g.block_type[gr][ch] == 2)
-        reorder(lay, x[ch]);
+        reorder(g.family, lay, x[ch]);
     }
     stereo(g, gr, x, (profile & PDMP3_PROFILE_SPEC_INTENSITY) != 0);
     for (int ch = 0; ch < nch; ch++) {

@@ -38,17 +38,22 @@ void FrameParser::reset() {
 }
 
 int FrameParser::read_header() {
-  // byte-aligned sync scan + header field validation (pdmp3.c:1252-1320)
+  // byte-aligned sync scan + header field validation (pdmp3.c:1252-1320).
+  // LSF mode scans for the 11-bit sync (MPEG-2.5 clears sync bit 0,
+  // 13818-3 extension framing); default mode keeps the reference's
+  // 12-bit scan so resync behavior on hostile streams stays bit-parity.
   uint32_t b1 = in.get_byte(), b2 = in.get_byte(), b3 = in.get_byte(),
            b4 = in.get_byte();
   if (b1 == kEof || b2 == kEof || b3 == kEof || b4 == kEof)
     return PDMP3_ERR;
   uint32_t h = (b1 << 24) | (b2 << 16) | (b3 << 8) | b4;
-  while ((h & 0xFFF00000u) != 0xFFF00000u) {
+  uint32_t sync = lsf_enabled() ? 0xFFE00000u : 0xFFF00000u;
+  while ((h & sync) != sync) {
     uint32_t nb = in.get_byte();
     if (nb == kEof) return PDMP3_ERR;
     h = ((h << 8) & 0xFFFFFF00u) | nb;
   }
+  int ver = (h >> 19) & 3;  // 0 = MPEG-2.5, 1 = reserved, 2 = 2, 3 = 1
   hdr.id = (h >> 19) & 1;
   hdr.layer = (h >> 17) & 3;
   hdr.protection_bit = (h >> 16) & 1;
@@ -61,7 +66,9 @@ int FrameParser::read_header() {
   hdr.copyright = (h >> 3) & 1;
   hdr.original = (h >> 2) & 1;
   hdr.emphasis = h & 3;
-  if (hdr.id != 1 || hdr.bitrate_index == 0 || hdr.bitrate_index == 15 ||
+  hdr.family = ver == 3 ? 0 : (ver == 2 ? 1 : (ver == 0 ? 2 : -1));
+  if (!lsf_enabled() && hdr.id != 1) return PDMP3_ERR;
+  if (hdr.family < 0 || hdr.bitrate_index == 0 || hdr.bitrate_index == 15 ||
       hdr.sampling_frequency == 3 || hdr.layer == 0)
     return PDMP3_ERR;
   hdr.layer = 4 - hdr.layer;
@@ -93,7 +100,7 @@ int FrameParser::read_side_info() {
   int nch = hdr.nch();
   long framesize = hdr.frame_size();
   if (framesize > 2000) return PDMP3_ERR;
-  int size = nch == 1 ? 17 : 32;
+  int size = hdr.family ? (nch == 1 ? 9 : 17) : (nch == 1 ? 17 : 32);
   bool eof = false;
   for (int i = 0; i < size; i++) {
     uint32_t v = in.get_byte();
@@ -107,6 +114,7 @@ int FrameParser::read_side_info() {
     side.byte_pos = 0;
     side.bit_idx = 0;
   }
+  if (hdr.family) return read_side_info_lsf(nch);
   // register-resident cursor over the (80-byte, padded) side buffer;
   // per-granule-channel reads (≤59 bits) refill at most twice
   uint64_t rwin = 0;
@@ -162,6 +170,179 @@ int FrameParser::read_side_info() {
   side.byte_pos = rpos >> 3;
   side.bit_idx = rpos & 7;
   return PDMP3_OK;
+}
+
+int FrameParser::read_side_info_lsf(int nch) {
+  // LSF side info (13818-3 §2.4.1.7; cf. frontend._read_side_info_lsf):
+  // 8-bit main_data_begin, no scfsi, ONE granule, 9-bit
+  // scalefac_compress, no preflag bit (derived during scalefactor
+  // decode).  Caller has loaded the side bytes and reset the cursor.
+  uint64_t rwin = 0;
+  unsigned rpos = side.byte_pos * 8 + side.bit_idx, ravail = 0;
+  auto take = [&](unsigned n) -> unsigned {
+    if (ravail < n) {
+      uint64_t w;
+      std::memcpy(&w, side.bytes + (rpos >> 3), 8);
+      rwin = __builtin_bswap64(w) << (rpos & 7);
+      ravail = 64 - (rpos & 7);
+    }
+    unsigned v = (unsigned)(rwin >> (64 - n));
+    rwin <<= n;
+    rpos += n;
+    ravail -= n;
+    return v;
+  };
+  si.main_data_begin = take(8);
+  take(nch == 1 ? 1 : 2);  // private bits, discarded
+  for (int ch = 0; ch < nch; ch++)
+    for (int b = 0; b < 4; b++) si.scfsi[ch][b] = 0;
+  int gr = 0;
+  for (int ch = 0; ch < nch; ch++) {
+    si.part2_3_length[gr][ch] = take(12);
+    si.big_values[gr][ch] = take(9);
+    si.global_gain[gr][ch] = take(8);
+    si.scalefac_compress[gr][ch] = take(9);
+    si.win_switch[gr][ch] = take(1);
+    if (si.win_switch[gr][ch]) {
+      si.block_type[gr][ch] = take(2);
+      si.mixed[gr][ch] = take(1);
+      for (int r = 0; r < 2; r++) si.table_select[gr][ch][r] = take(5);
+      for (int w = 0; w < 3; w++) si.subblock_gain[gr][ch][w] = take(3);
+      // implicit region counts, same rule as MPEG-1 (pdmp3.c:1181-1185)
+      si.region0_count[gr][ch] =
+          (si.block_type[gr][ch] == 2 && !si.mixed[gr][ch]) ? 8 : 7;
+      si.region1_count[gr][ch] = 20 - si.region0_count[gr][ch];
+    } else {
+      for (int r = 0; r < 3; r++) si.table_select[gr][ch][r] = take(5);
+      si.region0_count[gr][ch] = take(4);
+      si.region1_count[gr][ch] = take(3);
+      si.block_type[gr][ch] = 0;
+      si.mixed[gr][ch] = 0;
+    }
+    si.preflag[gr][ch] = 0;  // derived in read_scalefactors_lsf
+    si.scalefac_scale[gr][ch] = take(1);
+    si.count1table_select[gr][ch] = take(1);
+  }
+  side.byte_pos = rpos >> 3;
+  side.bit_idx = rpos & 7;
+  return PDMP3_OK;
+}
+
+void FrameParser::read_scalefactors_lsf(int ch) {
+  // LSF scalefactor decode (13818-3 §2.4.3.4; cf.
+  // frontend._read_scalefacs_lsf): 4-partition slen derivation from the
+  // 9-bit scalefac_compress (intensity-channel variant for ch1 of an
+  // intensity frame), raw values into scf_*_state, and the intensity
+  // sidecar with the per-partition all-ones value mapped to
+  // kLsfIsIllegal.  slen==0 partitions transmit nothing -> position 0.
+  bool intensity_ch =
+      ch == 1 && hdr.mode == 1 && (hdr.mode_extension & 1);
+  int sc = (int)si.scalefac_compress[0][ch];
+  int slen[4] = {0, 0, 0, 0};
+  int blocknum, preflag = 0, iscale = 0;
+  if (!intensity_ch) {
+    if (sc < 400) {
+      slen[0] = (sc >> 4) / 5;
+      slen[1] = (sc >> 4) % 5;
+      slen[2] = (sc % 16) >> 2;
+      slen[3] = sc % 4;
+      blocknum = 0;
+    } else if (sc < 500) {
+      int s2 = sc - 400;
+      slen[0] = (s2 >> 2) / 5;
+      slen[1] = (s2 >> 2) % 5;
+      slen[2] = s2 % 4;
+      blocknum = 1;
+    } else {
+      int s2 = sc - 500;
+      slen[0] = s2 / 3;
+      slen[1] = s2 % 3;
+      blocknum = 2;
+      preflag = 1;
+    }
+  } else {
+    iscale = sc & 1;
+    int s2 = sc >> 1;
+    if (s2 < 180) {
+      slen[0] = s2 / 36;
+      slen[1] = (s2 % 36) / 6;
+      slen[2] = s2 % 6;
+      blocknum = 3;
+    } else if (s2 < 244) {
+      int s3 = s2 - 180;
+      slen[0] = (s3 % 64) >> 4;
+      slen[1] = (s3 % 16) >> 2;
+      slen[2] = s3 % 4;
+      blocknum = 4;
+    } else {
+      int s3 = s2 - 244;
+      slen[0] = s3 / 3;
+      slen[1] = s3 % 3;
+      blocknum = 5;
+    }
+  }
+  si.preflag[0][ch] = (unsigned)preflag;
+  bool short_blk = si.win_switch[0][ch] && si.block_type[0][ch] == 2;
+  bool mixed = short_blk && si.mixed[0][ch];
+  int bclass = mixed ? 2 : (short_blk ? 1 : 0);
+  const int *counts = kNrOfSfb[blocknum][bclass];
+  int raw[54];
+  int16_t pos[54];
+  int nraw = 0;
+  uint64_t rwin = 0;
+  unsigned rpos = res.pos(), ravail = 0;
+  auto take = [&](unsigned n) -> unsigned {
+    if (n == 0) return 0;
+    if (ravail < n) {
+      uint64_t w;
+      std::memcpy(&w, res.bytes + (rpos >> 3), 8);
+      rwin = __builtin_bswap64(w) << (rpos & 7);
+      ravail = 64 - (rpos & 7);
+    }
+    unsigned v = (unsigned)(rwin >> (64 - n));
+    rwin <<= n;
+    rpos += n;
+    ravail -= n;
+    return v;
+  };
+  for (int p = 0; p < 4; p++) {
+    int w = slen[p];
+    for (int k = 0; k < counts[p]; k++) {
+      int v = w ? (int)take((unsigned)w) : 0;
+      raw[nraw] = v;
+      pos[nraw] =
+          (w && v == (1 << w) - 1) ? (int16_t)kLsfIsIllegal : (int16_t)v;
+      nraw++;
+    }
+  }
+  res.set_pos(rpos);
+  if (intensity_ch) {
+    // frontend parity: the sidecar defaults to 0 for in-layout bands
+    // (untransmitted tail slots are masked out by intensity_ok anyway)
+    lsf_iscale = iscale;
+    std::memset(lsf_is_l, 0, sizeof lsf_is_l);
+    std::memset(lsf_is_s, 0, sizeof lsf_is_s);
+  }
+  int k = 0;
+  if (bclass == 0) {
+    for (int sfb = 0; sfb < 21; sfb++, k++) {
+      scf_l_state[0][ch][sfb] = (uint8_t)raw[k];
+      if (intensity_ch) lsf_is_l[sfb] = pos[k];
+    }
+  } else {
+    if (mixed) {
+      for (int sfb = 0; sfb < kSwitchSfbL[hdr.family]; sfb++, k++) {
+        scf_l_state[0][ch][sfb] = (uint8_t)raw[k];
+        if (intensity_ch) lsf_is_l[sfb] = pos[k];
+      }
+    }
+    for (int sfb = mixed ? 3 : 0; sfb < 12; sfb++) {
+      for (int w = 0; w < 3; w++, k++) {
+        scf_s_state[0][ch][sfb][w] = (uint8_t)raw[k];
+        if (intensity_ch) lsf_is_s[sfb][w] = pos[k];
+      }
+    }
+  }
 }
 
 int FrameParser::get_main_data(unsigned size, unsigned begin) {
@@ -729,16 +910,22 @@ void FrameParser::region_bounds(int gr, int ch, int ends[3],
     region_2_start = 576;
   } else {
     int sf = hdr.sampling_frequency;
-    region_1_start = kSfbLong[sf][si.region0_count[gr][ch] + 1];
+    const int *longs = kSfbLongFam[hdr.family][sf];
+    region_1_start = longs[si.region0_count[gr][ch] + 1];
     // hostile side info can push this index past l[22] (region counts
     // are raw 4+3 bit fields: 15+7+2 = 24); the reference's struct
     // layout aliases .l[23+k] onto .s[k] (pdmp3.c:108-112, 2074-2076).
     // Emulate the alias instead of overflowing our separate tables
-    // (found by tools/fuzz.py, ASan global-buffer-overflow).
+    // (found by tools/fuzz.py, ASan global-buffer-overflow).  LSF has
+    // no reference layout to mirror: clamp to the 576 end instead
+    // (frontend._read_huffman parity).
     int r2i =
         (int)(si.region0_count[gr][ch] + si.region1_count[gr][ch] + 2);
-    region_2_start =
-        r2i <= 22 ? kSfbLong[sf][r2i] : kSfbShort[sf][r2i - 23];
+    if (hdr.family)
+      region_2_start = longs[r2i <= 22 ? r2i : 22];
+    else
+      region_2_start =
+          r2i <= 22 ? kSfbLong[sf][r2i] : kSfbShort[sf][r2i - 23];
   }
   int big = (int)si.big_values[gr][ch] * 2;
   int e0 = region_1_start < 0 ? 0 : region_1_start;
@@ -906,7 +1093,9 @@ int FrameParser::read_main(pdmp3_granules *g,
   int nch = hdr.nch();
   long framesize = hdr.frame_size();
   if (framesize > 2000) return PDMP3_ERR;
-  long main_data_size = framesize - (nch == 1 ? 17 : 32) - 4;
+  long sideinfo_size =
+      hdr.family ? (nch == 1 ? 9 : 17) : (nch == 1 ? 17 : 32);
+  long main_data_size = framesize - sideinfo_size - 4;
   if (hdr.protection_bit == 0) main_data_size -= 2;
   int r;
   PDMP3_TSC(pdmp3_cyc_maindata,
@@ -923,11 +1112,26 @@ int FrameParser::read_main(pdmp3_granules *g,
   HuffSlice slices[2];
   int n_ready = 0;
   unsigned start = res.pos();  // 0 after get_main_data
-  for (int gr = 0; gr < 2; gr++) {
+  if (hdr.family) {
+    // LSF: one granule, no scfsi — arrays are reused across frames, so
+    // clear everything including granule 1 and the untransmitted policy
+    // slots (spec default 0; the reference has no LSF quirks to mirror).
+    // The intensity sidecar defaults to "no intensity" (illegal) and is
+    // overwritten by read_scalefactors_lsf for the intensity channel.
+    std::memset(scf_l_state, 0, sizeof scf_l_state);
+    std::memset(scf_s_state, 0, sizeof scf_s_state);
+    lsf_iscale = 0;
+    for (int b = 0; b < 22; b++) lsf_is_l[b] = kLsfIsIllegal;
+    for (int b = 0; b < 13; b++)
+      for (int w = 0; w < 3; w++) lsf_is_s[b][w] = kLsfIsIllegal;
+  }
+  for (int gr = 0; gr < hdr.ngr(); gr++) {
     for (int ch = 0; ch < nch; ch++) {
       unsigned part_2_start = start;
       res.set_pos(start);
-      PDMP3_TSC(pdmp3_cyc_scf, read_scalefactors(gr, ch, g));
+      PDMP3_TSC(pdmp3_cyc_scf, hdr.family
+                                   ? read_scalefactors_lsf(ch)
+                                   : read_scalefactors(gr, ch, g));
       // long-block channels may decode straight into the caller's wire
       bool short_blk =
           si.win_switch[gr][ch] && si.block_type[gr][ch] == 2;
@@ -971,21 +1175,25 @@ int FrameParser::read_main(pdmp3_granules *g,
     slices[0] = HuffSlice();
   }
   res.set_pos(start);
-  // sfb21 alias slots (pdmp3.c:1896-1902 OOB read emulation): by struct
-  // layout scalefac_l[gr][ch][21] aliases the next granule-channel's
-  // scalefac 0; the last aliases scalefac_s[0][0][0][0]; pretab[21] is
-  // 0.0 in the reference binary's rodata
-  scf_l_state[0][0][21] = scf_l_state[0][1][0];
-  scf_l_state[0][1][21] = scf_l_state[1][0][0];
-  scf_l_state[1][0][21] = scf_l_state[1][1][0];
-  scf_l_state[1][1][21] = scf_s_state[0][0][0][0];
-  for (int w = 0; w < 3; w++) {  // short band-12 slot, same aliasing
-    scf_s_state[0][0][12][w] = scf_s_state[0][1][0][w];
-    scf_s_state[0][1][12][w] = scf_s_state[1][0][0][w];
-    scf_s_state[1][0][12][w] = scf_s_state[1][1][0][w];
-    // last granule-channel aliases float bits of is[0][0]: gain
-    // underflows to +0.0 — sentinel 63 hits the zeroed gain-table region
-    scf_s_state[1][1][12][w] = 63;
+  if (!hdr.family) {
+    // sfb21 alias slots (pdmp3.c:1896-1902 OOB read emulation): by
+    // struct layout scalefac_l[gr][ch][21] aliases the next
+    // granule-channel's scalefac 0; the last aliases
+    // scalefac_s[0][0][0][0]; pretab[21] is 0.0 in the reference
+    // binary's rodata.  MPEG-1 only — the reference rejects LSF, so LSF
+    // policy slots stay the spec-default 0 (zeroed above).
+    scf_l_state[0][0][21] = scf_l_state[0][1][0];
+    scf_l_state[0][1][21] = scf_l_state[1][0][0];
+    scf_l_state[1][0][21] = scf_l_state[1][1][0];
+    scf_l_state[1][1][21] = scf_s_state[0][0][0][0];
+    for (int w = 0; w < 3; w++) {  // short band-12 slot, same aliasing
+      scf_s_state[0][0][12][w] = scf_s_state[0][1][0][w];
+      scf_s_state[0][1][12][w] = scf_s_state[1][0][0][w];
+      scf_s_state[1][0][12][w] = scf_s_state[1][1][0][w];
+      // last granule-channel aliases float bits of is[0][0]: gain
+      // underflows to +0.0 — sentinel 63 hits the zeroed gain region
+      scf_s_state[1][1][12][w] = 63;
+    }
   }
   std::memcpy(g->scf_l, scf_l_state, sizeof scf_l_state);
   std::memcpy(g->scf_s, scf_s_state, sizeof scf_s_state);
@@ -1015,16 +1223,25 @@ int FrameParser::parse_frame(pdmp3_granules *g,
     std::memset(g->ix[0][1], 0, sizeof g->ix[0][1]);
     std::memset(g->ix[1][1], 0, sizeof g->ix[1][1]);
   }
+  if (hdr.family)  // LSF frames carry ONE granule: granule 1 stays zero
+    std::memset(g->ix[1], 0, sizeof g->ix[1]);
   PDMP3_TSC(pdmp3_cyc_sideinfo, r = read_side_info());
   if (r != PDMP3_OK) return PDMP3_ERR;
   r = read_main(g, wire_dst);
   if (r != PDMP3_OK) return r;
   // fill granule tensor metadata
   g->nch = hdr.nch();
-  g->sample_rate = (int32_t)kSampleRates[hdr.sampling_frequency];
+  g->sample_rate =
+      (int32_t)kSampleRatesFam[hdr.family][hdr.sampling_frequency];
   g->ms_flag = (hdr.mode == 1 && (hdr.mode_extension & 2)) ? 1 : 0;
   g->is_flag = (hdr.mode == 1 && (hdr.mode_extension & 1)) ? 1 : 0;
-  for (int gr = 0; gr < 2; gr++)
+  g->family = hdr.family;
+  if (hdr.family) {
+    g->iscale = lsf_iscale;
+    std::memcpy(g->is_pos_l, lsf_is_l, sizeof lsf_is_l);
+    std::memcpy(g->is_pos_s, lsf_is_s, sizeof lsf_is_s);
+  }
+  for (int gr = 0; gr < hdr.ngr(); gr++)
     for (int ch = 0; ch < hdr.nch(); ch++) {
       g->layout[gr][ch] =
           layout_id(hdr.sampling_frequency, (int)si.win_switch[gr][ch],

@@ -32,6 +32,16 @@ extern const float kSynthD[512];
 extern const float kSynthNwin[64][32];
 extern const int kSfbLong[3][23];
 extern const int kSfbShort[3][14];
+// MPEG-2/2.5 LSF extension (13818-3; tables.py LSF section)
+extern const int kSfbLongFam[3][3][23];
+extern const int kSfbShortFam[3][3][14];
+extern const long kBitratesLsf[15];
+extern const long kSampleRatesFam[3][3];
+extern const int kNrOfSfb[6][3][4];
+extern const int kSwitchSfbL[3];
+extern const float kLsfK0[2][64];
+extern const float kLsfK1[2][64];
+constexpr int kLsfIsIllegal = 63;  // tables.LSF_IS_ILLEGAL
 extern const short kReorderSrc[9][576];
 extern const short kPermBound[9][577];
 extern const int kPretab[22];
@@ -55,7 +65,9 @@ struct LayoutMaps {
   int16_t band_start[9][576]; // first line of the line's band
   int16_t intensity_ok[9][576];
 };
-const LayoutMaps &layout_maps();
+// family: 0 MPEG-1, 1 MPEG-2, 2 MPEG-2.5 (each family has its own band
+// edges, hence its own 9-layout map set — cf. tables.layout_maps(family))
+const LayoutMaps &layout_maps(int family = 0);
 
 inline int layout_id(int sfreq, int win_switch, int block_type, int mixed) {
   if (win_switch && block_type == 2) return sfreq * 3 + (mixed ? 2 : 1);
@@ -176,8 +188,16 @@ struct FrameHeader {
   int sampling_frequency = 0, padding_bit = 0, private_bit = 0;
   int mode = 0, mode_extension = 0, copyright = 0, original = 0,
       emphasis = 0;
+  // 0 = MPEG-1, 1 = MPEG-2, 2 = MPEG-2.5 (families 1/2 reachable only
+  // behind PDMP3_PROFILE_LSF; the reference rejects id==0, pdmp3.c:1295)
+  int family = 0;
   int nch() const { return mode == 3 ? 1 : 2; }
+  int ngr() const { return family ? 1 : 2; }  // LSF frames: ONE granule
   long frame_size() const {
+    if (family)  // 72-factor LSF framing (tables.lsf_frame_size)
+      return 72 * kBitratesLsf[bitrate_index] /
+                 kSampleRatesFam[family][sampling_frequency] +
+             padding_bit;
     return 144 * kBitratesL3[bitrate_index] /
                kSampleRates[sampling_frequency] +
            padding_bit;
@@ -218,12 +238,23 @@ struct FrameParser {
   uint8_t scf_l_state[2][2][22] = {};
   uint8_t scf_s_state[2][2][13][3] = {};
 
+  // LSF intensity-stereo sidecar (13818-3 §2.4.3.4.3): ch1's transmitted
+  // positions with the per-partition all-ones illegal value mapped to
+  // kLsfIsIllegal, plus the intensity_scale bit.  Valid only for the
+  // current frame when hdr.family != 0 and is_flag.
+  int16_t lsf_is_l[22] = {};
+  int16_t lsf_is_s[13][3] = {};
+  int lsf_iscale = 0;
+
+  bool lsf_enabled() const { return (profile & PDMP3_PROFILE_LSF) != 0; }
   void reset();                 // pdmp3_open_feed semantics
   int read_header();            // sync scan + field checks
   int search_header();          // resync wrapper with rollback
   int read_side_info();
+  int read_side_info_lsf(int nch);
   int get_main_data(unsigned size, unsigned begin);
   void read_scalefactors(int gr, int ch, pdmp3_granules *g);
+  void read_scalefactors_lsf(int ch);
   void region_bounds(int gr, int ch, int ends[3], int tnums[3]) const;
   void read_huffman(unsigned part_2_start, int gr, int ch,
                     pdmp3_granules *g, int16_t *line = nullptr);
@@ -261,6 +292,9 @@ struct pdmp3_handle {
   pdmp3host::ScalarDsp dsp;
   uint32_t out[2][576] = {};
   unsigned ostart = 0;
+  // PCM words the current frame carries: 1152 for MPEG-1 (2 granules),
+  // 576 for LSF frames (cf. api.PDMP3.owords)
+  unsigned owords = 2 * 576;
 };
 
 #endif  // PDMP3_TPU_HOST_INTERNAL_H_

@@ -7,11 +7,16 @@ namespace pdmp3host {
 
 namespace {
 
-LayoutMaps build_maps() {
+LayoutMaps build_maps(int family) {
+  // family-parameterized band maps (cf. tables.layout_maps(family)):
+  // LSF families swap in the 13818-3 band edges and switch from long to
+  // short bands at long sfb 6 in mixed blocks (kSwitchSfbL) — both
+  // families keep the 36-line boundary (L[switch_l] == 36 == 3*S[3]).
   LayoutMaps m{};
+  int switch_l = kSwitchSfbL[family];
   for (int sf = 0; sf < 3; sf++) {
-    const int *L = kSfbLong[sf];
-    const int *S = kSfbShort[sf];
+    const int *L = kSfbLongFam[family][sf];
+    const int *S = kSfbShortFam[family][sf];
 
     // long layout
     {
@@ -29,9 +34,12 @@ LayoutMaps build_maps() {
       int lay = sf * 3 + kind;
       int start_sfb = kind == 2 ? 3 : 0;
       for (int i = 0; i < 576; i++) m.reorder[lay][i] = (int16_t)i;
-      if (kind == 2) {  // first 36 lines: long bands 0..7
-        for (int b = 0; b < 8; b++)
-          for (int i = L[b]; i < L[b + 1] && i < 36; i++) {
+      // mixed: long bands 0..switch_l-1 cover lines [0, L[switch_l])
+      // == [0, 3*S[3]) — 36 lines except 8 kHz LSF, where the split
+      // sits at 72 (tables.py layout_maps asserts the equality)
+      if (kind == 2) {
+        for (int b = 0; b < switch_l; b++)
+          for (int i = L[b]; i < L[b + 1] && i < 576; i++) {
             m.sfb[lay][i] = (int16_t)b;
             m.band_start[lay][i] = (int16_t)L[b];
             m.intensity_ok[lay][i] = 1;
@@ -68,9 +76,11 @@ LayoutMaps build_maps() {
 
 }  // namespace
 
-const LayoutMaps &layout_maps() {
-  static const LayoutMaps m = build_maps();
-  return m;
+const LayoutMaps &layout_maps(int family) {
+  static const LayoutMaps m0 = build_maps(0);
+  static const LayoutMaps m1 = build_maps(1);
+  static const LayoutMaps m2 = build_maps(2);
+  return family == 2 ? m2 : (family == 1 ? m1 : m0);
 }
 
 }  // namespace pdmp3host

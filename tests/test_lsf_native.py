@@ -1,0 +1,222 @@
+"""Native (C++) MPEG-2/2.5 LSF frontend + scalar DSP tests.
+
+Correctness contract (docs/ROADMAP.md LSF design notes): the reference
+rejects id==0 streams (pdmp3.c:1295), so there is no external oracle in
+this image — LSF correctness rests on 3-way in-tree agreement between
+frontend.py (+OracleDSP), the native frame.cc/dsp.cc path behind
+PDMP3_PROFILE_LSF, and the batched JAX path, over spec-derived generator
+streams (testing/mp3gen LSF mode).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdmp3_tpu import api as A
+from pdmp3_tpu import tables as T
+from pdmp3_tpu.frontend import Frontend
+from pdmp3_tpu.host import (NativePDMP3, PROFILE_LSF, native_decode_file)
+from pdmp3_tpu.testing import mp3gen
+
+MATRIX = [
+    dict(family=1, mode=0),
+    dict(family=1, mode=3, blocks="varied"),
+    dict(family=1, mode=1, mode_extension=2, stereo_extent_ch1=0.5),
+    dict(family=1, mode=1, mode_extension=1, stereo_extent_ch1=0.3),
+    dict(family=1, mode=1, mode_extension=3, blocks="varied",
+         stereo_extent_ch1=0.4),
+    dict(family=1, blocks="short", mode=0),
+    dict(family=1, blocks="mixed", mode=1, mode_extension=1,
+         stereo_extent_ch1=0.3),
+    dict(family=1, use_reservoir=True, mode=0),
+    dict(family=2, mode=0),
+    dict(family=2, blocks="varied", mode=1, mode_extension=3,
+         stereo_extent_ch1=0.4),
+    dict(family=2, blocks="mixed", mode=1, mode_extension=1,
+         stereo_extent_ch1=0.3),
+    dict(family=2, mode=3, use_reservoir=True),
+]
+
+
+@pytest.mark.parametrize("idx", range(len(MATRIX)))
+def test_native_lsf_decode_matches_python(idx):
+    """Native streaming decode (PROFILE_LSF) is bit-exact vs the Python
+    frontend + NumPy oracle on every sample rate of the matrix row."""
+    kw = dict(MATRIX[idx])
+    for sf in range(3):
+        stream = mp3gen.make_stream(n_frames=6, seed=500 + 7 * idx + sf,
+                                    sfreq=sf, bitrate_index=11, **kw)
+        ref = A.decode_file(stream, lsf=True)
+        nat = native_decode_file(stream, profile=PROFILE_LSF)
+        assert nat == ref, f"row {idx} sfreq {sf}"
+        assert len(ref) > 0
+
+
+def test_native_lsf_parse_tensors_and_sidecar():
+    """Frame-level parity: native granule tensors, scalefactors and the
+    intensity sidecar match frontend.py field-for-field."""
+    stream = mp3gen.make_stream(n_frames=6, seed=7, family=1, mode=1,
+                                mode_extension=1, stereo_extent_ch1=0.3,
+                                blocks="varied", bitrate_index=11)
+    h = NativePDMP3()
+    h.set_profile(PROFILE_LSF)
+    h.open_feed()
+    h.feed(stream)
+    fe = Frontend(lsf=True)
+    fe.feed(stream)
+    n_intensity = 0
+    for _ in range(6):
+        r, g = h.parse_frame()
+        r2, fd = fe.read_frame()
+        assert r == 0 and r2 == 0
+        assert g["family"] == fd.header.family == 1
+        np.testing.assert_array_equal(g["ix"], fd.ix)
+        np.testing.assert_array_equal(g["scf_l"], fd.scalefac_l)
+        np.testing.assert_array_equal(g["scf_s"], fd.scalefac_s)
+        for name in ("layout", "block_type", "win_switch", "mixed",
+                     "global_gain", "scalefac_scale", "preflag",
+                     "count1", "subblock_gain"):
+            np.testing.assert_array_equal(
+                g[name][:1], getattr_side(fd, name)[:1], err_msg=name)
+        if fd.is_eff_l is not None:
+            n_intensity += 1
+            np.testing.assert_array_equal(g["is_pos_l"], fd.is_eff_l)
+            np.testing.assert_array_equal(g["is_pos_s"], fd.is_eff_s)
+            assert g["iscale"] == fd.intensity_scale
+        else:
+            assert (g["is_pos_l"] == T.LSF_IS_ILLEGAL).all()
+    assert n_intensity > 0
+
+
+def getattr_side(fd, name):
+    s = fd.side
+    h = fd.header
+    if name == "layout":
+        lay = np.zeros((2, 2), np.int32)
+        for gr in range(2):
+            for ch in range(2):
+                lay[gr, ch] = T.layout_id(
+                    h.sampling_frequency, int(s.win_switch_flag[gr][ch]),
+                    int(s.block_type[gr][ch]),
+                    int(s.mixed_block_flag[gr][ch]))
+        return lay
+    alias = {"win_switch": "win_switch_flag", "mixed": "mixed_block_flag"}
+    return np.asarray(getattr(s, alias.get(name, name)))
+
+
+def test_mpeg1_bit_identical_under_lsf_profile():
+    """The LSF profile only widens sync acceptance; MPEG-1 streams decode
+    bit-identically with and without it."""
+    for seed in (1, 2):
+        s = mp3gen.make_stream(n_frames=8, seed=seed, mode=1,
+                               mode_extension=2, blocks="varied",
+                               use_reservoir=True)
+        assert native_decode_file(s, profile=PROFILE_LSF) == \
+            native_decode_file(s)
+
+
+def test_native_lsf_getformat_rates():
+    """getformat reports the family sample rate (13818-3 table)."""
+    for fam, sf, rate in ((1, 0, 22050), (1, 1, 24000), (1, 2, 16000),
+                          (2, 0, 11025), (2, 1, 12000), (2, 2, 8000)):
+        # enough frames to clear the 1152-byte read gate at every rate
+        stream = mp3gen.make_stream(n_frames=12, seed=fam * 10 + sf,
+                                    family=fam, sfreq=sf, mode=0,
+                                    bitrate_index=11)
+        h = NativePDMP3()
+        h.set_profile(PROFILE_LSF)
+        h.open_feed()
+        h.feed(stream)
+        res, _ = h.read(4096)
+        assert res == T.NEW_FORMAT
+        _, r, ch, enc = h.getformat()
+        assert r == rate and ch == 2 and enc == T.ENC_SIGNED_16
+
+
+def test_native_lsf_partial_drain_576():
+    """LSF frames carry 576 PCM words: small partial reads must drain and
+    resume at the one-granule boundary (handle owords accounting).  The
+    read size is a sample-frame multiple that never divides 576 — every
+    frame boundary is crossed mid-read, exercising the ostart/owords
+    wrap (a stale 1152 wrap would emit 576 stale words per frame)."""
+    stream = mp3gen.make_stream(n_frames=12, seed=9, family=1, mode=0,
+                                bitrate_index=11)
+    whole = native_decode_file(stream, profile=PROFILE_LSF)
+    assert len(whole) >= 8 * 576 * 2 * 2
+    h = NativePDMP3()
+    h.set_profile(PROFILE_LSF)
+    h.open_feed()
+    h.feed(stream)
+    got = []
+    while True:
+        res, pcm = h.read(116)  # 29 stereo samples per read
+        got.append(pcm)
+        if res in (T.ERR, T.NEED_MORE):
+            break
+    assert b"".join(got) == whole
+
+
+def test_native_lsf_checkpoint_roundtrip():
+    """Checkpoint mid-LSF-stream and resume bit-identically (the LSF
+    profile and owords ride the trivially-copyable handle blob)."""
+    stream = mp3gen.make_stream(n_frames=8, seed=11, family=2, mode=1,
+                                mode_extension=3, stereo_extent_ch1=0.5,
+                                bitrate_index=11)
+    h = NativePDMP3()
+    h.set_profile(PROFILE_LSF)
+    h.open_feed()
+    h.feed(stream)
+    first = b"".join(h.read(2304)[1] for _ in range(3))
+    blob = h.save_state()
+    rest_a = []
+    while True:
+        res, pcm = h.read(4096)
+        rest_a.append(pcm)
+        if res in (T.ERR, T.NEED_MORE):
+            break
+    h2 = NativePDMP3()
+    h2.restore_state(blob)
+    assert h2.get_profile() == PROFILE_LSF
+    rest_b = []
+    while True:
+        res, pcm = h2.read(4096)
+        rest_b.append(pcm)
+        if res in (T.ERR, T.NEED_MORE):
+            break
+    assert b"".join(rest_a) == b"".join(rest_b)
+    assert first and rest_a[0]
+
+
+def test_lsf_frame_skipped_by_dense_mpeg1_pool_packer():
+    """A PROFILE_LSF handle fed an LSF stream through the dense MPEG-1
+    wire packer must never activate a slot (the wire has no one-granule
+    layout); the stream is skipped, not livelocked."""
+    import ctypes as C
+
+    from pdmp3_tpu.host import lib
+    stream = mp3gen.make_stream(n_frames=4, seed=3, family=1, mode=0,
+                                bitrate_index=11)
+    h = NativePDMP3()
+    h.set_profile(PROFILE_LSF)
+    h.open_feed()
+    h.feed(stream)
+    n = 1
+    ix = np.zeros((2, n, 2, 576), np.int16)
+    scf_l = np.zeros((2, n, 2, 22), np.int16)
+    scf_s = np.zeros((2, n, 2, 39), np.int16)
+    meta = np.zeros((2, n, 32), np.int16)
+    active = np.ones(n, np.int16)
+    fn = lib().pdmp3_parse_step_wire16
+    fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int, C.c_size_t,
+                   C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+                   C.c_void_p]
+    handles = (C.c_void_p * n)(h._h)
+    for _ in range(8):  # no livelock: frames are consumed
+        r = fn(handles, n, 1, 1,
+               ix.ctypes.data_as(C.c_void_p),
+               scf_l.ctypes.data_as(C.c_void_p),
+               scf_s.ctypes.data_as(C.c_void_p),
+               meta.ctypes.data_as(C.c_void_p),
+               active.ctypes.data_as(C.c_void_p))
+        assert r == 0 and active[0] == 0
+    assert h.inbuf_filled() < len(stream)
