@@ -355,6 +355,86 @@ def decode_frame_packed(buf, state, B: int, F: int = 1,
 
 
 # ---------------------------------------------------------------------------
+# LSF pool wire (MPEG-2/2.5, 13818-3): one granule per frame, so the wire
+# drops the granule axis and adds the intensity-sidecar section.  Layout
+# matches the native packer pdmp3_parse_step_wire16_lsf (host/api.cc);
+# each family compiles its own device program (decode_granules' family
+# static) — the serving layer routes streams to per-family pools.
+# ---------------------------------------------------------------------------
+
+
+def soa_layout_lsf(B: int, F: int = 1) -> dict:
+    """Element offsets (int16 units) of the packed LSF wire: ONE granule
+    per frame (Header.ngr), is_pos [F,B,64] sidecar ([0..21] long,
+    [22..60] short flat, illegal = 63), iscale/family in meta."""
+    off = {}
+    pos = 0
+
+    def sec(name, nelems):
+        nonlocal pos
+        off[name] = (pos, nelems)
+        pos += (nelems + 1) & ~1  # keep 4-byte alignment
+
+    sec("ix", F * B * 2 * 576)
+    sec("scf_l", F * B * 2 * 22)
+    sec("scf_s", F * B * 2 * 39)
+    sec("meta", F * B * _META_WORDS)
+    sec("is_pos", F * B * 64)
+    sec("active", F * B)
+    off["total"] = pos
+    return off
+
+
+@functools.partial(_lazy_jit,
+                   static_argnames=("B", "F", "family", "exact",
+                                    "bug_compat", "float_pcm"))
+def decode_frame_packed_lsf(buf, state, B: int, F: int = 1,
+                            family: int = 1, exact: bool = False,
+                            bug_compat: bool = True,
+                            float_pcm: bool = False):
+    """Decode F one-granule LSF frames per slot from the packed wire
+    (buf: int16 [soa_layout_lsf(B, F)['total']]).  Returns
+    (pcm i16 [B, F*576, 2], new_state).  XLA pipeline (decode_granules
+    with the family static); bug_compat is accepted for interface parity
+    but LSF has no reference bugs to emulate."""
+    assert family in (1, 2)
+    off = soa_layout_lsf(B, F)
+
+    def sect(name, shape):
+        o, n = off[name]
+        return jax.lax.dynamic_slice_in_dim(buf, o, n).reshape(shape)
+
+    ix = sect("ix", (F, B, 2, 576))
+    scf_l = sect("scf_l", (F, B, 2, 22))
+    scf_s = sect("scf_s", (F, B, 2, 39))
+    meta = sect("meta", (F, B, _META_WORDS)).astype(jnp.int32)
+    is_pos = sect("is_pos", (F, B, 64)).astype(jnp.int32)
+    active = sect("active", (F, B)).astype(jnp.int32)
+    pcms = []
+    for f in range(F):
+        m = meta[f]
+        batch = GranuleBatch(
+            ix=ix[f], scf_l=scf_l[f],
+            scf_s=scf_s[f].reshape(B, 2, 13, 3),
+            layout=m[:, 0:2], block_type=m[:, 2:4],
+            win_switch=m[:, 4:6], mixed=m[:, 6:8],
+            global_gain=m[:, 8:10], scalefac_scale=m[:, 10:12],
+            preflag=m[:, 12:14], count1=m[:, 14:16],
+            subblock_gain=m[:, 16:22].reshape(-1, 2, 3),
+            ms_flag=m[:, 22], is_flag=m[:, 23],
+            nch=jnp.maximum(m[:, 24], 1), active=active[f],
+            gr1=jnp.zeros(B, jnp.int32),  # every LSF granule is gr 0
+            is_pos_l=is_pos[f, :, :22],
+            is_pos_s=is_pos[f, :, 22:61].reshape(B, 13, 3),
+            iscale=m[:, 27])
+        pcm, state = decode_granules.__wrapped__(
+            batch, state, exact, bug_compat, float_pcm, family)
+        pcms.append(pcm)
+    out = pcms[0] if F == 1 else jnp.concatenate(pcms, axis=1)
+    return out, state
+
+
+# ---------------------------------------------------------------------------
 # Sparse count1-bounded wire: every granule's lines are zero from count1 up
 # (rzero, pdmp3.c:2108-2111), so the host ships only ceil(count1/128)
 # 128-line blocks per (gr,ch) plus a tiny block table, cutting wire bytes

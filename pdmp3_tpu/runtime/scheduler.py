@@ -61,11 +61,24 @@ class StreamDecoder:
     def __init__(self, n_slots: int, exact: bool = False,
                  bug_compat: bool = True, parse_threads: int = 1,
                  frames_per_step: int = 1, profile: int = 0,
-                 kernel: str = "xla", float_pcm: bool = False):
-        from ..host import PROFILE_SPEC_INTENSITY
+                 kernel: str = "xla", float_pcm: bool = False,
+                 family: int = 0):
+        from ..host import PROFILE_LSF, PROFILE_SPEC_INTENSITY
 
         self.n = n_slots
         self.exact = exact
+        # family 1/2 = an MPEG-2 / MPEG-2.5 LSF pool (13818-3): handles
+        # get PDMP3_PROFILE_LSF, the wire drops the granule axis (one
+        # granule per frame) and carries the intensity sidecar, and the
+        # device runs the per-family compiled program.  The serving layer
+        # routes streams to per-family pools (mixed-family batches would
+        # need per-slot layout constants — docs/ROADMAP.md).
+        self.family = family
+        if family:
+            assert family in (1, 2)
+            assert kernel == "xla", "LSF pools run on the XLA kernel"
+            assert not float_pcm, "LSF pools emit S16 PCM"
+            profile |= PROFILE_LSF
         # float_pcm=True: decode_step returns f32 PCM in [-1, 1]
         # (ops/dsp.float_pack) instead of S16 — a serving option the
         # reference lacks; XLA kernel only
@@ -109,6 +122,8 @@ class StreamDecoder:
         self._finish_init()
 
     def _make_layout(self) -> dict:
+        if self.family:
+            return M.soa_layout_lsf(self.n, self.F)
         return M.soa_layout(self.n, self.F)
 
     def _bind_views(self):
@@ -120,19 +135,29 @@ class StreamDecoder:
             return self.wire[o:o + n].reshape(shape)
 
         F = self.F
-        self.ix = view("ix", (F * 2, self.n, 2, 576))
-        self.scf_l = view("scf_l", (F * 2, self.n, 2, 22))
-        self.scf_s = view("scf_s", (F * 2, self.n, 2, 39))
-        self.meta = view("meta", (F * 2, self.n, _META))
+        ngr = 1 if self.family else 2  # LSF frames carry ONE granule
+        self.ix = view("ix", (F * ngr, self.n, 2, 576))
+        self.scf_l = view("scf_l", (F * ngr, self.n, 2, 22))
+        self.scf_s = view("scf_s", (F * ngr, self.n, 2, 39))
+        self.meta = view("meta", (F * ngr, self.n, _META))
+        if self.family:
+            self.is_pos = view("is_pos", (F, self.n, 64))
         # [B] for the classic one-frame step, [F,B] for multi-frame
         self.active = view("active",
                            (self.n,) if F == 1 else (F, self.n))
 
     def _finish_init(self):
-        self._fn = lib().pdmp3_parse_step_wire16
-        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int, C.c_size_t,
-                             C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
-                             C.c_void_p]
+        if self.family:
+            self._fn = lib().pdmp3_parse_step_wire16_lsf
+            self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int,
+                                 C.c_size_t, C.c_void_p, C.c_void_p,
+                                 C.c_void_p, C.c_void_p, C.c_void_p,
+                                 C.c_void_p]
+        else:
+            self._fn = lib().pdmp3_parse_step_wire16
+            self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int,
+                                 C.c_size_t, C.c_void_p, C.c_void_p,
+                                 C.c_void_p, C.c_void_p, C.c_void_p]
         self._handle_arr = (C.c_void_p * self.n)(
             *[h._h for h in self.handles])
 
@@ -147,6 +172,15 @@ class StreamDecoder:
     def parse_step(self) -> int:
         """Parse one frame per slot into the step tensors (one native call
         for the whole batch).  Returns the number of active slots."""
+        if self.family:
+            return self._fn(self._handle_arr, self.n, self.parse_threads,
+                            self.F,
+                            self.ix.ctypes.data_as(C.c_void_p),
+                            self.scf_l.ctypes.data_as(C.c_void_p),
+                            self.scf_s.ctypes.data_as(C.c_void_p),
+                            self.meta.ctypes.data_as(C.c_void_p),
+                            self.is_pos.ctypes.data_as(C.c_void_p),
+                            self.active.ctypes.data_as(C.c_void_p))
         return self._fn(self._handle_arr, self.n, self.parse_threads,
                         self.F,
                         self.ix.ctypes.data_as(C.c_void_p),
@@ -158,19 +192,27 @@ class StreamDecoder:
     # ---- device side ----
 
     def decode_step(self, fetch: bool = True):
-        """Decode the parsed frame (2 granule steps).  Returns interleaved
-        PCM int16 [B, frames_per_step*1152, 2] (zeros for inactive
-        slots/frames), or None if no
+        """Decode the parsed frame (2 granule steps; 1 for LSF pools).
+        Returns interleaved PCM int16 [B, frames_per_step*1152, 2]
+        ([B, frames_per_step*576, 2] for LSF pools — one granule per
+        frame) with zeros for inactive slots/frames, or None if no
         slot was active.  fetch=False keeps the PCM on device (jax array) —
         the serving configuration, where a downstream consumer pulls PCM
         asynchronously."""
         if not self.active.any():
             return None
         import jax
-        pcm, self.state = M.decode_frame_packed(
-            jax.device_put(self.wire), self.state, B=self.n, F=self.F,
-            exact=self.exact, bug_compat=self.bug_compat,
-            kernel=self.kernel, float_pcm=self.float_pcm)
+        if self.family:
+            # LSF pool: one granule per frame -> [B, F*576, 2] PCM
+            pcm, self.state = M.decode_frame_packed_lsf(
+                jax.device_put(self.wire), self.state, B=self.n, F=self.F,
+                family=self.family, exact=self.exact,
+                bug_compat=self.bug_compat)
+        else:
+            pcm, self.state = M.decode_frame_packed(
+                jax.device_put(self.wire), self.state, B=self.n, F=self.F,
+                exact=self.exact, bug_compat=self.bug_compat,
+                kernel=self.kernel, float_pcm=self.float_pcm)
         # swap to the other wire buffer for the next parse (the upload of
         # this one may still be in flight); carry the just-decoded step's
         # active/meta over so post-decode queries keep working
@@ -248,6 +290,8 @@ class SparseStreamDecoder(StreamDecoder):
     bit-identical to the dense path."""
 
     def _make_layout(self) -> dict:
+        assert not self.family, \
+            "LSF pools use the dense LSF wire (StreamDecoder(family=...))"
         self._cap_full = M.sparse_worst_blocks(self.n, self.F)
         return M.sparse_layout(self.n, self.F, self._cap_full)
 

@@ -220,3 +220,118 @@ def test_lsf_frame_skipped_by_dense_mpeg1_pool_packer():
                active.ctypes.data_as(C.c_void_p))
         assert r == 0 and active[0] == 0
     assert h.inbuf_filled() < len(stream)
+
+
+# ---------------------------------------------------------------------------
+# LSF serving pools (StreamDecoder(family=...), the dense LSF wire)
+# ---------------------------------------------------------------------------
+
+def _serve_pool(streams, family, exact, feed_all=True, **kw):
+    from pdmp3_tpu.runtime.scheduler import StreamDecoder
+    B = len(streams)
+    dec = StreamDecoder(B, exact=exact, family=family, **kw)
+    for s, data in enumerate(streams):
+        if feed_all:
+            dec.feed(s, data)
+    per_slot = [[] for _ in range(B)]
+    while dec.parse_step() > 0:
+        pcm = dec.decode_step()
+        act = dec.active if dec.active.ndim == 2 else dec.active[None]
+        P = pcm.reshape(B, -1, 576, 2) if pcm is not None else None
+        for f in range(act.shape[0]):
+            for s in range(B):
+                if act[f, s]:
+                    p = P[s, f]
+                    per_slot[s].append(
+                        p.tobytes() if dec.nch(s) == 2
+                        else p[:, 0].tobytes())
+    return dec, per_slot
+
+
+@pytest.mark.parametrize("family,exact", [(1, True), (1, False),
+                                          (2, True), (2, False)])
+def test_lsf_pool_serving_equals_per_stream(family, exact):
+    """A mixed-rate/mode/block LSF pool decodes every slot bit-identically
+    to (exact) the native per-stream decoder / (fast) within 1 LSB."""
+    kws = [dict(mode=0), dict(mode=3),
+           dict(mode=1, mode_extension=1, stereo_extent_ch1=0.3,
+                blocks="mixed"),
+           dict(mode=1, mode_extension=3, blocks="varied",
+                stereo_extent_ch1=0.4)]
+    streams = [mp3gen.make_stream(n_frames=10, seed=300 + i, family=family,
+                                  sfreq=i % 3, bitrate_index=11, **kw)
+               for i, kw in enumerate(kws)]
+    _, per_slot = _serve_pool(streams, family, exact)
+    for s, data in enumerate(streams):
+        want = native_decode_file(data, profile=PROFILE_LSF)
+        got = b"".join(per_slot[s])
+        assert len(got) == len(want), (s, len(got), len(want))
+        if exact:
+            assert got == want, f"slot {s}"
+        else:
+            w = np.frombuffer(want, np.int16).astype(np.int32)
+            g = np.frombuffer(got, np.int16).astype(np.int32)
+            assert np.abs(w - g).max(initial=0) <= 1, f"slot {s}"
+
+
+def test_lsf_pool_multiframe_step():
+    """frames_per_step > 1 chains granule steps on device."""
+    streams = [mp3gen.make_stream(n_frames=12, seed=41 + s, family=1,
+                                  sfreq=s % 3, mode=0, bitrate_index=11)
+               for s in range(3)]
+    _, per_slot = _serve_pool(streams, 1, True, frames_per_step=3)
+    for s, data in enumerate(streams):
+        want = native_decode_file(data, profile=PROFILE_LSF)
+        assert b"".join(per_slot[s]) == want, f"slot {s}"
+
+
+def test_lsf_pool_starved_slot_isolation():
+    """A starved (never-fed) slot stays inactive and silent without
+    perturbing its batch neighbours."""
+    from pdmp3_tpu.runtime.scheduler import StreamDecoder
+    streams = [mp3gen.make_stream(n_frames=8, seed=51 + s, family=2,
+                                  mode=0, bitrate_index=11)
+               for s in range(3)]
+    B = 3
+    dec = StreamDecoder(B, exact=True, family=2)
+    dec.feed(0, streams[0])
+    dec.feed(2, streams[2])  # slot 1 starved
+    per_slot = [[] for _ in range(B)]
+    while dec.parse_step() > 0:
+        pcm = dec.decode_step()
+        assert dec.active[1] == 0
+        assert not pcm[1].any()
+        for s in (0, 2):
+            if dec.active[s]:
+                per_slot[s].append(pcm[s].tobytes())
+    for s in (0, 2):
+        want = native_decode_file(streams[s], profile=PROFILE_LSF)
+        assert b"".join(per_slot[s]) == want
+
+
+def test_lsf_pool_checkpoint_roundtrip():
+    """Pool checkpoint/restore resumes bit-identically mid-stream."""
+    from pdmp3_tpu.runtime.scheduler import StreamDecoder
+    streams = [mp3gen.make_stream(n_frames=10, seed=61 + s, family=1,
+                                  sfreq=s % 3, mode=1, mode_extension=3,
+                                  stereo_extent_ch1=0.5, bitrate_index=11)
+               for s in range(2)]
+    B = 2
+    dec = StreamDecoder(B, exact=True, family=1)
+    for s, d in enumerate(streams):
+        dec.feed(s, d)
+    for _ in range(3):
+        assert dec.parse_step() > 0
+        dec.decode_step()
+    ckpt = dec.save_checkpoint()
+    rest_a = []
+    while dec.parse_step() > 0:
+        rest_a.append(np.asarray(dec.decode_step()).copy())
+    dec2 = StreamDecoder(B, exact=True, family=1)
+    dec2.restore_checkpoint(ckpt)
+    rest_b = []
+    while dec2.parse_step() > 0:
+        rest_b.append(np.asarray(dec2.decode_step()).copy())
+    assert len(rest_a) == len(rest_b) > 0
+    for a, b in zip(rest_a, rest_b):
+        np.testing.assert_array_equal(a, b)
