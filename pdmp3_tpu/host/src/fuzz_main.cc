@@ -61,7 +61,9 @@ static void run_streaming(const uint8_t *data, size_t size, Rng &r) {
   pdmp3_handle *h = pdmp3_new(nullptr, nullptr);
   if (!h) return;
   pdmp3_open_feed(h);
-  pdmp3_set_profile(h, (unsigned)(r.next() & 3));
+  // all 8 profile combinations, incl. PDMP3_PROFILE_LSF (11-bit sync
+  // scan + the MPEG-2/2.5 one-granule parse paths)
+  pdmp3_set_profile(h, (unsigned)(r.next() & 7));
   unsigned char out[16384];
   size_t done = 0, pos = 0;
   int guard = 0;
@@ -96,17 +98,20 @@ static void run_streaming(const uint8_t *data, size_t size, Rng &r) {
 }
 
 static void run_wire(const uint8_t *data, size_t size, Rng &r) {
-  // serving wire packers, 2 slots x 2 frames/step, dense + sparse
+  // serving wire packers, 2 slots x 2 frames/step, dense + sparse + LSF
   enum { kSlots = 2, kFrames = 2 };
   pdmp3_handle *hs[kSlots];
+  bool lsf = (r.next() & 3) == 0;  // LSF pool round (1 in 4)
   for (auto &h : hs) {
     h = pdmp3_new(nullptr, nullptr);
     pdmp3_open_feed(h);
+    if (lsf) pdmp3_set_profile(h, PDMP3_PROFILE_LSF);
   }
   static int16_t ix[kFrames * 2 * kSlots * 2 * 576];
   static int16_t scf_l[kFrames * 2 * kSlots * 2 * 22];
   static int16_t scf_s[kFrames * 2 * kSlots * 2 * 39];
   static int16_t meta[kFrames * 2 * kSlots * PDMP3_META_WORDS];
+  static int16_t is_pos[kFrames * kSlots * 64];
   static int16_t active[kFrames * kSlots];
   enum { kCap = kFrames * 2 * kSlots * 2 * 5 };
   static int16_t blk[kFrames * 2 * kSlots * 2 * 4];
@@ -120,7 +125,10 @@ static void run_wire(const uint8_t *data, size_t size, Rng &r) {
         if (pdmp3_feed(hs[s], data + pos[s], n) == PDMP3_OK)
           pos[s] += n;
     }
-    if (step & 1) {
+    if (lsf)
+      pdmp3_parse_step_wire16_lsf(hs, kSlots, 1, kFrames, ix, scf_l,
+                                  scf_s, meta, is_pos, active);
+    else if (step & 1) {
       long long used = 0;
       pdmp3_parse_step_wire16_sparse(hs, kSlots, 1, kFrames, flat, kCap,
                                      blk, scf_l, scf_s, meta, active,

@@ -387,16 +387,19 @@ def soa_layout_lsf(B: int, F: int = 1) -> dict:
 
 @functools.partial(_lazy_jit,
                    static_argnames=("B", "F", "family", "exact",
-                                    "bug_compat", "float_pcm"))
+                                    "bug_compat", "float_pcm", "kernel"))
 def decode_frame_packed_lsf(buf, state, B: int, F: int = 1,
                             family: int = 1, exact: bool = False,
                             bug_compat: bool = True,
-                            float_pcm: bool = False):
+                            float_pcm: bool = False,
+                            kernel: str = "xla"):
     """Decode F one-granule LSF frames per slot from the packed wire
     (buf: int16 [soa_layout_lsf(B, F)['total']]).  Returns
-    (pcm i16 [B, F*576, 2], new_state).  XLA pipeline (decode_granules
-    with the family static); bug_compat is accepted for interface parity
-    but LSF has no reference bugs to emulate."""
+    (pcm i16 [B, F*576, 2], new_state).  kernel="xla" runs
+    decode_granules with the family static; "pallas" the fused
+    feature-major kernel (state in PallasState layout).  bug_compat is
+    accepted for interface parity but LSF has no reference bugs to
+    emulate."""
     assert family in (1, 2)
     off = soa_layout_lsf(B, F)
 
@@ -427,8 +430,14 @@ def decode_frame_packed_lsf(buf, state, B: int, F: int = 1,
             is_pos_l=is_pos[f, :, :22],
             is_pos_s=is_pos[f, :, 22:61].reshape(B, 13, 3),
             iscale=m[:, 27])
-        pcm, state = decode_granules.__wrapped__(
-            batch, state, exact, bug_compat, float_pcm, family)
+        if kernel == "pallas":
+            from ..ops.pallas_step import decode_granules_pallas
+            pcm, state = decode_granules_pallas.__wrapped__(
+                batch, state, exact, bug_compat, 128, family)
+        else:
+            assert kernel == "xla", kernel
+            pcm, state = decode_granules.__wrapped__(
+                batch, state, exact, bug_compat, float_pcm, family)
         pcms.append(pcm)
     out = pcms[0] if F == 1 else jnp.concatenate(pcms, axis=1)
     return out, state

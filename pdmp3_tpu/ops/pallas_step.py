@@ -281,11 +281,15 @@ def _kernel(exact: bool,
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=1)
-def _front_consts():
+@functools.lru_cache(maxsize=None)
+def _front_consts(family: int = 0):
     """Front-half constants in feature-major matmul form: per-line
     expansions become [576, 9*K] matrices contracted with the per-slot
-    (layout one-hot ⊗ parameter) tensor (ops/dsp.py:_expand transposed)."""
+    (layout one-hot ⊗ parameter) tensor (ops/dsp.py:_expand transposed).
+
+    family selects the sample-rate generation's band maps (LSF,
+    tables.py): each family is its own compiled kernel with its own
+    constants — the MPEG-1 hot path is untaxed."""
     from . import dsp as D
 
     def w(E):  # [9,576,K] -> [576, 9*K]
@@ -296,19 +300,20 @@ def _front_consts():
     def wm(m):  # [9,576] map -> [576,9] select matrix
         return np.ascontiguousarray(np.asarray(m, np.float32).T)
 
+    smaps = T.stereo_maps(family)
     return dict(
-        w_sfb=w(D._expansion_const("sfb", 22, True)),
-        w_sfs=w(D._expansion_sfb_s(True)),
+        w_sfb=w(D._expansion_const("sfb", 22, True, family)),
+        w_sfs=w(D._expansion_sfb_s(True, family)),
         # stereo reads short-block is_pos with the WINDOW-MAJOR line map
         # even post-reorder (reference bug-compat: pdmp3.c:2190-2220
         # walks window-major spans of the reordered array), hence the
         # plain (non-precomposed) variant
-        w_sfs_plain=w(D._expansion_sfb_s(False)),
-        w_win=w(D._expansion_const("win", 3, True)),
-        w_pre=wm(D._pretab_line_map()),
-        w_short=wm(D._MAPS["is_short"]),
-        w_bs=wm(D._SMAPS["band_start"]),
-        w_iok=wm(D._SMAPS["intensity_ok"]),
+        w_sfs_plain=w(D._expansion_sfb_s(False, family)),
+        w_win=w(D._expansion_const("win", 3, True, family)),
+        w_pre=wm(D._pretab_line_map(family)),
+        w_short=wm(T.layout_maps(family)["is_short"]),
+        w_bs=wm(smaps["band_start"]),
+        w_iok=wm(smaps["intensity_ok"]),
         ratio_l=np.asarray(D._RATIO_L, np.float32),
         ratio_r=np.asarray(D._RATIO_R, np.float32),
         cs=np.asarray(T.ANTIALIAS_CS, np.float32),
@@ -344,16 +349,30 @@ def _k_sel16(idx, tab):
     return out
 
 
-def _kernel_full(bug_compat: bool,
-                 ix_ref, scfl_ref, scfs_ref, lay_ref, meta_ref, sbg_ref,
-                 act_ref, bt_ref, store_ref, v_ref,
-                 wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
-                 wshort_ref, wbs_ref, wiok_ref,
-                 cos36t_ref, c3t_ref, wint_ref, win2_ref, nwin_ref, d_ref,
-                 inv_ref,
-                 out_ref, store_out_ref, v_out_ref, prev_ref):
+def _kernel_full(bug_compat: bool, family: int, *refs):
+    # family != 0 (LSF) adds one input ref: ip_ref i32 [64, BN] — the
+    # intensity sidecar (rows 0..21 long positions, 22..60 short flat,
+    # illegal = 63); iscale rides meta row 12.  The MPEG-1 signature is
+    # unchanged so its compiled kernel carries zero LSF overhead.
+    if family:
+        (ix_ref, scfl_ref, scfs_ref, lay_ref, meta_ref, sbg_ref,
+         act_ref, bt_ref, store_ref, v_ref, ip_ref,
+         wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
+         wshort_ref, wbs_ref, wiok_ref,
+         cos36t_ref, c3t_ref, wint_ref, win2_ref, nwin_ref, d_ref,
+         inv_ref,
+         out_ref, store_out_ref, v_out_ref, prev_ref) = refs
+    else:
+        (ix_ref, scfl_ref, scfs_ref, lay_ref, meta_ref, sbg_ref,
+         act_ref, bt_ref, store_ref, v_ref,
+         wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
+         wshort_ref, wbs_ref, wiok_ref,
+         cos36t_ref, c3t_ref, wint_ref, win2_ref, nwin_ref, d_ref,
+         inv_ref,
+         out_ref, store_out_ref, v_out_ref, prev_ref) = refs
+        ip_ref = None
     BN = ix_ref.shape[-1]
-    fc = _front_consts()
+    fc = _front_consts(family)
     act = act_ref[0].reshape(1, 1, BN) != 0
 
     # --- requantize both channels (pdmp3.c:1829-1905, 2117-2152) ---
@@ -424,27 +443,57 @@ def _kernel_full(bug_compat: bool,
 
     band_start = _dot(wbs_ref[:], oh0, _HIGH).astype(jnp.int32)
     iok = _dot(wiok_ref[:], oh0)
-    scf_s0_plain = _dot(wsfsp_ref[:], t_s0)
-    is_pos = jnp.where(short0 == F32(1.0), scf_s0_plain,
-                       scf_l0).astype(jnp.int32)
-    imask = ((isf != 0) & (iok == F32(1.0)) & (band_start >= c1r)
-             & (is_pos != 7))
-    # 16-wide ratios (is_pos 8..15 = reference OOB read emulation);
-    # spec profile clamps short-block is_pos to the zero-ratio slot
-    ip = jnp.clip(is_pos, 0, 15)
-    if not bug_compat:
-        ip = jnp.where(short0 == F32(1.0), jnp.minimum(ip, 7), ip)
-    int_l = _k_sel16(ip, fc["ratio_l"]) * l
-    int_r = _k_sel16(ip, fc["ratio_r"]) * l
-    if bug_compat:
-        # pdmp3.c:2212-2213 short-intensity unsigned-assign bug (fast
-        # precision: f32 trunc/mod, dsp.stereo)
-        u = jnp.mod(jnp.trunc(l), F32(2.0 ** 32))
-        int_l = jnp.where(short0 == F32(1.0), u, int_l)
-        int_r = jnp.where(short0 == F32(1.0), u, int_r)
-    l = jnp.where(imask, int_l, l)
-    r = jnp.where(imask, int_r, r)
-    xs = [l, r]
+    if family:
+        # LSF intensity (13818-3 §2.4.3.2): positions from ch1's sidecar
+        # expanded to lines with the same one-hot matmuls as the
+        # scalefactors (values <= 63, bf16-exact); gains k0/k1 built by
+        # the closed-form 2^(-q/4) construction, proven bit-identical to
+        # tables.lsf_intensity_tables over every reachable (iscale, pos)
+        # (test_lsf_pallas: closed-form lock)
+        ipl = ip_ref[0:22].astype(F32)                # [22,BN]
+        ips = ip_ref[22:61].astype(F32)               # [39,BN]
+        t_pl = (oh0[:, None, :] * ipl[None, :, :]).reshape(9 * 22, BN)
+        pos_l = _dot(wsfb_ref[:], t_pl)
+        t_ps = (oh0[:, None, :] * ips[None, :, :]).reshape(9 * 39, BN)
+        pos_s = _dot(wsfsp_ref[:], t_ps)
+        pos = jnp.where(short0 == F32(1.0), pos_s, pos_l).astype(jnp.int32)
+        imask = ((isf != 0) & (iok == F32(1.0)) & (band_start >= c1r)
+                 & (pos != 63))
+        isc1 = meta_ref[12].reshape(1, BN) + 1        # iscale + 1
+        p = jnp.clip(pos, 0, 63)
+        odd = (p & 1) == 1
+        q0 = jnp.where(odd, (p + 1) >> 1, 0) * isc1
+        q1 = jnp.where(odd, 0, p >> 1) * isc1
+        k0 = (_k_quarter(q0 & 3, fc["quarter_down"])
+              * _k_pow2i(-(q0 >> 2)))
+        k1 = (_k_quarter(q1 & 3, fc["quarter_down"])
+              * _k_pow2i(-(q1 >> 2)))
+        l2 = jnp.where(imask, k0 * l, l)
+        r = jnp.where(imask, k1 * l, r)
+        l = l2
+        xs = [l, r]
+    else:
+        scf_s0_plain = _dot(wsfsp_ref[:], t_s0)
+        is_pos = jnp.where(short0 == F32(1.0), scf_s0_plain,
+                           scf_l0).astype(jnp.int32)
+        imask = ((isf != 0) & (iok == F32(1.0)) & (band_start >= c1r)
+                 & (is_pos != 7))
+        # 16-wide ratios (is_pos 8..15 = reference OOB read emulation);
+        # spec profile clamps short-block is_pos to the zero-ratio slot
+        ip = jnp.clip(is_pos, 0, 15)
+        if not bug_compat:
+            ip = jnp.where(short0 == F32(1.0), jnp.minimum(ip, 7), ip)
+        int_l = _k_sel16(ip, fc["ratio_l"]) * l
+        int_r = _k_sel16(ip, fc["ratio_r"]) * l
+        if bug_compat:
+            # pdmp3.c:2212-2213 short-intensity unsigned-assign bug (fast
+            # precision: f32 trunc/mod, dsp.stereo)
+            u = jnp.mod(jnp.trunc(l), F32(2.0 ** 32))
+            int_l = jnp.where(short0 == F32(1.0), u, int_l)
+            int_r = jnp.where(short0 == F32(1.0), u, int_r)
+        l = jnp.where(imask, int_l, l)
+        r = jnp.where(imask, int_r, r)
+        xs = [l, r]
 
     # --- antialias (pdmp3.c:1706-1732) + back half per channel ---
     for ch in range(2):
@@ -556,10 +605,12 @@ def back_half_t(xa_t, store_t, v_t, bt_t, active,
 
 
 @functools.partial(_lazy_jit,
-                   static_argnames=("block_lanes", "bug_compat"))
+                   static_argnames=("block_lanes", "bug_compat",
+                                    "family"))
 def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
                 bt_t, store_t, v_t, block_lanes: int = 128,
-                bug_compat: bool = True):
+                bug_compat: bool = True, family: int = 0,
+                ip_t=None):
     """Fully-fused fast-mode granule step: requantize -> stereo ->
     antialias -> hybrid synthesis -> polyphase -> quantize in ONE
     pallas_call; no [B,2,576] intermediate ever touches HBM.
@@ -569,6 +620,11 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
     lay_t i32 [2,B]; meta_t i32 [12,B] rows {gg0,gg1,sfs0,sfs1,pre0,
     pre1,c1_0,c1_1,sblim0,sblim1,ms,is}; sbg_t i32 [2,3,B]; active i32
     [B]; bt_t i32 [2,32,B] effective block types; state as back_half_t.
+
+    family != 0 (LSF pools) appends meta row 12 = iscale (meta_t
+    [13,B]) and requires ip_t i32 [64,B], the intensity sidecar in the
+    LSF wire layout; the kernel compiles per family with that family's
+    band-map constants.
 
     Returns (pcm_t [2,576,B] quantized floats, new_store_t, new_v_t,
     prev3 [3,B])."""
@@ -585,9 +641,11 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
          v_t) = map(padl, (ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t,
                            bt_t, store_t, v_t))
         active = jnp.pad(active, (0, pad))
+        if ip_t is not None:
+            ip_t = padl(ip_t)
     Bp = ix_t.shape[-1]
     c = _consts()
-    fc = _front_consts()
+    fc = _front_consts(family)
     act2 = active.reshape(1, Bp).astype(jnp.int32)
 
     def bspec(shape):
@@ -606,11 +664,13 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
               fc["w_pre"], fc["w_short"], fc["w_bs"], fc["w_iok"])
     backs = (c["cos36_t"], c["c3_t"], c["win_t"], c["win2"], c["nwin"],
              c["d"], c["inv_t"])
+    meta_rows = 13 if family else 12
+    extra_specs = [bspec((64, Bp))] if family else []
     in_specs = [
         bspec((2, 576, Bp)), bspec((2, 22, Bp)), bspec((2, 39, Bp)),
-        bspec((2, Bp)), bspec((12, Bp)), bspec((2, 3, Bp)),
+        bspec((2, Bp)), bspec((meta_rows, Bp)), bspec((2, 3, Bp)),
         bspec((1, Bp)), bspec((2, 32, Bp)),
-        bspec((2, 18, 32, Bp)), bspec((2, 15, 64, Bp)),
+        bspec((2, 18, 32, Bp)), bspec((2, 15, 64, Bp)), *extra_specs,
         *(cspec(a) for a in fronts), *(cspec(a) for a in backs),
     ]
     out_specs = (
@@ -623,16 +683,17 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
         jax.ShapeDtypeStruct((2, 15, 64, Bp), F32),
         jax.ShapeDtypeStruct((3, Bp), F32),
     )
+    extra_args = [ip_t] if family else []
     with jax.enable_x64(False):  # same Mosaic i64 caveat as back_half_t
         outs = pl.pallas_call(
-            functools.partial(_kernel_full, bug_compat),
+            functools.partial(_kernel_full, bug_compat, family),
             grid=(Bp // BN,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=jax.default_backend() != "tpu",
         )(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, act2, bt_t,
-          store_t, v_t,
+          store_t, v_t, *extra_args,
           *(jnp.asarray(a) for a in fronts),
           *(jnp.asarray(a) for a in backs))
     if pad:
@@ -641,10 +702,11 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
 
 
 @functools.partial(_lazy_jit,
-                   static_argnames=("block_lanes", "exact", "bug_compat"))
+                   static_argnames=("block_lanes", "exact", "bug_compat",
+                                    "family"))
 def decode_granules_pallas(batch, pstate: PallasState,
                            exact: bool = False, bug_compat: bool = True,
-                           block_lanes: int = 128):
+                           block_lanes: int = 128, family: int = 0):
     """One batched granule step on the Pallas path.
 
     Front half (requantize/stereo/antialias; reorder is folded into the
@@ -652,6 +714,14 @@ def decode_granules_pallas(batch, pstate: PallasState,
     the fused feature-major kernel.  Same
     (pcm, state) contract as models.decoder.decode_granules, with state
     in PallasState layout.
+
+    family 1/2 (LSF pools): each family compiles its own kernel with its
+    band-map constants; the intensity sidecar (batch.is_pos_l/s, iscale)
+    feeds the in-kernel LSF stereo.  In fast mode the LSF intensity
+    gains use the closed-form 2^(-q/4) construction, bit-identical to
+    tables.lsf_intensity_tables (test_lsf_pallas locks this), so the
+    stereo stage matches the XLA path bitwise; pow-4/3 keeps the
+    documented 1-ulp fast-path caveat.
     """
     from . import dsp
 
@@ -670,11 +740,13 @@ def decode_granules_pallas(batch, pstate: PallasState,
                            batch.subblock_gain,
                            exact=dsp._ABL != "rqfast",
                            gr1=batch.gr1, prev_lines=pstate.prev_lines,
-                           pre_reordered=True)
+                           pre_reordered=True, family=family)
         x = dsp.stereo(x, batch.layout, batch.scf_l, batch.scf_s,
                        batch.count1, batch.ms_flag, batch.is_flag,
                        exact=True,
-                       bug_compat_short_intensity=bug_compat)
+                       bug_compat_short_intensity=bug_compat,
+                       family=family, is_pos_l=batch.is_pos_l,
+                       is_pos_s=batch.is_pos_s, iscale=batch.iscale)
         x = dsp.antialias(x, batch.layout, batch.win_switch,
                           batch.block_type, batch.mixed)
         xa_t = x.reshape(B, 2, 32, 18).transpose(1, 3, 2, 0)  # [2,18,32,B]
@@ -712,7 +784,7 @@ def decode_granules_pallas(batch, pstate: PallasState,
         isp = (ws == 1) & (btb == 2) & (mx == 0)
         ism = (ws == 1) & (btb == 2) & (mx == 1)
         sblim = jnp.where(isp, 1, jnp.where(ism, 2, 32))  # [B,2]
-        meta_t = jnp.concatenate([
+        meta_rows = [
             batch.global_gain.astype(jnp.int32).T,
             batch.scalefac_scale.astype(jnp.int32).T,
             batch.preflag.astype(jnp.int32).T,
@@ -720,12 +792,22 @@ def decode_granules_pallas(batch, pstate: PallasState,
             sblim.astype(jnp.int32).T,
             batch.ms_flag.astype(jnp.int32)[None],
             batch.is_flag.astype(jnp.int32)[None],
-        ], axis=0)
+        ]
+        ip_t = None
+        if family:
+            meta_rows.append(batch.iscale.astype(jnp.int32)[None])
+            ip_t = jnp.concatenate([
+                batch.is_pos_l.astype(jnp.int32).T,          # [22,B]
+                batch.is_pos_s.astype(jnp.int32)
+                .reshape(B, 39).T,                           # [39,B]
+                jnp.zeros((3, B), jnp.int32),
+            ], axis=0)                                       # [64,B]
+        meta_t = jnp.concatenate(meta_rows, axis=0)
         sbg_t = batch.subblock_gain.astype(jnp.int32).transpose(1, 2, 0)
         q, store_t, v_t, prev3 = full_step_t(
             ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, act, bt_t,
             pstate.store_t, pstate.v_t, block_lanes=block_lanes,
-            bug_compat=bug_compat)
+            bug_compat=bug_compat, family=family, ip_t=ip_t)
     # interleave in the kernel's feature-major layout BEFORE the
     # batch-minor -> batch-major relayout, packing the stereo pair into
     # one uint32 word (left low, right high): the transpose then moves

@@ -76,7 +76,6 @@ class StreamDecoder:
         self.family = family
         if family:
             assert family in (1, 2)
-            assert kernel == "xla", "LSF pools run on the XLA kernel"
             assert not float_pcm, "LSF pools emit S16 PCM"
             profile |= PROFILE_LSF
         # float_pcm=True: decode_step returns f32 PCM in [-1, 1]
@@ -207,7 +206,7 @@ class StreamDecoder:
             pcm, self.state = M.decode_frame_packed_lsf(
                 jax.device_put(self.wire), self.state, B=self.n, F=self.F,
                 family=self.family, exact=self.exact,
-                bug_compat=self.bug_compat)
+                bug_compat=self.bug_compat, kernel=self.kernel)
         else:
             pcm, self.state = M.decode_frame_packed(
                 jax.device_put(self.wire), self.state, B=self.n, F=self.F,

@@ -335,3 +335,78 @@ def test_lsf_pool_checkpoint_roundtrip():
     assert len(rest_a) == len(rest_b) > 0
     for a, b in zip(rest_a, rest_b):
         np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# LSF on the fused Pallas kernel (interpret mode here; the compiled
+# Mosaic kernel is covered by the on-TPU conformance job)
+# ---------------------------------------------------------------------------
+
+def test_lsf_intensity_closed_form_matches_tables():
+    """The in-kernel LSF intensity gains use the closed-form 2^(-q/4)
+    construction (quarter-step table x exponent bitcast); lock its
+    bitwise equality to tables.lsf_intensity_tables over every reachable
+    (iscale, position) so the Pallas stereo stage stays bit-identical to
+    the XLA path's table gathers."""
+    from pdmp3_tpu.ops import dsp as D
+    k0t, k1t = T.lsf_intensity_tables()
+    qd = np.asarray(D._QUARTER_DOWN4, np.float32)
+
+    def pow2i(n):
+        if n < -126 or n > 127:
+            return np.float32(0.0)
+        return np.int32((n + 127) << 23).view(np.float32)
+
+    for isc in range(2):
+        for p in range(32):
+            k0e = ((p + 1) >> 1) if (p & 1) else 0
+            k1e = 0 if (p & 1) else (p >> 1)
+            for tab, e in ((k0t, k0e), (k1t, k1e)):
+                q = e * (isc + 1)
+                got = np.float32(qd[q & 3] * pow2i(-(q >> 2)))
+                assert got.tobytes() == tab[isc][p].tobytes(), \
+                    (isc, p, got, tab[isc][p])
+
+
+def _pool_streams(fam):
+    return [mp3gen.make_stream(n_frames=8, seed=700 + i, family=fam,
+                               sfreq=i % 3, bitrate_index=11, mode=1,
+                               mode_extension=ext, stereo_extent_ch1=0.4,
+                               blocks=b)
+            for i, (ext, b) in enumerate(
+                [(3, "varied"), (1, "mixed"), (2, "long")])]
+
+
+def _serve(streams, fam, kernel, exact):
+    from pdmp3_tpu.runtime.scheduler import StreamDecoder
+    B = len(streams)
+    dec = StreamDecoder(B, exact=exact, family=fam, kernel=kernel)
+    for s, d in enumerate(streams):
+        dec.feed(s, d)
+    per = [[] for _ in streams]
+    while dec.parse_step() > 0:
+        pcm = dec.decode_step()
+        for s in range(B):
+            if dec.active[s]:
+                per[s].append(pcm[s].tobytes())
+    return [b"".join(p) for p in per]
+
+
+@pytest.mark.parametrize("fam", [1, 2])
+def test_lsf_pallas_exact_pool_bit_exact(fam):
+    streams = _pool_streams(fam)
+    got = _serve(streams, fam, "pallas", True)
+    for s, d in enumerate(streams):
+        assert got[s] == native_decode_file(d, profile=PROFILE_LSF), s
+
+
+@pytest.mark.parametrize("fam", [1, 2])
+def test_lsf_pallas_fast_within_1lsb_of_xla(fam):
+    streams = _pool_streams(fam)
+    fp = _serve(streams, fam, "pallas", False)
+    fx = _serve(streams, fam, "xla", False)
+    for s in range(len(streams)):
+        a = np.frombuffer(fp[s], np.int16).astype(np.int32)
+        b = np.frombuffer(fx[s], np.int16).astype(np.int32)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max(initial=0) <= 1, s

@@ -40,6 +40,14 @@ def make_seeds(d: str) -> int:
         dict(n_frames=4, seed=903, blocks="long", mode=2, stuffing=4),
         dict(n_frames=5, seed=904, blocks="varied", use_reservoir=True,
              scfsi=True),
+        # MPEG-2/2.5 LSF seeds (parsed when the harness draws the
+        # PDMP3_PROFILE_LSF round; otherwise exercise sync rejection)
+        dict(n_frames=5, seed=905, family=1, blocks="varied", mode=1,
+             mode_extension=1, stereo_extent_ch1=0.4, bitrate_index=11),
+        dict(n_frames=4, seed=906, family=2, blocks="mixed", sfreq=2,
+             mode=1, mode_extension=3, bitrate_index=11),
+        dict(n_frames=4, seed=907, family=1, mode=3, use_reservoir=True,
+             bitrate_index=11),
     ]
     n = 0
     for i, sp in enumerate(specs):
