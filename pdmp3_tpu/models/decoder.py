@@ -385,34 +385,24 @@ def soa_layout_lsf(B: int, F: int = 1) -> dict:
     return off
 
 
-@functools.partial(_lazy_jit,
-                   static_argnames=("B", "F", "family", "exact",
-                                    "bug_compat", "float_pcm", "kernel"))
-def decode_frame_packed_lsf(buf, state, B: int, F: int = 1,
-                            family: int = 1, exact: bool = False,
-                            bug_compat: bool = True,
-                            float_pcm: bool = False,
-                            kernel: str = "xla"):
-    """Decode F one-granule LSF frames per slot from the packed wire
-    (buf: int16 [soa_layout_lsf(B, F)['total']]).  Returns
-    (pcm i16 [B, F*576, 2], new_state).  kernel="xla" runs
-    decode_granules with the family static; "pallas" the fused
-    feature-major kernel (state in PallasState layout).  bug_compat is
-    accepted for interface parity but LSF has no reference bugs to
-    emulate."""
+@functools.partial(_lazy_jit, static_argnames=("family", "exact",
+                                               "bug_compat", "float_pcm",
+                                               "kernel"))
+def decode_frame_lsf_soa(ix, scf_l, scf_s, meta, is_pos, active, state,
+                         family: int = 1, exact: bool = False,
+                         bug_compat: bool = True, float_pcm: bool = False,
+                         kernel: str = "xla"):
+    """Decode F one-granule LSF frames per slot from section tensors:
+    ix i16 [F,B,2,576], scf_l [F,B,2,22], scf_s [F,B,2,39], meta
+    [F,B,32], is_pos [F,B,64] (sidecar: [0..21] long, [22..60] short
+    flat, illegal = 63), active [F,B].  Returns (pcm i16 [B, F*576, 2],
+    new_state).  This is the shard_map body for LSF sharded serving —
+    the slot axis (axis 1) partitions with zero collectives."""
     assert family in (1, 2)
-    off = soa_layout_lsf(B, F)
-
-    def sect(name, shape):
-        o, n = off[name]
-        return jax.lax.dynamic_slice_in_dim(buf, o, n).reshape(shape)
-
-    ix = sect("ix", (F, B, 2, 576))
-    scf_l = sect("scf_l", (F, B, 2, 22))
-    scf_s = sect("scf_s", (F, B, 2, 39))
-    meta = sect("meta", (F, B, _META_WORDS)).astype(jnp.int32)
-    is_pos = sect("is_pos", (F, B, 64)).astype(jnp.int32)
-    active = sect("active", (F, B)).astype(jnp.int32)
+    F, B = meta.shape[0], meta.shape[1]
+    meta = meta.astype(jnp.int32)
+    is_pos = is_pos.astype(jnp.int32)
+    active = active.astype(jnp.int32)
     pcms = []
     for f in range(F):
         m = meta[f]
@@ -441,6 +431,32 @@ def decode_frame_packed_lsf(buf, state, B: int, F: int = 1,
         pcms.append(pcm)
     out = pcms[0] if F == 1 else jnp.concatenate(pcms, axis=1)
     return out, state
+
+
+@functools.partial(_lazy_jit,
+                   static_argnames=("B", "F", "family", "exact",
+                                    "bug_compat", "float_pcm", "kernel"))
+def decode_frame_packed_lsf(buf, state, B: int, F: int = 1,
+                            family: int = 1, exact: bool = False,
+                            bug_compat: bool = True,
+                            float_pcm: bool = False,
+                            kernel: str = "xla"):
+    """decode_frame_lsf_soa over the packed LSF wire (buf: int16
+    [soa_layout_lsf(B, F)['total']]).  kernel="xla" runs decode_granules
+    with the family static; "pallas" the fused feature-major kernel
+    (state in PallasState layout).  bug_compat is accepted for interface
+    parity but LSF has no reference bugs to emulate."""
+    off = soa_layout_lsf(B, F)
+
+    def sect(name, shape):
+        o, n = off[name]
+        return jax.lax.dynamic_slice_in_dim(buf, o, n).reshape(shape)
+
+    return decode_frame_lsf_soa.__wrapped__(
+        sect("ix", (F, B, 2, 576)), sect("scf_l", (F, B, 2, 22)),
+        sect("scf_s", (F, B, 2, 39)), sect("meta", (F, B, _META_WORDS)),
+        sect("is_pos", (F, B, 64)), sect("active", (F, B)), state,
+        family, exact, bug_compat, float_pcm, kernel)
 
 
 # ---------------------------------------------------------------------------

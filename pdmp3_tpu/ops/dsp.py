@@ -223,6 +223,52 @@ def _gather2_fast_exact(key: str, idx: jnp.ndarray, lo_bits: int
     return (parts[0] + parts[1]) + parts[2]
 
 
+@functools.lru_cache(maxsize=None)
+def _bitplane_table(key: str, lo_bits: int) -> np.ndarray:
+    """[lo_n, hi_n*4] int8: column (h*4 + b) holds byte b of the f32 BIT
+    PATTERN of table entry (h, l) — the int8-MXU formulation of the
+    two-level gather (ROADMAP: int8 matmuls run at 2x bf16 throughput,
+    and integer bytes are exact by construction, no reconstruction
+    property needed)."""
+    table = np.asarray({"pow43": T.POW43}[key], np.float32)
+    bits = table.view(np.uint32)
+    lo_n = 1 << lo_bits
+    hi_n = (bits.shape[0] + lo_n - 1) // lo_n
+    t = np.zeros(hi_n * lo_n, np.uint32)
+    t[:bits.shape[0]] = bits
+    t = t.reshape(hi_n, lo_n)
+    out = np.zeros((lo_n, hi_n, 4), np.uint8)
+    for b in range(4):
+        out[:, :, b] = ((t >> (8 * b)) & 0xFF).astype(np.uint8).T
+    return np.ascontiguousarray(out.reshape(lo_n, hi_n * 4)).view(np.int8)
+
+
+def _gather2_bitplanes(key: str, idx: jnp.ndarray, lo_bits: int
+                       ) -> jnp.ndarray:
+    """Bit-pattern table gather via ONE int8 MXU contraction: the lo
+    one-hot (int8) contracts against the 4-byte-plane table, bytes
+    recombine into the uint32 bit pattern, and the hi one-hot selects
+    with a VPU multiply-reduce.  Exact by construction (pure integer
+    arithmetic end to end)."""
+    t4 = jnp.asarray(_bitplane_table(key, lo_bits))   # [lo_n, hi_n*4] i8
+    lo_n = 1 << lo_bits
+    hi_n = t4.shape[1] // 4
+    shp = idx.shape
+    flat = idx.reshape(-1)
+    lo8 = (flat[:, None] & (lo_n - 1) ==
+           jnp.arange(lo_n, dtype=jnp.int32)[None, :]).astype(jnp.int8)
+    planes = jax.lax.dot_general(
+        lo8, t4, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # [N, hi_n*4]
+    by = planes.reshape(-1, hi_n, 4) & 0xFF           # undo int8 sign
+    w = (by[..., 0] | (by[..., 1] << 8) | (by[..., 2] << 16)
+         | (by[..., 3] << 24))                        # [N, hi_n] i32 bits
+    hi = (flat[:, None] >> lo_bits ==
+          jnp.arange(hi_n, dtype=jnp.int32)[None, :]).astype(jnp.int32)
+    bits = jnp.sum(w * hi, axis=-1).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(bits, F32).reshape(shp)
+
+
 def _pow43(mag: jnp.ndarray, exact: bool) -> jnp.ndarray:
     """x^(4/3) for integer magnitudes 0..8206 (pdmp3.c:971-1018).
 
@@ -233,6 +279,8 @@ def _pow43(mag: jnp.ndarray, exact: bool) -> jnp.ndarray:
     the table, restoring the ±1 LSB budget at ~6 extra VPU ops.
     """
     if exact:
+        if _ABL == "rqint8":
+            return _gather2_bitplanes("pow43", mag, 7)
         return _gather2_fast_exact("pow43", mag, 7)
     m = mag.astype(F32)
     safe = jnp.maximum(m, F32(1.0))

@@ -165,6 +165,34 @@ def sharded_frame_soa_step(mesh: Mesh, axis: str, exact: bool,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def sharded_frame_lsf_step(mesh: Mesh, axis: str, family: int,
+                           exact: bool, bug_compat: bool, kernel: str):
+    """jit(shard_map) of the LSF one-granule frame decode
+    (models.decoder.decode_frame_lsf_soa) over the stream axis — the
+    sharded/multi-host serving form for LSF pools.  Section tensors
+    carry the slot axis at position 1 ([F, B, ...]); is_pos is the
+    [F, B, 64] intensity sidecar.  Zero collectives, both kernels."""
+    from ..models.decoder import decode_frame_lsf_soa
+
+    sspec = (pallas_state_specs(axis) if kernel == "pallas"
+             else decoder_state_specs(axis))
+
+    def step(ix, scf_l, scf_s, meta, is_pos, active, state):
+        return decode_frame_lsf_soa.__wrapped__(
+            ix, scf_l, scf_s, meta, is_pos, active, state, family,
+            exact, bug_compat, False, kernel)
+
+    fn = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, axis, None, None), P(None, axis, None, None),
+                  P(None, axis, None, None), P(None, axis, None),
+                  P(None, axis, None), P(None, axis), sspec),
+        out_specs=(P(axis, None, None), sspec),
+        check_vma=False)  # see _sharded_pallas_step
+    return jax.jit(fn)
+
+
 def decode_granules_sharded(batch: GranuleBatch, state, mesh: Mesh,
                             exact: bool = False, bug_compat: bool = True,
                             kernel: str = "xla"):

@@ -49,14 +49,15 @@ class MultiHostStreamDecoder(StreamDecoder):
 
     def __init__(self, n_slots: int, mesh=None, exact: bool = False,
                  bug_compat: bool = True, parse_threads: int = 1,
-                 kernel: str = "xla"):
+                 kernel: str = "xla", family: int = 0):
         self.procs = jax.process_count()
         self.pid = jax.process_index()
         assert n_slots % self.procs == 0, (n_slots, self.procs)
         self.n_global = n_slots
         super().__init__(n_slots // self.procs, exact=exact,
                          bug_compat=bug_compat,
-                         parse_threads=parse_threads, kernel=kernel)
+                         parse_threads=parse_threads, kernel=kernel,
+                         family=family)
         assert self.F == 1, "multi-host serving uses one frame per step"
         self.mesh = mesh if mesh is not None else make_mesh()
         assert n_slots % self.mesh.size == 0, (n_slots, self.mesh.size)
@@ -87,6 +88,13 @@ class MultiHostStreamDecoder(StreamDecoder):
                 out_shardings=M.DecoderState(store=sh(4), v_blocks=sh(4),
                                              prev_lines=sh(2)))()
             self._step = None
+        if family:
+            # LSF pools: one-granule frames + intensity sidecar; the
+            # shard_map body serves both kernels (parallel/sharding)
+            from ..parallel.sharding import sharded_frame_lsf_step
+            self._step = sharded_frame_lsf_step(
+                self.mesh, STREAM_AXIS, family, self.exact,
+                self.bug_compat, kernel)
 
     # ---- device side (collective) ----
 
@@ -103,12 +111,29 @@ class MultiHostStreamDecoder(StreamDecoder):
 
     def decode_step(self, fetch: bool = True):
         """One global SPMD decode step.  Returns this process's local PCM
-        int16 [n_local, 1152, 2] (zeros for inactive slots); with
+        int16 [n_local, 1152, 2] ([n_local, 576, 2] for LSF pools —
+        one granule per frame) with zeros for inactive slots; with
         fetch=False returns the global on-device array."""
         ix2 = self._global(self.ix, 1)
         scf_l2 = self._global(self.scf_l, 1)
         scf_s2 = self._global(self.scf_s, 1)
         meta2 = self._global(self.meta, 1)
+        if self.family:
+            ip2 = self._global(self.is_pos, 1)
+            act2 = self._global(self.active.reshape(1, -1), 1)
+            pcm, self.state = self._step(ix2, scf_l2, scf_s2, meta2,
+                                         ip2, act2, self.state)
+            act, meta = self.active.copy(), self.meta.copy()
+            self._cur ^= 1
+            self._bind_views()
+            self.active[:] = act
+            self.meta[:] = meta
+            if not fetch:
+                return pcm
+            shards = sorted(pcm.addressable_shards,
+                            key=lambda s: s.index[0].start)
+            return np.concatenate([np.asarray(s.data) for s in shards],
+                                  axis=0)
         active = self._global(self.active, 0)
         if self.kernel == "pallas":
             pcm, self.state = self._step(ix2, scf_l2, scf_s2, meta2,

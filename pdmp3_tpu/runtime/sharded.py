@@ -37,9 +37,10 @@ class ShardedStreamDecoder(StreamDecoder):
 
     def __init__(self, n_slots: int, mesh=None, exact: bool = False,
                  bug_compat: bool = True, parse_threads: int = 0,
-                 kernel: str = "xla"):
+                 kernel: str = "xla", family: int = 0):
         super().__init__(n_slots, exact=exact, bug_compat=bug_compat,
-                         parse_threads=parse_threads, kernel=kernel)
+                         parse_threads=parse_threads, kernel=kernel,
+                         family=family)
         assert self.F == 1, "sharded serving uses one frame per step"
         self.mesh = mesh if mesh is not None else make_mesh()
         assert n_slots % self.mesh.size == 0, (n_slots, self.mesh.size)
@@ -62,6 +63,13 @@ class ShardedStreamDecoder(StreamDecoder):
                 v_blocks=shard(self.state.v_blocks),
                 prev_lines=shard(self.state.prev_lines))
             self._step = None
+        if family:
+            # LSF pools shard identically (streams stay embarrassingly
+            # parallel); one shard_map body serves both kernels
+            from ..parallel.sharding import sharded_frame_lsf_step
+            self._step = sharded_frame_lsf_step(
+                self.mesh, STREAM_AXIS, family, self.exact,
+                self.bug_compat, kernel)
 
     def decode_step(self, fetch: bool = True):
         if not self.active.any():
@@ -79,6 +87,11 @@ class ShardedStreamDecoder(StreamDecoder):
         scf_l2 = put(self.scf_l)
         scf_s2 = put(self.scf_s)
         meta2 = put(self.meta)
+        if self.family:
+            pcm, self.state = self._step(
+                ix2, scf_l2, scf_s2, meta2, put(self.is_pos),
+                put(self.active.reshape(1, -1)), self.state)
+            return np.asarray(pcm) if fetch else pcm
         active = jax.device_put(
             self.active, batch_sharding(self.mesh, 1))
         if self.kernel == "pallas":

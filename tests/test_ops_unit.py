@@ -226,3 +226,16 @@ def test_bf16x3_split_exact():
     got = np.asarray(dsp._gather2_fast_exact(
         "pow43", jnp.asarray(idx, jnp.int32), 7))
     assert got.tobytes() == np.asarray(T.POW43)[idx].tobytes()
+
+
+def test_bitplane_gather_bit_exact():
+    """The PDMP3_ABL=rqint8 ablation path (int8 bit-pattern gather —
+    measured dead end, docs/ROADMAP.md) must stay bit-exact over the
+    full pow43 domain so its recorded measurement stays reproducible."""
+    import jax.numpy as jnp
+
+    from pdmp3_tpu.ops import dsp as D
+
+    idx = jnp.asarray(np.arange(8207, dtype=np.int32))
+    got = np.asarray(D._gather2_bitplanes("pow43", idx, 7))
+    assert got.tobytes() == np.asarray(T.POW43, np.float32).tobytes()

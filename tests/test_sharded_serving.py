@@ -110,3 +110,44 @@ def test_sharded_serving_dump_and_dumps_module():
     buf = io.StringIO()
     dumps.dump_samples(np.zeros(8, np.float32), 1, out=buf)
     assert "SAMPLES1" in buf.getvalue()
+
+
+def test_sharded_lsf_pool_both_kernels():
+    """LSF pools shard like MPEG-1 (per-family compiled program under
+    shard_map for pallas / pjit for xla): sharded serving must equal the
+    unsharded LSF pool bitwise in exact mode on both kernels, with the
+    state genuinely partitioned."""
+    B = 16
+    streams = [mp3gen.make_stream(n_frames=6, seed=460 + i, family=1,
+                                  sfreq=i % 3, bitrate_index=11,
+                                  mode=1 if i % 2 else 0,
+                                  mode_extension=3 if i % 2 else 0,
+                                  stereo_extent_ch1=0.4)
+               for i in range(B)]
+    mesh = make_mesh(jax.devices()[:8])
+    for kernel in ("xla", "pallas"):
+        dec_s = ShardedStreamDecoder(B, mesh=mesh, exact=True,
+                                     parse_threads=1, kernel=kernel,
+                                     family=1)
+        dec_u = StreamDecoder(B, exact=True, kernel=kernel, family=1)
+        for s in range(B):
+            dec_s.feed(s, streams[s])
+            dec_u.feed(s, streams[s])
+        steps = 0
+        for step in range(6):
+            na_s = dec_s.parse_step()
+            na_u = dec_u.parse_step()
+            assert na_s == na_u
+            if na_s == 0:
+                break
+            p_s = dec_s.decode_step()
+            p_u = dec_u.decode_step()
+            assert p_s.shape[1] == 576  # one granule per LSF frame
+            np.testing.assert_array_equal(p_s, p_u,
+                                          err_msg=f"{kernel} step {step}")
+            steps += 1
+        assert steps >= 2
+        leaf = (dec_s.state.store if kernel == "xla"
+                else dec_s.state.store_t)
+        devs = {sh.device.id for sh in leaf.addressable_shards}
+        assert len(devs) == 8
