@@ -117,6 +117,40 @@ _WORKER = textwrap.dedent("""
             assert n >= len(golden[s]) - 3 * 4608, (kernel, s, n)
             assert g[:n] == golden[s][:n], (kernel, s)
     out["serving_vs_reference"] = f"{B}/{B} streams bit-exact x 2 kernels"
+
+    # --- LSF pools on-chip (capability beyond the reference): compiled
+    # per-family Mosaic kernel, exact bitwise vs the native C++ decoder,
+    # fast within +-1 LSB of XLA ---
+    from pdmp3_tpu.host import PROFILE_LSF, native_decode_file
+    for fam in (1, 2):
+        ls = [mp3gen.make_stream(n_frames=8, seed=990 + fam * 10 + i,
+                                 family=fam, sfreq=i % 3, bitrate_index=11,
+                                 mode=1 if i % 2 else 0,
+                                 mode_extension=3 if i % 2 else 0,
+                                 stereo_extent_ch1=0.4) for i in range(3)]
+        outs = {}
+        for kernel, exact in (("pallas", True), ("pallas", False),
+                              ("xla", False)):
+            dec = StreamDecoder(len(ls), exact=exact, kernel=kernel,
+                                family=fam)
+            for s, d in enumerate(ls):
+                assert dec.feed(s, d) == 0
+            got = [b""] * len(ls)
+            while dec.parse_step():
+                pcm = dec.decode_step()
+                for s in range(len(ls)):
+                    if dec.active[s]:
+                        got[s] += pcm[s].tobytes()
+            outs[(kernel, exact)] = got
+        for s, d in enumerate(ls):
+            want = native_decode_file(d, profile=PROFILE_LSF)
+            assert outs[("pallas", True)][s] == want, (fam, s)
+            a = np.frombuffer(outs[("pallas", False)][s], np.int16)
+            b = np.frombuffer(outs[("xla", False)][s], np.int16)
+            assert np.abs(a.astype(np.int32)
+                          - b.astype(np.int32)).max(initial=0) <= 1
+    out["lsf_pools_on_chip"] = ("fam1+fam2: pallas exact bitwise vs "
+                                "native, fast within 1 LSB of xla")
     print("TPU_CONFORMANCE_JSON " + json.dumps(out))
 """)
 
