@@ -23,8 +23,9 @@ from .oracle import OracleDSP
 class PDMP3:
     """One decoder stream handle (pdmp3_new/open_feed/feed/read/decode)."""
 
-    def __init__(self, dsp=None, lsf: bool = False):
-        self.fe = Frontend(lsf=lsf)
+    def __init__(self, dsp=None, lsf: bool = False,
+                 free_format: bool = False):
+        self.fe = Frontend(lsf=lsf, free_format=free_format)
         self.dsp = dsp if dsp is not None else OracleDSP()
         self.out = np.zeros((2, 576), np.uint32)  # packed PCM words
         self.ostart = 0
@@ -123,9 +124,9 @@ class PDMP3:
 
 
 def decode_file(data: bytes, dsp=None, chunk: int = 4096,
-                lsf: bool = False) -> bytes:
+                lsf: bool = False, free_format: bool = False) -> bytes:
     """CLI-equivalent loop (pdmp3.c:2540-2589): feed/read to exhaustion."""
-    h = PDMP3(dsp=dsp, lsf=lsf)
+    h = PDMP3(dsp=dsp, lsf=lsf, free_format=free_format)
     h.open_feed()
     pos = 0
     out = []

@@ -70,6 +70,10 @@ class Header:
     # rejects id==0, pdmp3.c:1295 — families 1/2 exist only behind
     # Frontend(lsf=True))
     family: int = 0
+    # measured free-format frame size excl. padding (bitrate_index == 0,
+    # reachable only behind Frontend(free_format=True); the reference
+    # rejects free format, pdmp3.c:1299)
+    free_size: int = 0
 
     @property
     def nch(self) -> int:
@@ -93,6 +97,8 @@ class Header:
                    [min(self.sampling_frequency, 2)])
 
     def frame_size(self) -> int:
+        if self.bitrate_index == 0:  # free format: measured size
+            return self.free_size + self.padding_bit
         if self.family:
             return T.lsf_frame_size(self.bitrate_index,
                                     self.sampling_frequency, self.family,
@@ -135,9 +141,15 @@ class Frontend:
     """
 
     def __init__(self, count1_table_b_spec: bool = False,
-                 lsf: bool = False):
+                 lsf: bool = False, free_format: bool = False):
         self.count1_table_b_spec = count1_table_b_spec
         self.lsf = lsf
+        # free_format: accept bitrate_index == 0 (ISO 11172-3 free
+        # format; the reference rejects it, pdmp3.c:1299) and deduce the
+        # constant frame size from the sync spacing.  Default OFF for
+        # bit-parity differentials.
+        self.free_format = free_format
+        self.free_size = 0   # measured size (excl. padding), 0 = unknown
         self.inbuf = bytearray(T.INBUF_SIZE)
         self.istart = 0
         self.iend = 0
@@ -277,10 +289,13 @@ class Frontend:
         h.family = {3: 0, 2: 1, 0: 2}.get(ver, -1)
         if not self.lsf and h.id != 1:
             return T.ERR
-        if h.family < 0 or h.bitrate_index in (0, 15) \
+        bad_bitrate = (h.bitrate_index == 15
+                       or (h.bitrate_index == 0 and not self.free_format))
+        if h.family < 0 or bad_bitrate \
                 or h.sampling_frequency == 3 or h.layer == 0:
             return T.ERR
         h.layer = 4 - h.layer
+        h.free_size = self.free_size if h.bitrate_index == 0 else 0
         if not self.new_header:
             self.new_header = 1
         return T.OK
@@ -409,6 +424,66 @@ class Frontend:
             s.scalefac_scale[gr][ch] = self.get_side_bits(1)
             s.count1table_select[gr][ch] = self.get_side_bits(1)
         return T.OK
+
+    # ---- free-format frame-size measurement (ISO 11172-3 §2.4.2.3:
+    # bitrate_index 0 = "free format", constant frame size the decoder
+    # deduces; the reference rejects it, pdmp3.c:1299) ----
+
+    def _peek4(self, off: int) -> int | None:
+        """Header word at `off` bytes past the read cursor, without
+        consuming (None when beyond the buffered fill)."""
+        if off + 4 > self.inbuf_filled():
+            return None
+        w = 0
+        for k in range(4):
+            w = (w << 8) | self.inbuf[(self.istart + off + k)
+                                      % T.INBUF_SIZE]
+        return w
+
+    # compare sync + version + layer + bitrate_index + sampling_frequency
+    _FREE_MASK = (0x7FF << 21) | (3 << 19) | (3 << 17) | (0xF << 12) \
+        | (3 << 10)
+
+    def _measure_free_size(self) -> int:
+        """Deduce the free-format frame size from the sync spacing.
+
+        Called with the cursor just past the 4 header bytes of the first
+        free-format frame.  Scans the buffered input (non-consuming) for
+        the next header whose sync/version/layer/bitrate/sfreq match;
+        false syncs inside main data are screened by chain-verifying a
+        third header at the same spacing when enough data is buffered.
+        Sets free_size (excl. this frame's padding).  Returns OK /
+        NEED_MORE (sync not yet in buffer) / ERR (no valid spacing
+        within the 2000-byte framesize guard)."""
+        h = self.header
+        ver = (3, 2, 0)[h.family]
+        want = ((0x7FF << 21) | (ver << 19) | ((4 - h.layer) << 17)
+                | (h.sampling_frequency << 10))
+        hi = 2000 - 4  # framesize > 2000 is rejected anyway
+        filled = self.inbuf_filled()
+        for o in range(9, hi + 1):
+            w = self._peek4(o)
+            if w is None:
+                return T.NEED_MORE
+            if (w & self._FREE_MASK) != want:
+                continue
+            # chain-verify: a third compatible header one frame later
+            # (distance adjusted for the candidate's padding delta)
+            size0 = o + 4                      # this frame's size
+            base = size0 - h.padding_bit
+            pad1 = (w >> 9) & 1
+            w2 = self._peek4(o + base + pad1)
+            if w2 is not None and (w2 & self._FREE_MASK) != want:
+                continue                       # false sync in main data
+            if w2 is None and filled < o + base + pad1 + 4 \
+                    and o + base + pad1 + 4 <= T.INBUF_SIZE - 1:
+                # can't verify yet and more data could still arrive
+                return T.NEED_MORE
+            if base <= (9 if h.family else 17) + 4:
+                return T.ERR                   # no room for side info
+            self.free_size = base
+            return T.OK
+        return T.ERR
 
     # ---- bit reservoir (pdmp3.c:1096-1122) ----
 
@@ -695,6 +770,13 @@ class Frontend:
         res = self.search_header()
         if res != T.OK:
             return (T.ERR if res == T.ERR else res), None
+        if self.header.bitrate_index == 0 and self.free_size == 0:
+            res = self._measure_free_size()
+            if res != T.OK:
+                # caller rolls the input cursor back (pdmp3.c:2459-2462),
+                # so the consumed header bytes are restored for resume
+                return res, None
+            self.header.free_size = self.free_size
         if self.header.protection_bit == 0:
             # CRC bytes read and discarded; EOF here is silently ignored
             # because the reference's Read_CRC returns FALSE==PDMP3_OK on
@@ -754,3 +836,4 @@ class Frontend:
         self.processed = 0
         self.new_header = 0
         self.main_top = 0
+        self.free_size = 0

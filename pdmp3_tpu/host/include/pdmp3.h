@@ -253,6 +253,11 @@ void pdmp3_dsp_frame(pdmp3_handle *id, const pdmp3_granules *g,
 #define PDMP3_PROFILE_COUNT1B_SPEC 1u
 #define PDMP3_PROFILE_SPEC_INTENSITY 2u
 #define PDMP3_PROFILE_LSF 4u
+/* PDMP3_PROFILE_FREE_FORMAT: accept bitrate_index == 0 (ISO 11172-3
+ * free format; the reference rejects it, pdmp3.c:1299) and deduce the
+ * constant frame size from the sync spacing (chain-verified against a
+ * third header to screen false syncs inside main data). */
+#define PDMP3_PROFILE_FREE_FORMAT 8u
 void pdmp3_set_profile(pdmp3_handle *id, unsigned flags);
 unsigned pdmp3_get_profile(const pdmp3_handle *id);
 

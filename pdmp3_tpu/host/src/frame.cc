@@ -35,6 +35,7 @@ void FrameParser::reset() {
   in.processed = 0;
   new_header = 0;
   res.top = 0;
+  free_size = 0;
 }
 
 int FrameParser::read_header() {
@@ -68,12 +69,52 @@ int FrameParser::read_header() {
   hdr.emphasis = h & 3;
   hdr.family = ver == 3 ? 0 : (ver == 2 ? 1 : (ver == 0 ? 2 : -1));
   if (!lsf_enabled() && hdr.id != 1) return PDMP3_ERR;
-  if (hdr.family < 0 || hdr.bitrate_index == 0 || hdr.bitrate_index == 15 ||
+  bool bad_bitrate =
+      hdr.bitrate_index == 15 ||
+      (hdr.bitrate_index == 0 && !free_enabled());
+  if (hdr.family < 0 || bad_bitrate ||
       hdr.sampling_frequency == 3 || hdr.layer == 0)
     return PDMP3_ERR;
   hdr.layer = 4 - hdr.layer;
+  hdr.free_size = hdr.bitrate_index == 0 ? (int)free_size : 0;
   if (!new_header) new_header = 1;
   return PDMP3_OK;
+}
+
+int FrameParser::measure_free_size() {
+  // Deduce the free-format frame size from the sync spacing (ISO
+  // 11172-3 §2.4.2.3; the reference rejects free format, pdmp3.c:1299).
+  // Called with the cursor just past the first free-format header's 4
+  // bytes; scans the buffered input non-consuming.  A candidate must
+  // match sync/version/layer/bitrate/sfreq, and is chain-verified
+  // against a third header one frame later when enough data is buffered
+  // (screens false syncs inside main data).  Mirrors
+  // frontend._measure_free_size.
+  static const uint32_t kMask = (0x7FFu << 21) | (3u << 19) | (3u << 17) |
+                                (0xFu << 12) | (3u << 10);
+  int ver = hdr.family == 0 ? 3 : (hdr.family == 1 ? 2 : 0);
+  uint32_t want = (0x7FFu << 21) | ((uint32_t)ver << 19) |
+                  ((uint32_t)(4 - hdr.layer) << 17) |
+                  ((uint32_t)hdr.sampling_frequency << 10);
+  unsigned filled = in.filled();
+  for (unsigned o = 9; o <= 2000 - 4; o++) {
+    uint32_t w = in.peek4(o);
+    if (w == kEof) return PDMP3_NEED_MORE;
+    if ((w & kMask) != want) continue;
+    unsigned size0 = o + 4;
+    unsigned base = size0 - (unsigned)hdr.padding_bit;
+    unsigned pad1 = (w >> 9) & 1u;
+    uint32_t w2 = in.peek4(o + base + pad1);
+    if (w2 != kEof && (w2 & kMask) != want) continue;  // false sync
+    if (w2 == kEof && filled < o + base + pad1 + 4 &&
+        o + base + pad1 + 4 <= kInbufSize - 1)
+      return PDMP3_NEED_MORE;  // cannot verify yet, more data can come
+    unsigned min_side = (hdr.family ? 9u : 17u) + 4u;
+    if (base <= min_side) return PDMP3_ERR;
+    free_size = base;
+    return PDMP3_OK;
+  }
+  return PDMP3_ERR;
 }
 
 int FrameParser::search_header() {
@@ -1206,6 +1247,13 @@ int FrameParser::parse_frame(pdmp3_granules *g,
   int r;
   PDMP3_TSC(pdmp3_cyc_header, r = search_header());
   if (r != PDMP3_OK) return r == PDMP3_ERR ? PDMP3_ERR : r;
+  if (hdr.bitrate_index == 0 && free_size == 0) {
+    r = measure_free_size();
+    // caller rolls the input cursor back on non-OK (pdmp3_read /
+    // pdmp3_parse_frame), restoring the consumed header bytes
+    if (r != PDMP3_OK) return r;
+    hdr.free_size = (int)free_size;
+  }
   if (hdr.protection_bit == 0) {
     // CRC read and discarded; EOF silently ignored (Read_CRC returns
     // FALSE==PDMP3_OK on EOF, pdmp3.c:1206-1210)

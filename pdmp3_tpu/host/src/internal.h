@@ -96,6 +96,16 @@ struct InRing {
     processed++;
     return v;
   }
+  // non-consuming 32-bit big-endian peek at `off` bytes past the read
+  // cursor; kEof when fewer than off+4 bytes are buffered (free-format
+  // frame-size measurement)
+  uint32_t peek4(unsigned off) const {
+    if (off + 4 > filled()) return kEof;
+    uint32_t w = 0;
+    for (unsigned k = 0; k < 4; k++)
+      w = (w << 8) | buf[(istart + off + k) % kInbufSize];
+    return w;
+  }
   // Bulk get_byte: copies min(n, filled()) bytes into dst (at most two
   // memcpy segments across the wrap) and returns the count — same cursor
   // and `processed` effects as that many get_byte() calls.
@@ -191,9 +201,14 @@ struct FrameHeader {
   // 0 = MPEG-1, 1 = MPEG-2, 2 = MPEG-2.5 (families 1/2 reachable only
   // behind PDMP3_PROFILE_LSF; the reference rejects id==0, pdmp3.c:1295)
   int family = 0;
+  // measured free-format frame size excl. padding (bitrate_index == 0,
+  // reachable only behind PDMP3_PROFILE_FREE_FORMAT)
+  int free_size = 0;
   int nch() const { return mode == 3 ? 1 : 2; }
   int ngr() const { return family ? 1 : 2; }  // LSF frames: ONE granule
   long frame_size() const {
+    if (bitrate_index == 0)  // free format: measured size
+      return free_size + padding_bit;
     if (family)  // 72-factor LSF framing (tables.lsf_frame_size)
       return 72 * kBitratesLsf[bitrate_index] /
                  kSampleRatesFam[family][sampling_frequency] +
@@ -247,6 +262,13 @@ struct FrameParser {
   int lsf_iscale = 0;
 
   bool lsf_enabled() const { return (profile & PDMP3_PROFILE_LSF) != 0; }
+  bool free_enabled() const {
+    return (profile & PDMP3_PROFILE_FREE_FORMAT) != 0;
+  }
+  // measured free-format frame size excl. padding (0 = unknown); reset
+  // by open_feed
+  unsigned free_size = 0;
+  int measure_free_size();
   void reset();                 // pdmp3_open_feed semantics
   int read_header();            // sync scan + field checks
   int search_header();          // resync wrapper with rollback

@@ -357,6 +357,8 @@ class FrameSpec:
     granules: list = None         # [gr][ch] GranuleSpec
     scfsi: np.ndarray = None      # [2][4]
     family: int = 0               # 0 MPEG-1, 1 MPEG-2, 2 MPEG-2.5
+    free_size: int = 0            # free format (bitrate_index 0): frame
+                                  # size excl. padding, constant per stream
 
     @property
     def ngr(self) -> int:
@@ -484,6 +486,14 @@ def build_header(fs: FrameSpec) -> bytes:
 
 def frame_capacity(fs: FrameSpec) -> int:
     nch = 1 if fs.mode == 3 else 2
+    if fs.bitrate_index == 0:  # free format: caller-chosen constant size
+        assert fs.free_size > 0
+        framesize = fs.free_size + fs.padding
+        cap = framesize - ((9 if fs.family else 17) if nch == 1
+                           else (17 if fs.family else 32)) - 4
+        if fs.protection:
+            cap -= 2
+        return cap
     if fs.family:
         framesize = T.lsf_frame_size(fs.bitrate_index,
                                      fs.sampling_frequency, fs.family,
@@ -567,7 +577,7 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
                 intensity_pos: bool | int = False,
                 scfsi: bool = False, leading_garbage: int = 0,
                 amp: int = 6, vbr: bool = False,
-                family: int = 0,
+                family: int = 0, free_format_size: int = 0,
                 specs_out: list | None = None) -> bytes:
     """Convenience builder for one homogeneous test stream.
 
@@ -621,12 +631,14 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
                    for g in range(ngr) for c in range(nch)):
                 scf[:] = 0
             fs = FrameSpec(
-                bitrate_index=(rng.choice([5, 7, 9, 11, 12, 14]) if vbr
+                bitrate_index=(0 if free_format_size else
+                               rng.choice([5, 7, 9, 11, 12, 14]) if vbr
                                else bitrate_index),
                 sampling_frequency=sfreq,
                 padding=(f % 2 if vary_padding else 0), protection=protection,
                 mode=mode, mode_extension=mode_extension,
-                granules=grans, scfsi=scf, family=family)
+                granules=grans, scfsi=scf, family=family,
+                free_size=free_format_size)
             blob, _ = build_frame_main_data(fs)
             slack = 200 if (use_reservoir and f > 0) else 0
             budget = frame_capacity(fs) + slack

@@ -48,6 +48,9 @@ def make_seeds(d: str) -> int:
              mode=1, mode_extension=3, bitrate_index=11),
         dict(n_frames=4, seed=907, family=1, mode=3, use_reservoir=True,
              bitrate_index=11),
+        # free-format seed (bitrate_index 0; parsed when the harness
+        # draws PDMP3_PROFILE_FREE_FORMAT, else exercises rejection)
+        dict(n_frames=5, seed=908, free_format_size=420, mode=0),
     ]
     n = 0
     for i, sp in enumerate(specs):

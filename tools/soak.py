@@ -78,6 +78,62 @@ def random_config(rng: random.Random) -> dict:
     return cfg
 
 
+def random_lsf_config(rng: random.Random) -> dict:
+    """LSF format-matrix sampler (families 1/2; 13818-3 fields)."""
+    mode = rng.choice([0, 1, 1, 3])
+    cfg = dict(
+        family=rng.choice([1, 2]),
+        n_frames=rng.randrange(5, 12),
+        sfreq=rng.randrange(3),
+        bitrate_index=rng.choice([5, 9, 11, 14]),
+        mode=mode,
+        blocks=rng.choice(["long", "short", "mixed", "varied"]),
+        use_reservoir=rng.random() < 0.5,
+        protection=rng.random() < 0.3,
+        vary_padding=rng.random() < 0.5,
+        stuffing=rng.choice([0, 0, 3, 8]),
+        amp=rng.choice([3, 6, 20, 3000]),
+    )
+    if mode == 1:
+        cfg["mode_extension"] = rng.randrange(1, 4)
+        if cfg["mode_extension"] & 1:
+            cfg["stereo_extent_ch1"] = rng.uniform(0.2, 0.8)
+    return cfg
+
+
+LSF_SEED_OFF = 500000
+
+
+def soak_one_lsf(i: int, jax_every: int) -> str:
+    """LSF differential soak: no external oracle exists (the reference
+    rejects id=0), so the contract is 3-way in-tree agreement — Python
+    frontend+oracle (truth anchor) vs native C++ vs (every Nth) the
+    batched JAX exact path.  Returns ok / infeasible / FAIL:<detail>."""
+    from pdmp3_tpu import decode_file
+    from pdmp3_tpu.host import PROFILE_LSF, native_decode_file
+    from pdmp3_tpu.testing import mp3gen
+
+    rng = random.Random(CFG_BASE + LSF_SEED_OFF + i)
+    cfg = random_lsf_config(rng)
+    try:
+        stream = mp3gen.make_stream(seed=STREAM_BASE + LSF_SEED_OFF + i,
+                                    **cfg)
+    except (AssertionError, RuntimeError):
+        return "infeasible"
+    want = decode_file(stream, lsf=True)
+    outs = {"native": native_decode_file(stream, profile=PROFILE_LSF)}
+    if jax_every and i % jax_every == 0:
+        from pdmp3_tpu.models.decoder import JaxDSP
+        outs["jax"] = decode_file(stream, dsp=JaxDSP(exact=True),
+                                  lsf=True)
+    bad = [k for k, o in outs.items() if o != want]
+    if not bad:
+        return "ok"
+    return (f"FAIL:lsf-mismatch:{','.join(bad)}:"
+            f"{_forensics(stream, want, outs, bad, LSF_SEED_OFF + i)}:"
+            f"{cfg}")
+
+
 def soak_one(i: int, jax_every: int) -> str:
     """Returns one of: ok / oob_prefix_ok / infeasible / FAIL:<detail>."""
     from pdmp3_tpu import decode_file
@@ -153,13 +209,17 @@ def main() -> None:
                     help="run every Nth stream through the batched JAX "
                          "exact path too (0 = never)")
     ap.add_argument("--progress-every", type=int, default=200)
+    ap.add_argument("--lsf", action="store_true",
+                    help="soak the MPEG-2/2.5 LSF profile instead "
+                         "(3-way in-tree differential; use a separate "
+                         "--out artifact)")
     args = ap.parse_args()
 
     tally = {"ok": 0, "oob_prefix_ok": 0, "infeasible": 0}
     failures: list[dict] = []
     t0 = time.time()
     for k, i in enumerate(range(args.start, args.start + args.count)):
-        r = soak_one(i, args.jax_every)
+        r = (soak_one_lsf if args.lsf else soak_one)(i, args.jax_every)
         if r.startswith("FAIL"):
             failures.append({"seed": i, "detail": r})
             print(f"seed {i}: {r}", flush=True)
