@@ -62,7 +62,8 @@ class StreamDecoder:
                  bug_compat: bool = True, parse_threads: int = 1,
                  frames_per_step: int = 1, profile: int = 0,
                  kernel: str = "xla", float_pcm: bool = False,
-                 family: int = 0):
+                 family: int = 0, resample_to: int | None = None,
+                 sample_rate: int | None = None):
         from ..host import PROFILE_LSF, PROFILE_SPEC_INTENSITY
 
         self.n = n_slots
@@ -97,6 +98,18 @@ class StreamDecoder:
         # xla partitions under pjit, pallas runs under jax.shard_map in
         # the sharded/multihost subclasses
         self.kernel = kernel
+        # resample_to: serving option (beyond the reference) — decode_step
+        # PCM is resampled on device to this rate (ops/resample
+        # polyphase; rate-homogeneous pool, caller provides the input
+        # sample_rate since the resampler state must exist before the
+        # first frame)
+        self._resampler = None
+        if resample_to is not None:
+            from ..ops.resample import StreamResampler
+            assert sample_rate, "resample_to requires sample_rate"
+            assert not float_pcm
+            self._resampler = StreamResampler(sample_rate, resample_to,
+                                              n_slots, 2)
         self.handles = [NativePDMP3() for _ in range(n_slots)]
         for h in self.handles:
             if profile:
@@ -220,6 +233,8 @@ class StreamDecoder:
         self._bind_views()
         self.active[:] = act
         self.meta[:] = meta
+        if self._resampler is not None:
+            pcm = self._resampler(pcm)
         return np.asarray(pcm) if fetch else pcm
 
     def decode_step_pipelined(self):

@@ -1,0 +1,113 @@
+"""Streaming polyphase resampler (ops/resample.py) — serving option
+beyond the reference (which has no resampling at all)."""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pdmp3_tpu.ops.resample import StreamResampler, polyphase_filter
+
+
+def _run(from_rate, to_rate, blocks, B=1, C=1, dtype=jnp.float32):
+    rs = StreamResampler(from_rate, to_rate, B, C, dtype=dtype)
+    return np.concatenate([np.asarray(rs(jnp.asarray(b)))
+                           for b in blocks], axis=1)
+
+
+@pytest.mark.parametrize("from_rate,to_rate",
+                         [(44100, 48000), (48000, 44100), (32000, 48000),
+                          (22050, 48000), (16000, 48000), (8000, 48000)])
+def test_sine_snr_and_rate(from_rate, to_rate):
+    """1 kHz sine through the resampler: >60 dB SNR against the ideal
+    delayed sine, and the output length matches the rate ratio."""
+    n_blk, blk = 20, 1152
+    t = np.arange(n_blk * blk) / from_rate
+    s = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    x = s[None, :, None]
+    y = _run(from_rate, to_rate,
+             [x[:, i * blk:(i + 1) * blk] for i in range(n_blk)])[0, :, 0]
+    assert abs(len(y) / len(s) - to_rate / from_rate) < 1e-3
+    import math
+    up = to_rate // math.gcd(from_rate, to_rate)
+    ntaps = up * 24
+    delay = (ntaps - 1) / (2 * up * from_rate)  # prototype group delay
+    t2 = np.arange(len(y)) / to_rate
+    ref = np.sin(2 * np.pi * 1000.0 * (t2 - delay))
+    seg = slice(1000, len(y) - 1000)
+    err = y[seg] - ref[seg]
+    snr = 10 * np.log10(np.mean(ref[seg] ** 2) / np.mean(err ** 2))
+    assert snr > 60, (from_rate, to_rate, snr)
+
+
+def test_gapless_streaming_equals_one_shot():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 1152 * 6, 2)) * 0.4).astype(np.float32)
+    one = _run(44100, 48000, [x], B=2, C=2)
+    multi = _run(44100, 48000,
+                 [x[:, i * 1152:(i + 1) * 1152] for i in range(6)],
+                 B=2, C=2)
+    n = min(one.shape[1], multi.shape[1])
+    assert n > 0
+    np.testing.assert_allclose(one[:, :n], multi[:, :n], atol=1e-5)
+
+
+def test_dc_preserved_and_phase_accounting():
+    """Constant input stays constant (unit-DC phases), and the running
+    phase makes total output length exact over many steps."""
+    x = np.full((1, 1152, 1), 0.5, np.float32)
+    rs = StreamResampler(44100, 48000, 1, 1, dtype=jnp.float32)
+    total = 0
+    for _ in range(147):  # one full phase cycle: 147 blocks -> 160 ratio
+        total += int(np.asarray(rs(jnp.asarray(x))).shape[1])
+    assert total == 1152 * 147 * 160 // 147
+    y = np.asarray(rs(jnp.asarray(x)))[0, :, 0]
+    np.testing.assert_allclose(y, 0.5, atol=1e-4)
+
+
+def test_int16_pcm_roundtrip():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((3, 1152 * 3, 2)) * 8000).astype(np.int16)
+    rs = StreamResampler(44100, 48000, 3, 2)
+    y = np.asarray(rs(jnp.asarray(x)))
+    assert y.dtype == np.int16 and y.shape[0] == 3 and y.shape[2] == 2
+    assert np.abs(y.astype(np.int32)).max() <= 32767
+
+
+def test_unit_dc_gain_per_phase():
+    H = polyphase_filter(160, 147)
+    np.testing.assert_allclose(H.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_serving_resample_option():
+    """StreamDecoder(resample_to=...) resamples decode_step PCM on
+    device for a rate-homogeneous pool."""
+    from pdmp3_tpu.host import native_decode_file
+    from pdmp3_tpu.runtime.scheduler import StreamDecoder
+    from pdmp3_tpu.testing import mp3gen
+    streams = [mp3gen.make_stream(n_frames=6, seed=50 + s, mode=0)
+               for s in range(2)]
+    dec = StreamDecoder(2, exact=True, resample_to=48000,
+                        sample_rate=44100)
+    for s, d in enumerate(streams):
+        dec.feed(s, d)
+    per = [[] for _ in streams]
+    steps = 0
+    while dec.parse_step() > 0:
+        pcm = dec.decode_step()
+        steps += 1
+        assert pcm.shape[1] in (1253, 1254)  # 1152 * 160/147
+        for s in range(2):
+            if dec.active[s]:
+                per[s].append(np.asarray(pcm[s]))
+    assert steps >= 3
+    # against the native decode resampled one-shot
+    for s, d in enumerate(streams):
+        raw = np.frombuffer(native_decode_file(d), np.int16) \
+            .reshape(-1, 2)[None].astype(np.float32)
+        rs = StreamResampler(44100, 48000, 1, 2)
+        want = np.asarray(rs(jnp.asarray(raw)))[0]
+        got = np.concatenate(per[s], axis=0)
+        n = min(len(got), len(want))
+        assert n >= len(want) - 1254
+        np.testing.assert_array_equal(got[:n], want[:n])
