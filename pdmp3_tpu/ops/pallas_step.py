@@ -349,7 +349,11 @@ def _k_sel16(idx, tab):
     return out
 
 
-def _kernel_full(bug_compat: bool, family: int, *refs):
+def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
+                 *refs):
+    # slot_major_ix: ix_ref arrives [BN, 2, 576] (the wire's native
+    # layout) and is transposed to feature-major INSIDE the kernel —
+    # the PDMP3_ABL=ixt experiment replacing the XLA transpose-in.
     # family != 0 (LSF) adds one input ref: ip_ref i32 [64, BN] — the
     # intensity sidecar (rows 0..21 long positions, 22..60 short flat,
     # illegal = 63); iscale rides meta row 12.  The MPEG-1 signature is
@@ -371,7 +375,7 @@ def _kernel_full(bug_compat: bool, family: int, *refs):
          inv_ref,
          out_ref, store_out_ref, v_out_ref, prev_ref) = refs
         ip_ref = None
-    BN = ix_ref.shape[-1]
+    BN = act_ref.shape[-1]
     fc = _front_consts(family)
     act = act_ref[0].reshape(1, 1, BN) != 0
 
@@ -379,7 +383,10 @@ def _kernel_full(bug_compat: bool, family: int, *refs):
     xs = []
     oh0 = short0 = scf_l0 = t_s0 = None
     for ch in range(2):
-        ixf = ix_ref[ch].astype(jnp.int32)            # [576,BN]
+        if slot_major_ix:
+            ixf = ix_ref[:, ch, :].astype(jnp.int32).T  # [576,BN]
+        else:
+            ixf = ix_ref[ch].astype(jnp.int32)        # [576,BN]
         sign = jnp.where(ixf < 0, F32(-1.0), F32(1.0))
         mag = jnp.clip(jnp.abs(ixf), 0, 8206).astype(F32)
         # x^(4/3) = x * cbrt(x), Newton-refined from an exp2/log2 seed
@@ -606,11 +613,11 @@ def back_half_t(xa_t, store_t, v_t, bt_t, active,
 
 @functools.partial(_lazy_jit,
                    static_argnames=("block_lanes", "bug_compat",
-                                    "family"))
+                                    "family", "slot_major_ix"))
 def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
                 bt_t, store_t, v_t, block_lanes: int = 128,
                 bug_compat: bool = True, family: int = 0,
-                ip_t=None):
+                ip_t=None, slot_major_ix: bool = False):
     """Fully-fused fast-mode granule step: requantize -> stereo ->
     antialias -> hybrid synthesis -> polyphase -> quantize in ONE
     pallas_call; no [B,2,576] intermediate ever touches HBM.
@@ -628,7 +635,7 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
 
     Returns (pcm_t [2,576,B] quantized floats, new_store_t, new_v_t,
     prev3 [3,B])."""
-    B = ix_t.shape[-1]
+    B = active.shape[-1]
     BN = min(block_lanes, B)
     pad = (-B) % BN if B >= BN else 0
     if B < BN or (BN % 128 and jax.default_backend() == "tpu"):
@@ -637,13 +644,17 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
     if pad:
         def padl(x):
             return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-        (ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, bt_t, store_t,
-         v_t) = map(padl, (ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t,
+        if slot_major_ix:
+            ix_t = jnp.pad(ix_t, [(0, pad), (0, 0), (0, 0)])
+        else:
+            ix_t = padl(ix_t)
+        (scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, bt_t, store_t,
+         v_t) = map(padl, (scf_l_t, scf_s_t, lay_t, meta_t, sbg_t,
                            bt_t, store_t, v_t))
         active = jnp.pad(active, (0, pad))
         if ip_t is not None:
             ip_t = padl(ip_t)
-    Bp = ix_t.shape[-1]
+    Bp = active.shape[-1]
     c = _consts()
     fc = _front_consts(family)
     act2 = active.reshape(1, Bp).astype(jnp.int32)
@@ -666,8 +677,14 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
              c["d"], c["inv_t"])
     meta_rows = 13 if family else 12
     extra_specs = [bspec((64, Bp))] if family else []
+    if slot_major_ix:
+        # slot-major blocks: [BN, 2, 576] tiles of the [B, 2, 576] input
+        ix_spec = pl.BlockSpec((BN, 2, 576), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        ix_spec = bspec((2, 576, Bp))
     in_specs = [
-        bspec((2, 576, Bp)), bspec((2, 22, Bp)), bspec((2, 39, Bp)),
+        ix_spec, bspec((2, 22, Bp)), bspec((2, 39, Bp)),
         bspec((2, Bp)), bspec((meta_rows, Bp)), bspec((2, 3, Bp)),
         bspec((1, Bp)), bspec((2, 32, Bp)),
         bspec((2, 18, 32, Bp)), bspec((2, 15, 64, Bp)), *extra_specs,
@@ -686,7 +703,8 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
     extra_args = [ip_t] if family else []
     with jax.enable_x64(False):  # same Mosaic i64 caveat as back_half_t
         outs = pl.pallas_call(
-            functools.partial(_kernel_full, bug_compat, family),
+            functools.partial(_kernel_full, bug_compat, family,
+                              slot_major_ix),
             grid=(Bp // BN,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -767,8 +785,12 @@ def decode_granules_pallas(batch, pstate: PallasState,
     else:
         # fast mode: the whole granule step is ONE fused kernel; the
         # front half's tensors are transposed to feature-major in XLA
-        # (cheap on i16/i32) and the spectra never round-trip HBM
-        ix_t = batch.ix.astype(jnp.int16).transpose(1, 2, 0)
+        # (cheap on i16/i32) and the spectra never round-trip HBM.
+        # PDMP3_ABL=ixt: ship ix slot-major and transpose in-kernel
+        from . import dsp as _dsp
+        _sm = _dsp._ABL == "ixt"
+        ix_t = (batch.ix.astype(jnp.int16) if _sm
+                else batch.ix.astype(jnp.int16).transpose(1, 2, 0))
         scf_l_t = batch.scf_l.astype(jnp.int32).transpose(1, 2, 0)
         scf_s = batch.scf_s.astype(jnp.int32).reshape(B, 2, 39)
         # band-12 OOB scalefactor substitution (dsp.requantize semantics)
@@ -807,7 +829,8 @@ def decode_granules_pallas(batch, pstate: PallasState,
         q, store_t, v_t, prev3 = full_step_t(
             ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, act, bt_t,
             pstate.store_t, pstate.v_t, block_lanes=block_lanes,
-            bug_compat=bug_compat, family=family, ip_t=ip_t)
+            bug_compat=bug_compat, family=family, ip_t=ip_t,
+            slot_major_ix=_sm)
     # interleave in the kernel's feature-major layout BEFORE the
     # batch-minor -> batch-major relayout, packing the stereo pair into
     # one uint32 word (left low, right high): the transpose then moves
