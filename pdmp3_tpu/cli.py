@@ -13,13 +13,17 @@ import argparse
 import sys
 
 
-def _decode(data: bytes, backend: str) -> bytes:
+def _decode(data: bytes, backend: str, lsf: bool = False,
+            free_format: bool = False) -> bytes:
     if backend == "native":
-        from .host import native_decode_file
-        return native_decode_file(data)
+        from .host import (PROFILE_FREE_FORMAT, PROFILE_LSF,
+                           native_decode_file)
+        prof = (PROFILE_LSF if lsf else 0) \
+            | (PROFILE_FREE_FORMAT if free_format else 0)
+        return native_decode_file(data, profile=prof)
     if backend == "oracle":
         from .api import decode_file
-        return decode_file(data)
+        return decode_file(data, lsf=lsf, free_format=free_format)
     if backend in ("tpu", "tpu-exact", "tpu-fast"):
         from .api import decode_file
         from .models.decoder import JaxDSP
@@ -27,9 +31,13 @@ def _decode(data: bytes, backend: str) -> bytes:
         if exact:
             import jax
             jax.config.update("jax_enable_x64", True)
-        return decode_file(data, dsp=JaxDSP(exact=exact))
+        return decode_file(data, dsp=JaxDSP(exact=exact), lsf=lsf,
+                           free_format=free_format)
     if backend == "batch":
         from .runtime import decode_files_batched
+        if lsf or free_format:
+            raise SystemExit("--lsf/--free-format: use a streaming "
+                             "backend (native/oracle/tpu)")
         return decode_files_batched([data])[0]
     raise SystemExit(f"unknown backend {backend!r}")
 
@@ -48,6 +56,12 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--output", default=None,
                     help="output path (single input only; default "
                          "<file>.raw, '-' = stdout)")
+    ap.add_argument("--lsf", action="store_true",
+                    help="also accept MPEG-2/2.5 (13818-3 LSF) streams "
+                         "(beyond the reference)")
+    ap.add_argument("--free-format", action="store_true",
+                    help="accept free-format bitrate streams (frame "
+                         "size deduced from the sync spacing)")
     args = ap.parse_args(argv)
 
     files = list(args.files)
@@ -59,7 +73,7 @@ def main(argv=None) -> int:
     for path in files:
         data = sys.stdin.buffer.read() if path == "-" else \
             open(path, "rb").read()
-        pcm = _decode(data, args.backend)
+        pcm = _decode(data, args.backend, args.lsf, args.free_format)
         out = args.output or (path + ".raw" if path != "-" else "-")
         if out == "-":
             sys.stdout.buffer.write(pcm)
