@@ -384,15 +384,17 @@ class SparseStreamDecoder(StreamDecoder):
 
 
 def decode_files_batched(files: list[bytes], n_slots: int | None = None,
-                         exact: bool = False, chunk: int = 4096
-                         ) -> list[bytes]:
+                         exact: bool = False, chunk: int = 4096,
+                         family: int = 0) -> list[bytes]:
     """Offline batched decode (BASELINE.json configs[3]): round-robin the
-    files over slots, stepping all streams in lockstep on the TPU."""
+    files over slots, stepping all streams in lockstep on the TPU.
+    family 1/2 decodes an MPEG-2 / MPEG-2.5 (LSF) corpus through the
+    per-family pool."""
     n = n_slots or len(files)
     out: list[list[bytes]] = [[] for _ in files]
     for base in range(0, len(files), n):
         group = files[base:base + n]
-        dec = StreamDecoder(len(group), exact=exact)
+        dec = StreamDecoder(len(group), exact=exact, family=family)
         pos = [0] * len(group)
         while True:
             # keep input rings topped up
@@ -410,7 +412,7 @@ def decode_files_batched(files: list[bytes], n_slots: int | None = None,
             for s in range(len(group)):
                 if dec.active[s]:
                     nch = dec.nch(s)
-                    p = pcm[s]  # [1152, 2]
+                    p = pcm[s]  # [1152, 2] (LSF: [576, 2])
                     if nch == 1:
                         out[base + s].append(p[:, 0].tobytes())
                     else:

@@ -410,3 +410,15 @@ def test_lsf_pallas_fast_within_1lsb_of_xla(fam):
         b = np.frombuffer(fx[s], np.int16).astype(np.int32)
         assert a.shape == b.shape
         assert np.abs(a - b).max(initial=0) <= 1, s
+
+
+def test_lsf_offline_batched_decode():
+    """decode_files_batched(family=) decodes an LSF corpus through the
+    per-family pool, matching the native per-stream decoder."""
+    from pdmp3_tpu.runtime.scheduler import decode_files_batched
+    files = [mp3gen.make_stream(n_frames=8, seed=910 + s, family=1,
+                                sfreq=s % 3, mode=0, bitrate_index=11)
+             for s in range(3)]
+    outs = decode_files_batched(files, exact=True, family=1)
+    for s, d in enumerate(files):
+        assert outs[s] == native_decode_file(d, profile=PROFILE_LSF), s
