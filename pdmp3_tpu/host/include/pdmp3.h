@@ -202,6 +202,17 @@ int pdmp3_parse_step_wire16_sparse(pdmp3_handle *const *ids,
                                    int16_t *active,
                                    long long *blocks_used);
 
+/* Sparse LSF pool wire: the count1-bounded block scheme of
+ * pdmp3_parse_step_wire16_sparse over the one-granule LSF layout —
+ * blk [F][n_slots][2][4], other fixed sections as
+ * pdmp3_parse_step_wire16_lsf, spectra as 128-line blocks in
+ * ix_flat[cap_blocks][128] (worst case frames_per_step*n_slots*2*5). */
+int pdmp3_parse_step_wire16_lsf_sparse(
+    pdmp3_handle *const *ids, size_t n_slots, int n_threads,
+    size_t frames_per_step, int16_t *ix_flat, size_t cap_blocks,
+    int16_t *blk, int16_t *scf_l, int16_t *scf_s, int16_t *meta,
+    int16_t *is_pos, int16_t *active, long long *blocks_used);
+
 /* Offline whole-stream parse: feed `data` and parse every frame natively
  * (no per-frame FFI round trips).  Tensors are laid out with n_slots =
  * max_frames and slot = frame index, i.e. [2][max_frames][...].  Returns

@@ -449,6 +449,124 @@ int pdmp3_parse_step_wire16_lsf(pdmp3_handle *const *ids, size_t n_slots,
   return n_active;
 }
 
+// Sparse LSF pool wire: count1-bounded blocks over the one-granule
+// layout (family band maps for the reorder + perm bound).
+static int parse_range16_lsf_sparse(
+    pdmp3_handle *const *ids, size_t lo, size_t hi, size_t n_slots,
+    size_t frames, int16_t *ix_flat, size_t cap_blocks,
+    std::atomic<long long> *cursor, int16_t *blk, int16_t *scf_l,
+    int16_t *scf_s, int16_t *meta, int16_t *is_pos, int16_t *active) {
+  const size_t sb = n_slots * 2 * 4;
+  const size_t sl = n_slots * 2 * 22;
+  const size_t ss = n_slots * 2 * 39;
+  const size_t sm = n_slots * PDMP3_META_WORDS;
+  const size_t sp = n_slots * 64;
+  int n_active = 0;
+  pdmp3_granules g;
+  for (size_t s = lo; s < hi; s++) {
+    pdmp3_handle *id = ids[s];
+    for (size_t f = 0; f < frames; f++) {
+      active[f * n_slots + s] = 0;
+      int pr = (id && id->fp.in.filled() >= 2 * 576)
+                   ? pdmp3_parse_frame(id, &g)
+                   : PDMP3_NEED_MORE;
+      // a stray MPEG-1 frame (parse OK, family 0) was CONSUMED: skip it
+      // without rollback and try this frame slot's next... frame rows
+      // stay inactive either way (see the dense packer)
+      bool skip_mpeg1 = pr == PDMP3_OK && g.family == 0;
+      int16_t *e = blk + f * sb + s * 2 * 4;
+      if (pr != PDMP3_OK || skip_mpeg1) {
+        std::memset(e, 0, 2 * 4 * sizeof(int16_t));
+        if (skip_mpeg1) continue;
+        for (size_t f2 = f + 1; f2 < frames; f2++) {
+          active[f2 * n_slots + s] = 0;
+          std::memset(blk + f2 * sb + s * 2 * 4, 0,
+                      2 * 4 * sizeof(int16_t));
+        }
+        break;
+      }
+      const pdmp3host::LayoutMaps &lm = pdmp3host::layout_maps(g.family);
+      for (int ch = 0; ch < 2; ch++, e += 4) {
+        int c1 = ch < g.nch ? (int)g.count1[0][ch] : 0;
+        if (c1 < 0) c1 = 0;
+        if (c1 > 576) c1 = 576;
+        unsigned lay = (unsigned)g.layout[0][ch];
+        int bound = lay <= 8 ? (int)lm.perm_bound[lay][c1] : c1;
+        int nb = (bound + 127) / 128;
+        long long start = 0;
+        if (nb) {
+          start = cursor->fetch_add(nb);
+          if (start + nb > (long long)cap_blocks) {  // saturate (see
+            nb = 0;                                  // dense packer)
+            start = 0;
+          }
+        }
+        if (nb) {
+          int n16 = nb * 128 < 576 ? nb * 128 : 576;
+          int16_t *dst = ix_flat + start * 128;
+          if (lay > 8 || lay % 3 == 0) {
+            std::memcpy(dst, g.ix[0][ch], (size_t)n16 * sizeof(int16_t));
+          } else {
+            const int16_t *p = lm.reorder[lay];
+            for (int i = 0; i < n16; i++) dst[i] = g.ix[0][ch][p[i]];
+          }
+          if (nb * 128 > 576)
+            std::memset(ix_flat + start * 128 + 576, 0,
+                        (size_t)(nb * 128 - 576) * sizeof(int16_t));
+        }
+        e[0] = (int16_t)(start & 0xFFFF);
+        e[1] = (int16_t)(start >> 16);
+        e[2] = (int16_t)nb;
+        e[3] = 0;
+      }
+      write_scf_meta16(g, 0, scf_l + f * sl + s * 2 * 22,
+                       scf_s + f * ss + s * 2 * 39,
+                       meta + f * sm + s * PDMP3_META_WORDS);
+      int16_t *ip = is_pos + f * sp + s * 64;
+      std::memcpy(ip, g.is_pos_l, sizeof g.is_pos_l);
+      std::memcpy(ip + 22, g.is_pos_s, sizeof g.is_pos_s);
+      ip[61] = ip[62] = ip[63] = 0;
+      active[f * n_slots + s] = 1;
+      n_active++;
+    }
+  }
+  return n_active;
+}
+
+int pdmp3_parse_step_wire16_lsf_sparse(
+    pdmp3_handle *const *ids, size_t n_slots, int n_threads,
+    size_t frames_per_step, int16_t *ix_flat, size_t cap_blocks,
+    int16_t *blk, int16_t *scf_l, int16_t *scf_s, int16_t *meta,
+    int16_t *is_pos, int16_t *active, long long *blocks_used) {
+  std::atomic<long long> cursor{0};
+  int n_active = 0;
+  if (n_threads <= 0)
+    n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 1 || n_slots < 64) {
+    n_active = parse_range16_lsf_sparse(
+        ids, 0, n_slots, n_slots, frames_per_step, ix_flat, cap_blocks,
+        &cursor, blk, scf_l, scf_s, meta, is_pos, active);
+  } else {
+    std::vector<std::thread> pool;
+    std::vector<int> counts((size_t)n_threads, 0);
+    size_t chunk = (n_slots + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      size_t lo = (size_t)t * chunk;
+      size_t hi = lo + chunk < n_slots ? lo + chunk : n_slots;
+      if (lo >= hi) break;
+      pool.emplace_back([=, &counts, &cursor] {
+        counts[(size_t)t] = parse_range16_lsf_sparse(
+            ids, lo, hi, n_slots, frames_per_step, ix_flat, cap_blocks,
+            &cursor, blk, scf_l, scf_s, meta, is_pos, active);
+      });
+    }
+    for (auto &th : pool) th.join();
+    for (int c : counts) n_active += c;
+  }
+  if (blocks_used) *blocks_used = cursor.load();
+  return n_active;
+}
+
 // Sparse count1-bounded wire (see pdmp3.h): frequency lines are zero from
 // count1 up (rzero, pdmp3.c:2108-2111), so only ceil(count1/128) 128-line
 // blocks per (gr,ch) ship.  One atomic cursor allocates blocks across

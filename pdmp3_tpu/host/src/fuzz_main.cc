@@ -126,7 +126,12 @@ static void run_wire(const uint8_t *data, size_t size, Rng &r) {
         if (pdmp3_feed(hs[s], data + pos[s], n) == PDMP3_OK)
           pos[s] += n;
     }
-    if (lsf)
+    if (lsf && (step & 1)) {
+      long long used = 0;
+      pdmp3_parse_step_wire16_lsf_sparse(hs, kSlots, 1, kFrames, flat,
+                                         kCap, blk, scf_l, scf_s, meta,
+                                         is_pos, active, &used);
+    } else if (lsf)
       pdmp3_parse_step_wire16_lsf(hs, kSlots, 1, kFrames, ix, scf_l,
                                   scf_s, meta, is_pos, active);
     else if (step & 1) {

@@ -64,6 +64,10 @@ struct LayoutMaps {
   int16_t reorder[9][576];    // reordered[i] = raw[reorder[i]]
   int16_t band_start[9][576]; // first line of the line's band
   int16_t intensity_ok[9][576];
+  // smallest line-ordered prefix covering bitstream lines [0, c): the
+  // sparse wire's count1 bound (family generalization of kPermBound,
+  // which stays the family-0 table; equality asserted by test)
+  int16_t perm_bound[9][577];
 };
 // family: 0 MPEG-1, 1 MPEG-2, 2 MPEG-2.5 (each family has its own band
 // edges, hence its own 9-layout map set — cf. tables.layout_maps(family))

@@ -71,6 +71,23 @@ LayoutMaps build_maps(int family) {
           m.reorder[lay][s0 + 3 * j + w] = (int16_t)(s0 + w * wl + j);
     }
   }
+  // perm_bound[lay][c] = 1 + max{i : reorder[i] < c} (0 for c == 0):
+  // the smallest line-ordered prefix covering bitstream lines [0, c).
+  // at[v] = latest wire position (+1) reading bitstream line v; the
+  // bound is its prefix max.
+  for (int lay = 0; lay < 9; lay++) {
+    int16_t at[576] = {};
+    for (int i = 0; i < 576; i++) {
+      int v = m.reorder[lay][i];
+      if (i + 1 > at[v]) at[v] = (int16_t)(i + 1);
+    }
+    int run = 0;
+    m.perm_bound[lay][0] = 0;
+    for (int c = 1; c <= 576; c++) {
+      if (at[c - 1] > run) run = at[c - 1];
+      m.perm_bound[lay][c] = (int16_t)run;
+    }
+  }
   return m;
 }
 

@@ -459,6 +459,69 @@ def decode_frame_packed_lsf(buf, state, B: int, F: int = 1,
         family, exact, bug_compat, float_pcm, kernel)
 
 
+def sparse_layout_lsf(B: int, F: int = 1,
+                      cap_blocks: int | None = None) -> dict:
+    """Sparse count1-bounded LSF wire: one granule per frame, blk table
+    [F,B,2,4], intensity sidecar, flat spectra region last (cf.
+    sparse_layout)."""
+    if cap_blocks is None:
+        cap_blocks = F * B * 2 * _MAX_BLOCKS_PER_CH
+    off = {}
+    pos = 0
+
+    def sec(name, nelems):
+        nonlocal pos
+        off[name] = (pos, nelems)
+        pos += (nelems + 1) & ~1  # keep 4-byte alignment
+
+    sec("blk", F * B * 2 * _BLK_WORDS)
+    sec("scf_l", F * B * 2 * 22)
+    sec("scf_s", F * B * 2 * 39)
+    sec("meta", F * B * _META_WORDS)
+    sec("is_pos", F * B * 64)
+    sec("active", F * B)
+    off["fixed"] = pos
+    sec("ix_flat", cap_blocks * SPARSE_BLOCK)
+    off["total"] = pos
+    off["cap_blocks"] = cap_blocks
+    return off
+
+
+@functools.partial(_lazy_jit,
+                   static_argnames=("B", "F", "cap_blocks", "family",
+                                    "exact", "bug_compat", "kernel"))
+def decode_frame_lsf_sparse(buf, state, B: int, F: int = 1,
+                            cap_blocks: int = 0, family: int = 1,
+                            exact: bool = False, bug_compat: bool = True,
+                            kernel: str = "xla"):
+    """decode_frame_lsf_soa over the sparse LSF wire (buf: int16
+    [sparse_layout_lsf(B, F, cap_blocks)['total']]).  Bit-identical to
+    the dense LSF wire (re-densified rzero tail is exactly the zeros the
+    dense wire carries)."""
+    off = sparse_layout_lsf(B, F, cap_blocks)
+
+    def sect(name, shape):
+        o, n = off[name]
+        return jax.lax.dynamic_slice_in_dim(buf, o, n).reshape(shape)
+
+    blk = sect("blk", (F, B, 2, _BLK_WORDS)).astype(jnp.int32)
+    flat = sect("ix_flat", (cap_blocks, SPARSE_BLOCK))
+    start = (blk[..., 1] << 16) | (blk[..., 0] & 0xFFFF)   # [F,B,2]
+    nb = blk[..., 2]
+    iota = jnp.arange(_MAX_BLOCKS_PER_CH, dtype=jnp.int32)
+    mask = iota < nb[..., None]                            # [F,B,2,5]
+    bidx = jnp.clip(jnp.where(mask, start[..., None] + iota, 0),
+                    0, cap_blocks - 1)
+    vals = jnp.where(mask[..., None], jnp.take(flat, bidx, axis=0), 0)
+    ix = vals.reshape(F, B, 2,
+                      _MAX_BLOCKS_PER_CH * SPARSE_BLOCK)[..., :576]
+    return decode_frame_lsf_soa.__wrapped__(
+        ix, sect("scf_l", (F, B, 2, 22)), sect("scf_s", (F, B, 2, 39)),
+        sect("meta", (F, B, _META_WORDS)), sect("is_pos", (F, B, 64)),
+        sect("active", (F, B)), state, family, exact, bug_compat, False,
+        kernel)
+
+
 # ---------------------------------------------------------------------------
 # Sparse count1-bounded wire: every granule's lines are zero from count1 up
 # (rzero, pdmp3.c:2108-2111), so the host ships only ceil(count1/128)

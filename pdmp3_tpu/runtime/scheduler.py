@@ -304,8 +304,9 @@ class SparseStreamDecoder(StreamDecoder):
     bit-identical to the dense path."""
 
     def _make_layout(self) -> dict:
-        assert not self.family, \
-            "LSF pools use the dense LSF wire (StreamDecoder(family=...))"
+        if self.family:
+            self._cap_full = self.F * self.n * 2 * 5
+            return M.sparse_layout_lsf(self.n, self.F, self._cap_full)
         self._cap_full = M.sparse_worst_blocks(self.n, self.F)
         return M.sparse_layout(self.n, self.F, self._cap_full)
 
@@ -318,25 +319,49 @@ class SparseStreamDecoder(StreamDecoder):
             return self.wire[o:o + n].reshape(shape)
 
         F = self.F
-        self.blk = view("blk", (F * 2, self.n, 2, 4))
-        self.scf_l = view("scf_l", (F * 2, self.n, 2, 22))
-        self.scf_s = view("scf_s", (F * 2, self.n, 2, 39))
-        self.meta = view("meta", (F * 2, self.n, _META))
+        ngr = 1 if self.family else 2
+        self.blk = view("blk", (F * ngr, self.n, 2, 4))
+        self.scf_l = view("scf_l", (F * ngr, self.n, 2, 22))
+        self.scf_s = view("scf_s", (F * ngr, self.n, 2, 39))
+        self.meta = view("meta", (F * ngr, self.n, _META))
+        if self.family:
+            self.is_pos = view("is_pos", (F, self.n, 64))
         self.active = view("active",
                            (self.n,) if F == 1 else (F, self.n))
         self.ix_flat = view("ix_flat", (self._cap_full, M.SPARSE_BLOCK))
 
     def _finish_init(self):
-        self._fn = lib().pdmp3_parse_step_wire16_sparse
-        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int, C.c_size_t,
-                             C.c_void_p, C.c_size_t, C.c_void_p,
-                             C.c_void_p, C.c_void_p, C.c_void_p,
-                             C.c_void_p, C.POINTER(C.c_longlong)]
+        if self.family:
+            self._fn = lib().pdmp3_parse_step_wire16_lsf_sparse
+            self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int,
+                                 C.c_size_t, C.c_void_p, C.c_size_t,
+                                 C.c_void_p, C.c_void_p, C.c_void_p,
+                                 C.c_void_p, C.c_void_p, C.c_void_p,
+                                 C.POINTER(C.c_longlong)]
+        else:
+            self._fn = lib().pdmp3_parse_step_wire16_sparse
+            self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int,
+                                 C.c_size_t, C.c_void_p, C.c_size_t,
+                                 C.c_void_p, C.c_void_p, C.c_void_p,
+                                 C.c_void_p, C.c_void_p,
+                                 C.POINTER(C.c_longlong)]
         self._handle_arr = (C.c_void_p * self.n)(
             *[h._h for h in self.handles])
         self._used = C.c_longlong(0)
 
     def parse_step(self) -> int:
+        if self.family:
+            return self._fn(self._handle_arr, self.n, self.parse_threads,
+                            self.F,
+                            self.ix_flat.ctypes.data_as(C.c_void_p),
+                            self._cap_full,
+                            self.blk.ctypes.data_as(C.c_void_p),
+                            self.scf_l.ctypes.data_as(C.c_void_p),
+                            self.scf_s.ctypes.data_as(C.c_void_p),
+                            self.meta.ctypes.data_as(C.c_void_p),
+                            self.is_pos.ctypes.data_as(C.c_void_p),
+                            self.active.ctypes.data_as(C.c_void_p),
+                            C.byref(self._used))
         return self._fn(self._handle_arr, self.n, self.parse_threads,
                         self.F,
                         self.ix_flat.ctypes.data_as(C.c_void_p),
@@ -371,10 +396,16 @@ class SparseStreamDecoder(StreamDecoder):
         import jax
         cap = self._bucket_blocks()
         upload = self.wire[:self._lay["fixed"] + cap * M.SPARSE_BLOCK]
-        pcm, self.state = M.decode_frame_sparse(
-            jax.device_put(upload), self.state, B=self.n, F=self.F,
-            cap_blocks=cap, exact=self.exact, bug_compat=self.bug_compat,
-            kernel=self.kernel, float_pcm=self.float_pcm)
+        if self.family:
+            pcm, self.state = M.decode_frame_lsf_sparse(
+                jax.device_put(upload), self.state, B=self.n, F=self.F,
+                cap_blocks=cap, family=self.family, exact=self.exact,
+                bug_compat=self.bug_compat, kernel=self.kernel)
+        else:
+            pcm, self.state = M.decode_frame_sparse(
+                jax.device_put(upload), self.state, B=self.n, F=self.F,
+                cap_blocks=cap, exact=self.exact, bug_compat=self.bug_compat,
+                kernel=self.kernel, float_pcm=self.float_pcm)
         act, meta = self.active.copy(), self.meta.copy()
         self._cur ^= 1
         self._bind_views()

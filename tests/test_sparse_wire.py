@@ -197,3 +197,64 @@ def test_float_pcm_output(corpus):
         assert (np.trunc(f_out[s].astype(np.float64) * 32767.0)
                 == i_out[s]).all(), f"dense slot {s}"
         assert (fs_out[s] == f_out[s]).all(), f"sparse slot {s}"
+
+
+def _serve_lsf(cls, streams, fam, kernel, **kw):
+    from pdmp3_tpu.host import PROFILE_LSF, native_decode_file
+    dec = cls(len(streams), exact=True, family=fam, kernel=kernel, **kw)
+    for s, d in enumerate(streams):
+        dec.feed(s, d)
+    per = [[] for _ in streams]
+    wire_bytes = steps = 0
+    while dec.parse_step() > 0:
+        if hasattr(dec, "_used"):
+            # actual spectra lines shipped (the bucketed wire_bytes()
+            # has a 64-block floor that dominates at tiny B)
+            wire_bytes += 2 * M.SPARSE_BLOCK * int(dec._used.value)
+        steps += 1
+        pcm = dec.decode_step()
+        act = dec.active if dec.active.ndim == 1 else dec.active[0]
+        for s in range(len(streams)):
+            if act[s]:
+                per[s].append(pcm[s].tobytes())
+    return [b"".join(p) for p in per], (wire_bytes, steps)
+
+
+@pytest.mark.parametrize("fam,kernel", [(1, "xla"), (1, "pallas"),
+                                        (2, "xla")])
+def test_sparse_lsf_equals_dense_and_native(fam, kernel):
+    """The sparse count1-bounded LSF wire is bit-identical to the dense
+    LSF pool and the native per-stream decoder, and ships fewer bytes.
+    8 kHz slots (sfreq 2, family 2) cover the 72-line mixed split's
+    family perm bound."""
+    from pdmp3_tpu.host import PROFILE_LSF, native_decode_file
+    streams = [mp3gen.make_stream(n_frames=8, seed=880 + s, family=fam,
+                                  sfreq=s % 3, bitrate_index=11, mode=1,
+                                  mode_extension=3, stereo_extent_ch1=0.4,
+                                  blocks="varied") for s in range(4)]
+    sp, (sp_bytes, steps) = _serve_lsf(SparseStreamDecoder, streams,
+                                       fam, kernel)
+    de, _ = _serve_lsf(StreamDecoder, streams, fam, kernel)
+    for s, d in enumerate(streams):
+        want = native_decode_file(d, profile=PROFILE_LSF)
+        assert sp[s] == want, (fam, kernel, s)
+        assert de[s] == want, (fam, kernel, s)
+    # spectra lines actually shipped vs the dense wire's full 2*576
+    # per slot-channel (the fixed sections are identical)
+    dense_ix_bytes = 2 * len(streams) * 2 * 576
+    assert sp_bytes > 0 and steps > 0
+    assert sp_bytes < steps * dense_ix_bytes
+
+
+def test_sparse_lsf_multithread_deterministic():
+    """Thread-count-independent PCM despite nondeterministic block
+    placement (the block table keys the device gather)."""
+    fam = 1
+    streams = [mp3gen.make_stream(n_frames=6, seed=770 + s, family=fam,
+                                  sfreq=s % 3, bitrate_index=11, mode=0)
+               for s in range(4)]
+    a, _ = _serve_lsf(SparseStreamDecoder, streams, fam, "xla",
+                      parse_threads=1)
+    b, _ = _serve_lsf(SparseStreamDecoder, streams, fam, "xla",
+                      parse_threads=4)
+    assert a == b
