@@ -49,6 +49,13 @@ class PDMP3:
         into interleaved S16LE honoring the ostart resume offset."""
         nch = self.fe.header.nch
         framesz = 2 * nch
+        # ostart can exceed owords when an odd-sized read leaves a
+        # partially-drained 1152-word frame and an LSF frame follows
+        # (owords 576): recover by resetting the drain cursor (native
+        # api.cc convert_s16 parity)
+        if self.ostart >= self.owords:
+            self.ostart = 0
+            return b""
         nsamps = min(outsize // framesz, self.owords - self.ostart)
         flat = self.out.reshape(-1)[self.ostart:self.ostart + nsamps]
         if nch == 1:

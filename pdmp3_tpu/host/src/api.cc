@@ -787,8 +787,17 @@ static size_t convert_s16(pdmp3_handle *id, unsigned char *outbuf,
   size_t framesz = 2 * (size_t)nch;
   size_t nsamps = buflen / framesz;
   // owords = PCM words this frame carries: 1152 for MPEG-1, 576 for LSF
-  // one-granule frames (cf. api.PDMP3.owords)
-  if (nsamps > id->owords - id->ostart) nsamps = id->owords - id->ostart;
+  // one-granule frames (cf. api.PDMP3.owords).  ostart can exceed
+  // owords in one exotic interleaving (an odd-sized read leaves a
+  // partially-drained 1152-word frame, then an LSF frame decodes with
+  // owords 576): clamp — the unsigned difference would otherwise
+  // underflow and read past id->out.
+  size_t remain = id->ostart < id->owords ? id->owords - id->ostart : 0;
+  if (nsamps > remain) nsamps = remain;
+  if (remain == 0) {
+    id->ostart = 0;
+    return 0;
+  }
   int16_t *s = (int16_t *)outbuf;
   const uint32_t *flat = &id->out[0][0];
   for (size_t q = 0; q < nsamps; q++) {

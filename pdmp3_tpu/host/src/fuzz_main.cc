@@ -76,10 +76,14 @@ static void run_streaming(const uint8_t *data, size_t size, Rng &r) {
       pos += n;
     int rd = PDMP3_OK;
     int inner = 0;
-    // drain aggressively on NO_SPACE, occasionally otherwise
+    // drain aggressively on NO_SPACE, occasionally otherwise; VARIED
+    // read sizes (incl. odd) exercise the partial-drain/owords
+    // interleavings a fixed full-buffer read never reaches
     while ((fr == PDMP3_NO_SPACE || (r.next() & 3) == 0) &&
-           rd == PDMP3_OK && inner++ < 64)
-      rd = pdmp3_read(h, out, sizeof out, &done);
+           rd == PDMP3_OK && inner++ < 64) {
+      size_t rn = (r.next() & 7) ? sizeof out : 1 + r.below(4096);
+      rd = pdmp3_read(h, out, rn, &done);
+    }
     if (fr == PDMP3_NO_SPACE && rd != PDMP3_OK)
       break;  // wedged: full buffer the decoder cannot consume
   }

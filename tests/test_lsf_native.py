@@ -422,3 +422,37 @@ def test_lsf_offline_batched_decode():
     outs = decode_files_batched(files, exact=True, family=1)
     for s, d in enumerate(files):
         assert outs[s] == native_decode_file(d, profile=PROFILE_LSF), s
+
+
+def test_partial_drain_then_lsf_frame_no_overread():
+    """Regression: an odd-sized read can leave a partially-drained
+    1152-word MPEG-1 frame (ostart in (576, 1152)); if an LSF frame
+    (owords 576) then decodes, the drain cursor exceeds the new frame's
+    word count.  The unsigned difference must clamp (it used to
+    underflow and read past id->out in the native convert)."""
+    mpeg1 = mp3gen.make_stream(n_frames=4, seed=5, mode=3)  # mono
+    lsf = mp3gen.make_stream(n_frames=10, seed=6, family=1, mode=0,
+                             bitrate_index=11)
+    for h in (NativePDMP3(),):
+        h.set_profile(PROFILE_LSF)
+        h.open_feed()
+        h.feed(mpeg1 + lsf)
+        r1, pcm = h.read(1600)          # drain 800 of 1152 mono words
+        assert len(pcm) == 1600
+        h.read(1)                       # forces decode with stale ostart
+        for _ in range(20):             # must not crash / mis-drain
+            res, pcm = h.read(4096)
+            assert len(pcm) % 4 in (0, 2)
+            if res in (T.ERR, T.NEED_MORE):
+                break
+    # Python impl takes the same interleaving (api.PDMP3 parity)
+    from pdmp3_tpu.api import PDMP3
+    p = PDMP3(lsf=True)
+    p.open_feed()
+    p.feed(mpeg1 + lsf)
+    p.read(1600)
+    p.read(1)
+    for _ in range(20):
+        res, pcm = p.read(4096)
+        if res in (T.ERR, T.NEED_MORE):
+            break
