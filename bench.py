@@ -249,6 +249,59 @@ def _e2e_corpus(n_distinct: int = 128):
     return streams
 
 
+def _bench_e2e_lsf(B: int = 1024, seconds: float = 3.0) -> float:
+    """End-to-end LSF pool serving (native LSF parse + sparse LSF wire +
+    fused per-family Pallas kernel) on this harness — one config, RTF at
+    the 22.05 kHz basis.  Tunnel-bound like the MPEG-1 e2e numbers."""
+    from pdmp3_tpu.runtime import SparseStreamDecoder
+    from pdmp3_tpu.testing import mp3gen
+
+    streams = []
+    i = 0
+    while len(streams) < 32:
+        try:
+            streams.append(mp3gen.make_stream(
+                n_frames=30, seed=700 + i, family=1, sfreq=i % 3,
+                bitrate_index=[9, 11, 14][(i // 3) % 3],
+                mode=[0, 1, 1, 3][i % 4],
+                mode_extension=3 if i % 2 else 0,
+                stereo_extent_ch1=0.5,
+                blocks=["long", "varied", "short", "mixed"][i % 4]))
+        except AssertionError:
+            pass
+        i += 1
+    dec = SparseStreamDecoder(B, exact=False, kernel="pallas", family=1)
+    src = [streams[i % len(streams)] for i in range(B)]
+    pos = [0] * B
+
+    def refill():
+        for s in range(B):
+            if pos[s] >= len(src[s]):
+                pos[s] = 0
+            if dec.inbuf_free(s) >= 4096:
+                n = min(4096, len(src[s]) - pos[s])
+                dec.feed(s, src[s][pos[s]:pos[s] + n])
+                pos[s] += n
+
+    for _ in range(4):  # warm compiles + sticky bucket
+        refill()
+        dec.parse_step()
+    jax.block_until_ready(dec.decode_step(fetch=False))
+    granules = 0
+    last = None
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        refill()
+        n_act = dec.parse_step()
+        if n_act == 0:
+            break
+        last = dec.decode_step(fetch=False)
+        granules += n_act
+    jax.block_until_ready(last)
+    el = time.perf_counter() - t0
+    return granules * 576 / 22050.0 / el
+
+
 def _bench_e2e_ab(streams, B: int = 4096, trials: int = 3,
                   seconds: float = 3.0) -> dict:
     """Full pipeline (native frontend parse + wire upload + TPU decode)
@@ -479,6 +532,7 @@ def main() -> None:
     # LSF (MPEG-2) capability rate — exceeds the reference; fast mode,
     # fused Pallas per-family program, 22.05 kHz realtime basis
     lsf_rtf = _measure_lsf(B, max(32, steps // 4), "pallas")
+    lsf_e2e = _bench_e2e_lsf()
 
     # projected end-to-end at PCIe gen3 x16 (12 GB/s effective), wire =
     # int16 spectra + sideinfo up, int16 stereo PCM down per granule
@@ -516,6 +570,7 @@ def main() -> None:
         "wire_bytes_per_granule_sparse": round(sparse_bpg, 1),
         "e2e_distinct_streams": 128,
         "lsf_rtf_pallas_22k05": round(lsf_rtf, 1),
+        "e2e_lsf_sparse_pallas_rtf_22k05": round(lsf_e2e, 1),
         "native_singlecore_frames_per_sec": round(native_fps, 1),
         "host_parse_frames_per_sec_1t": round(parse_fps, 1),
         "reference_binary_frames_per_sec": round(ref_fps, 1),
