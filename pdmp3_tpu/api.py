@@ -24,8 +24,8 @@ class PDMP3:
     """One decoder stream handle (pdmp3_new/open_feed/feed/read/decode)."""
 
     def __init__(self, dsp=None, lsf: bool = False,
-                 free_format: bool = False):
-        self.fe = Frontend(lsf=lsf, free_format=free_format)
+                 free_format: bool = False, id3: bool = False):
+        self.fe = Frontend(lsf=lsf, free_format=free_format, id3=id3)
         self.dsp = dsp if dsp is not None else OracleDSP()
         self.out = np.zeros((2, 576), np.uint32)  # packed PCM words
         self.ostart = 0
@@ -81,6 +81,10 @@ class PDMP3:
             outsize -= len(b)
             res = T.OK
         while outsize > 0:
+            if self.fe.id3:
+                # consume tag bytes OUTSIDE the rollback snapshot so the
+                # skip persists across NEED_MORE round trips
+                self.fe.skip_id3()
             if self.fe.inbuf_filled() >= 2 * 576:
                 pos = self.fe.processed
                 mark = self.fe.istart
@@ -131,9 +135,10 @@ class PDMP3:
 
 
 def decode_file(data: bytes, dsp=None, chunk: int = 4096,
-                lsf: bool = False, free_format: bool = False) -> bytes:
+                lsf: bool = False, free_format: bool = False,
+                id3: bool = False) -> bytes:
     """CLI-equivalent loop (pdmp3.c:2540-2589): feed/read to exhaustion."""
-    h = PDMP3(dsp=dsp, lsf=lsf, free_format=free_format)
+    h = PDMP3(dsp=dsp, lsf=lsf, free_format=free_format, id3=id3)
     h.open_feed()
     pos = 0
     out = []

@@ -14,16 +14,18 @@ import sys
 
 
 def _decode(data: bytes, backend: str, lsf: bool = False,
-            free_format: bool = False) -> bytes:
+            free_format: bool = False, id3: bool = False) -> bytes:
     if backend == "native":
-        from .host import (PROFILE_FREE_FORMAT, PROFILE_LSF,
+        from .host import (PROFILE_FREE_FORMAT, PROFILE_ID3, PROFILE_LSF,
                            native_decode_file)
         prof = (PROFILE_LSF if lsf else 0) \
-            | (PROFILE_FREE_FORMAT if free_format else 0)
+            | (PROFILE_FREE_FORMAT if free_format else 0) \
+            | (PROFILE_ID3 if id3 else 0)
         return native_decode_file(data, profile=prof)
     if backend == "oracle":
         from .api import decode_file
-        return decode_file(data, lsf=lsf, free_format=free_format)
+        return decode_file(data, lsf=lsf, free_format=free_format,
+                           id3=id3)
     if backend in ("tpu", "tpu-exact", "tpu-fast"):
         from .api import decode_file
         from .models.decoder import JaxDSP
@@ -32,12 +34,12 @@ def _decode(data: bytes, backend: str, lsf: bool = False,
             import jax
             jax.config.update("jax_enable_x64", True)
         return decode_file(data, dsp=JaxDSP(exact=exact), lsf=lsf,
-                           free_format=free_format)
+                           free_format=free_format, id3=id3)
     if backend == "batch":
         from .runtime import decode_files_batched
-        if lsf or free_format:
-            raise SystemExit("--lsf/--free-format: use a streaming "
-                             "backend (native/oracle/tpu)")
+        if lsf or free_format or id3:
+            raise SystemExit("--lsf/--free-format/--id3: use a "
+                             "streaming backend (native/oracle/tpu)")
         return decode_files_batched([data])[0]
     raise SystemExit(f"unknown backend {backend!r}")
 
@@ -62,6 +64,10 @@ def main(argv=None) -> int:
     ap.add_argument("--free-format", action="store_true",
                     help="accept free-format bitrate streams (frame "
                          "size deduced from the sync spacing)")
+    ap.add_argument("--id3", action="store_true",
+                    help="skip ID3v2 tags explicitly (tags larger than "
+                         "the 16 KiB input ring would otherwise kill "
+                         "the stream, as in the reference)")
     args = ap.parse_args(argv)
 
     files = list(args.files)
@@ -73,7 +79,7 @@ def main(argv=None) -> int:
     for path in files:
         data = sys.stdin.buffer.read() if path == "-" else \
             open(path, "rb").read()
-        pcm = _decode(data, args.backend, args.lsf, args.free_format)
+        pcm = _decode(data, args.backend, args.lsf, args.free_format, args.id3)
         out = args.output or (path + ".raw" if path != "-" else "-")
         if out == "-":
             sys.stdout.buffer.write(pcm)

@@ -141,9 +141,17 @@ class Frontend:
     """
 
     def __init__(self, count1_table_b_spec: bool = False,
-                 lsf: bool = False, free_format: bool = False):
+                 lsf: bool = False, free_format: bool = False,
+                 id3: bool = False):
         self.count1_table_b_spec = count1_table_b_spec
         self.lsf = lsf
+        # id3: skip ID3v2 tags explicitly.  The reference's sync scan
+        # absorbs tags that fit the buffered window, but a tag larger
+        # than the 16 KiB ring (typical with cover art) starves the scan
+        # and the bounded resync kills the stream (pdmp3.c:1322-1340).
+        # Default OFF for bit-parity differentials.
+        self.id3 = id3
+        self.id3_remaining = 0   # unskipped tag bytes (can exceed ring)
         # free_format: accept bitrate_index == 0 (ISO 11172-3 free
         # format; the reference rejects it, pdmp3.c:1299) and deduce the
         # constant frame size from the sync spacing.  Default OFF for
@@ -212,6 +220,13 @@ class Frontend:
         self.istart += 1
         if self.istart == T.INBUF_SIZE:
             self.istart = 0
+            # a feed that exactly reached the buffer end parks iend at
+            # INBUF_SIZE; with istart wrapped the ring is exactly empty,
+            # but the parked iend would read as ghost-full and the sync
+            # scan could never hit EOF again (a latent defect in the
+            # reference itself, Get_Byte pdmp3.c:1464-1474) — normalize
+            if self.iend == T.INBUF_SIZE:
+                self.iend = 0
         self.processed += 1
         return v
 
@@ -424,6 +439,31 @@ class Frontend:
             s.scalefac_scale[gr][ch] = self.get_side_bits(1)
             s.count1table_select[gr][ch] = self.get_side_bits(1)
         return T.OK
+
+    # ---- ID3v2 tag skipping (id3.org v2.3/2.4 header; capability
+    # beyond the reference, which chokes on tags > ~1.1 KB) ----
+
+    def skip_id3(self) -> None:
+        """Consume any ID3v2 tag at the read cursor.  Incremental: tags
+        larger than the ring drain across NEED_MORE round trips via
+        id3_remaining.  Must be called OUTSIDE the frame-level cursor
+        rollback (api.read does, before its snapshot)."""
+        while True:
+            if self.id3_remaining:
+                n = min(self.id3_remaining, self.inbuf_filled())
+                for _ in range(n):
+                    self.get_byte()
+                self.id3_remaining -= n
+                if self.id3_remaining:
+                    return        # tag continues past the buffered data
+            if self.inbuf_filled() < 10:
+                return
+            hdr = [self.inbuf[(self.istart + k) % T.INBUF_SIZE]
+                   for k in range(10)]
+            if bytes(hdr[:3]) != b"ID3" or hdr[3] == 0xFF                     or any(b & 0x80 for b in hdr[6:10]):
+                return            # not a (valid) tag header
+            size = (hdr[6] << 21) | (hdr[7] << 14) | (hdr[8] << 7) | hdr[9]
+            self.id3_remaining = 10 + size + (10 if hdr[5] & 0x10 else 0)
 
     # ---- free-format frame-size measurement (ISO 11172-3 §2.4.2.3:
     # bitrate_index 0 = "free format", constant frame size the decoder
@@ -837,3 +877,4 @@ class Frontend:
         self.new_header = 0
         self.main_top = 0
         self.free_size = 0
+        self.id3_remaining = 0

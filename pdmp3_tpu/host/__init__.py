@@ -82,6 +82,7 @@ PROFILE_COUNT1B_SPEC = 1
 PROFILE_SPEC_INTENSITY = 2
 PROFILE_LSF = 4  # accept MPEG-2 / MPEG-2.5 (13818-3 LSF) streams
 PROFILE_FREE_FORMAT = 8  # accept free-format bitrate (sync-spacing size)
+PROFILE_ID3 = 16  # skip ID3v2 tags (incremental across NEED_MORE)
 
 
 class NativePDMP3:

@@ -269,6 +269,13 @@ void pdmp3_dsp_frame(pdmp3_handle *id, const pdmp3_granules *g,
  * constant frame size from the sync spacing (chain-verified against a
  * third header to screen false syncs inside main data). */
 #define PDMP3_PROFILE_FREE_FORMAT 8u
+/* PDMP3_PROFILE_ID3: skip ID3v2 tags explicitly.  The reference's
+ * sync scan absorbs tags that fit the buffered input window, but a tag
+ * larger than the 16 KiB ring (typical with embedded cover art) starves
+ * the scan and Search_Header's bounded retry kills the stream
+ * (pdmp3.c:1322-1340).  Incremental: oversized tags drain across
+ * NEED_MORE round trips. */
+#define PDMP3_PROFILE_ID3 16u
 void pdmp3_set_profile(pdmp3_handle *id, unsigned flags);
 unsigned pdmp3_get_profile(const pdmp3_handle *id);
 

@@ -144,6 +144,7 @@ void pdmp3_state_restore(pdmp3_handle *id, const void *buf) {
 
 int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *g) {
   if (!id || !g) return PDMP3_ERR;
+  if (id->fp.id3_enabled()) id->fp.skip_id3();  // before the snapshot
   size_t pos = id->fp.in.processed;
   unsigned mark = id->fp.in.istart;
   int r = id->fp.parse_frame(g);
@@ -829,6 +830,7 @@ int pdmp3_read(pdmp3_handle *id, unsigned char *outmemory, size_t outsize,
     res = PDMP3_OK;
   }
   while (outsize) {
+    if (id->fp.id3_enabled()) id->fp.skip_id3();  // before the snapshot
     if (id->fp.in.filled() >= 2 * 576) {
       size_t pos = id->fp.in.processed;
       unsigned mark = id->fp.in.istart;

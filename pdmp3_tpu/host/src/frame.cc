@@ -36,6 +36,35 @@ void FrameParser::reset() {
   new_header = 0;
   res.top = 0;
   free_size = 0;
+  id3_remaining = 0;
+}
+
+void FrameParser::skip_id3() {
+  // Consume any ID3v2 tag at the read cursor (id3.org header: "ID3",
+  // version != 0xFF, 4 syncsafe size bytes; footer flag 0x10 adds 10).
+  // Incremental across NEED_MORE: id3_remaining persists in the handle.
+  // Must run OUTSIDE the frame-level cursor rollback (pdmp3_read /
+  // pdmp3_parse_frame call it before their snapshots).
+  for (;;) {
+    if (id3_remaining) {
+      unsigned n = in.filled();
+      if (n > id3_remaining) n = id3_remaining;
+      in.discard(n);
+      id3_remaining -= n;
+      if (id3_remaining) return;  // tag continues past buffered data
+    }
+    if (in.filled() < 10) return;
+    uint8_t hdr[10];
+    for (unsigned k = 0; k < 10; k++)
+      hdr[k] = in.buf[(in.istart + k) % kInbufSize];
+    if (hdr[0] != 'I' || hdr[1] != 'D' || hdr[2] != '3' ||
+        hdr[3] == 0xFF ||
+        ((hdr[6] | hdr[7] | hdr[8] | hdr[9]) & 0x80))
+      return;
+    unsigned size = ((unsigned)hdr[6] << 21) | ((unsigned)hdr[7] << 14) |
+                    ((unsigned)hdr[8] << 7) | hdr[9];
+    id3_remaining = 10 + size + ((hdr[5] & 0x10) ? 10 : 0);
+  }
 }
 
 int FrameParser::read_header() {

@@ -93,10 +93,24 @@ struct InRing {
   unsigned free_space() const {
     return iend < istart ? istart - iend : kInbufSize - iend + istart;
   }
+  // A feed that exactly reaches the buffer end parks iend at
+  // kInbufSize (reference parity, pdmp3.c:2406-2410).  When a consumer
+  // then wraps istart to 0, the remaining data is exactly zero but the
+  // parked iend would read as a ghost-full ring — istart could never
+  // equal iend again and the sync scan would spin forever (a latent
+  // defect in the reference itself: Get_Byte pdmp3.c:1464-1474 has no
+  // escape).  Normalizing iend at the wrap moment is exact: data never
+  // extends past iend, so istart==0 with iend parked means empty.
+  void normalize_wrap() {
+    if (istart == 0 && iend == kInbufSize) iend = 0;
+  }
   uint32_t get_byte() {
     if (istart == iend) return kEof;
     uint32_t v = buf[istart++];
-    if (istart == kInbufSize) istart = 0;
+    if (istart == kInbufSize) {
+      istart = 0;
+      normalize_wrap();
+    }
     processed++;
     return v;
   }
@@ -121,8 +135,15 @@ struct InRing {
     std::memcpy(dst, buf + istart, first);
     std::memcpy(dst + first, buf, n - first);
     istart = (istart + n) % kInbufSize;
+    normalize_wrap();
     processed += n;
     return n;
+  }
+  // consume n buffered bytes without copying (ID3 tag skip)
+  void discard(unsigned n) {
+    istart = (istart + n) % kInbufSize;
+    normalize_wrap();
+    processed += n;
   }
   int feed(const uint8_t *in, size_t size);
 };
@@ -269,6 +290,10 @@ struct FrameParser {
   bool free_enabled() const {
     return (profile & PDMP3_PROFILE_FREE_FORMAT) != 0;
   }
+  bool id3_enabled() const { return (profile & PDMP3_PROFILE_ID3) != 0; }
+  // unskipped ID3v2 tag bytes (can exceed the ring); see skip_id3()
+  unsigned id3_remaining = 0;
+  void skip_id3();
   // measured free-format frame size excl. padding (0 = unknown); reset
   // by open_feed
   unsigned free_size = 0;
