@@ -61,10 +61,10 @@ static void run_streaming(const uint8_t *data, size_t size, Rng &r) {
   pdmp3_handle *h = pdmp3_new(nullptr, nullptr);
   if (!h) return;
   pdmp3_open_feed(h);
-  // all 16 profile combinations, incl. PDMP3_PROFILE_LSF (11-bit sync
-  // scan + the MPEG-2/2.5 one-granule parse paths) and
-  // PDMP3_PROFILE_FREE_FORMAT (sync-spacing size measurement)
-  pdmp3_set_profile(h, (unsigned)(r.next() & 15));
+  // all 32 profile combinations: COUNT1B_SPEC, SPEC_INTENSITY, LSF
+  // (11-bit sync + one-granule parse), FREE_FORMAT (sync-spacing
+  // measurement), ID3 (incremental tag skip + ring-wrap normalization)
+  pdmp3_set_profile(h, (unsigned)(r.next() & 31));
   unsigned char out[16384];
   size_t done = 0, pos = 0;
   int guard = 0;

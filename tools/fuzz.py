@@ -52,7 +52,21 @@ def make_seeds(d: str) -> int:
         # draws PDMP3_PROFILE_FREE_FORMAT, else exercises rejection)
         dict(n_frames=5, seed=908, free_format_size=420, mode=0),
     ]
+    extra_raw = []
+    # ID3-tagged seed: small tag + stream (the mutator grows/splices
+    # tags; PDMP3_PROFILE_ID3 rounds exercise the incremental skip and
+    # the ring-wrap normalization)
+    tag_size = 3000
+    hdr = b"ID3" + bytes([4, 0, 0, (tag_size >> 21) & 0x7F,
+                          (tag_size >> 14) & 0x7F,
+                          (tag_size >> 7) & 0x7F, tag_size & 0x7F])
+    extra_raw.append(hdr + bytes((i * 37) % 251 for i in range(tag_size))
+                     + mp3gen.make_stream(n_frames=4, seed=909, mode=0))
     n = 0
+    for j, raw in enumerate(extra_raw):
+        with open(os.path.join(d, f"r{j}.mp3"), "wb") as fh:
+            fh.write(raw)
+        n += 1
     for i, sp in enumerate(specs):
         data = mp3gen.make_stream(**sp)
         with open(os.path.join(d, f"s{i}.mp3"), "wb") as f:
