@@ -235,7 +235,11 @@ void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576],
       if (g.win_switch[gr][ch] && g.block_type[gr][ch] == 2)
         reorder(g.family, lay, x[ch]);
     }
+    if (debug_dump_level() >= 2)
+      for (int ch = 0; ch < nch; ch++) dump_samples(x[ch], 0);
     stereo(g, gr, x, (profile & PDMP3_PROFILE_SPEC_INTENSITY) != 0);
+    if (debug_dump_level() >= 2)
+      for (int ch = 0; ch < nch; ch++) dump_samples(x[ch], 1);
     for (int ch = 0; ch < nch; ch++) {
       antialias(g, gr, ch, x[ch]);
       // hybrid synthesis: IMDCT + overlap-add (pdmp3.c:1752-1780)

@@ -4,6 +4,10 @@
 // per method); the Huffman stage uses two-level LUT decoding (multi-bit
 // table steps) instead of the reference's bit-serial tree walk — identical
 // consumption because the code trees are complete and prefix-free.
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+
 #include "internal.h"
 
 namespace pdmp3host {
@@ -1333,7 +1337,87 @@ int FrameParser::parse_frame(pdmp3_granules *g,
         g->subblock_gain[gr][ch][w] = (int32_t)si.subblock_gain[gr][ch][w];
       g->count1[gr][ch] = si.count1[gr][ch];
     }
+  if (debug_dump_level() >= 1) dump_frame_state(*this, *g);
   return PDMP3_OK;
+}
+
+int debug_dump_level() {
+  static const int level = [] {
+    const char *e = std::getenv("PDMP3_DEBUG_DUMPS");
+    return e && *e ? std::atoi(e) : 0;
+  }();
+  return level;
+}
+
+void dump_frame_state(const FrameParser &fp, const pdmp3_granules &g) {
+  // format: utils/dumps.py dump_frame (reference dmp_* equivalents)
+  const FrameHeader &h = fp.hdr;
+  const SideInfo &s = fp.si;
+  std::fprintf(stderr,
+               "rate %d,sfreq %d,pad %d,mod %d,modext %d,emph %d\n",
+               h.bitrate_index, h.sampling_frequency, h.padding_bit,
+               h.mode, h.mode_extension, h.emphasis);
+  std::fprintf(stderr, "main_data_begin %u\n", s.main_data_begin);
+  int nch = h.nch();
+  for (int ch = 0; ch < nch; ch++) {
+    std::fprintf(stderr, "scfsi %u %u %u %u\n", s.scfsi[ch][0],
+                 s.scfsi[ch][1], s.scfsi[ch][2], s.scfsi[ch][3]);
+    for (int gr = 0; gr < 2; gr++) {
+      std::fprintf(
+          stderr,
+          "p23l %u,bv %u,gg %u,scfc %u,wsf %u,bt %u,mbf %u,"
+          "ts [%u, %u, %u],sbg [%u, %u, %u],r0c %u,r1c %u,pf %u,"
+          "scfs %u,c1ts %u,count1 %d\n",
+          s.part2_3_length[gr][ch], s.big_values[gr][ch],
+          s.global_gain[gr][ch], s.scalefac_compress[gr][ch],
+          s.win_switch[gr][ch], s.block_type[gr][ch], s.mixed[gr][ch],
+          s.table_select[gr][ch][0], s.table_select[gr][ch][1],
+          s.table_select[gr][ch][2], s.subblock_gain[gr][ch][0],
+          s.subblock_gain[gr][ch][1], s.subblock_gain[gr][ch][2],
+          s.region0_count[gr][ch], s.region1_count[gr][ch],
+          s.preflag[gr][ch], s.scalefac_scale[gr][ch],
+          s.count1table_select[gr][ch], s.count1[gr][ch]);
+    }
+  }
+  for (int gr = 0; gr < h.ngr(); gr++) {
+    for (int ch = 0; ch < nch; ch++) {
+      bool short_blk = s.win_switch[gr][ch] && s.block_type[gr][ch] == 2;
+      if (short_blk) {
+        int lo = s.mixed[gr][ch] ? 3 : 0;
+        if (s.mixed[gr][ch]) {
+          std::fprintf(stderr, "scfl ");
+          for (int b = 0; b < 8; b++)
+            std::fprintf(stderr, "%u%s", g.scf_l[gr][ch][b],
+                         b == 7 ? "\n" : ",");
+        }
+        for (int b = lo; b < 12; b++) {
+          std::fprintf(stderr, "scfs%d ", b);
+          for (int w = 0; w < 3; w++)
+            std::fprintf(stderr, "%u%s", g.scf_s[gr][ch][b][w],
+                         w == 2 ? "\n" : ",");
+        }
+      } else {
+        std::fprintf(stderr, "scfl ");
+        for (int b = 0; b < 21; b++)
+          std::fprintf(stderr, "%u%s", g.scf_l[gr][ch][b],
+                       b == 20 ? "\n" : ",");
+      }
+      std::fprintf(stderr, "HUFFMAN\n");
+      for (int i = 0; i < 576; i++)
+        std::fprintf(stderr, "%d: %d\n", i, (int)g.ix[gr][ch][i]);
+    }
+  }
+}
+
+void dump_samples(const float *x, int stage) {
+  // reference dmp_samples fixed-point format (pdmp3.c:953-964)
+  std::fprintf(stderr, "SAMPLES%d\n", stage);
+  for (int i = 0; i < 576; i++) {
+    double v = std::nearbyint((double)x[i] * 32768.0);
+    if (v > 32767.0) v = 32767.0;
+    if (v < -32768.0) v = -32768.0;
+    std::fprintf(stderr, "%d: %d\n", i, (int)v);
+  }
 }
 
 }  // namespace pdmp3host

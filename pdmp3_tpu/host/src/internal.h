@@ -319,6 +319,19 @@ struct FrameParser {
                   int16_t *const (*wire_dst)[2] = nullptr);
 };
 
+// Clear-text per-stage debug dumps for the NATIVE path (equivalent of
+// the reference's DEBUG dmp_* printfs, pdmp3.c:894-965, whose build is
+// bit-rotted — dmp_scf has a syntax error).  Format matches
+// pdmp3_tpu/utils/dumps.py line-for-line so native-vs-Python dump
+// diffs are mechanical.  Gated by env PDMP3_DEBUG_DUMPS: "1" = frame
+// dumps (header/side-info/scalefacs/Huffman) to stderr after each
+// successful parse; "2" additionally dumps requantized (SAMPLES0) and
+// post-stereo (SAMPLES1) spectra per granule-channel from the scalar
+// DSP.  The env is read once per process.
+int debug_dump_level();
+void dump_frame_state(const FrameParser &fp, const pdmp3_granules &g);
+void dump_samples(const float *x, int stage);
+
 // ---- scalar bit-exact DSP (cf. oracle.py; pdmp3.c:1649-2045) ----
 struct ScalarDsp {
   float store[2][32][18] = {};

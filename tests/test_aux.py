@@ -143,3 +143,53 @@ def test_fuzzer_smoke(tmp_path):
     stats = json.loads(p.stdout.strip().splitlines()[-1])
     assert stats["edges"] > 300      # real coverage, not a dead harness
     assert stats["execs"] == 800
+
+
+def test_native_stage_dumps_match_python():
+    """The native frontend's PDMP3_DEBUG_DUMPS output (frame.cc
+    dump_frame_state) is line-identical to utils/dumps.py — the
+    production C++ path now has the reference's dmp_* debugging tap
+    (pdmp3.c:894-965; its own DEBUG build is bit-rotted), closing the
+    round-2 C28 partial."""
+    import io
+    import os
+    import subprocess
+    import sys
+
+    from pdmp3_tpu.frontend import Frontend
+    from pdmp3_tpu.testing import mp3gen
+    from pdmp3_tpu.utils import dumps as D
+
+    stream = mp3gen.make_stream(n_frames=3, seed=44, mode=1,
+                                mode_extension=2, blocks="varied")
+    fe = Frontend()
+    fe.feed(stream)
+    buf = io.StringIO()
+    for _ in range(3):
+        r, fd = fe.read_frame()
+        assert r == 0
+        D.dump_header(fd, buf)
+        D.dump_side_info(fd, buf)
+        for gr in range(2):
+            for ch in range(fd.header.nch):
+                D.dump_scalefactors(fd, gr, ch, buf)
+                D.dump_huffman(fd, gr, ch, buf)
+    code = (
+        "import sys\n"
+        "from pdmp3_tpu.host import NativePDMP3\n"
+        "h = NativePDMP3(); h.open_feed()\n"
+        "h.feed(open(sys.argv[1], 'rb').read())\n"
+        "for _ in range(3):\n"
+        "    r, g = h.parse_frame()\n"
+        "    assert r == 0\n")
+    p = None
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "s.mp3")
+        with open(p, "wb") as f:
+            f.write(stream)
+        env = dict(os.environ, PDMP3_DEBUG_DUMPS="1")
+        r = subprocess.run([sys.executable, "-c", code, p], env=env,
+                           capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert r.stderr.splitlines() == buf.getvalue().splitlines()
