@@ -411,6 +411,8 @@ class SparseStreamDecoder(StreamDecoder):
         self._bind_views()
         self.active[:] = act
         self.meta[:] = meta
+        if self._resampler is not None:
+            pcm = self._resampler(pcm)
         return np.asarray(pcm) if fetch else pcm
 
 
