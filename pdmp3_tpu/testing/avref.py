@@ -1,0 +1,75 @@
+"""External production-decoder oracle via the system libavcodec.
+
+The reference binary rejects everything but MPEG-1 Layer III
+(/root/reference/pdmp3.c:1240,1295), so the capability extensions — LSF
+(MPEG-2/2.5) and Layer I/II — previously rested on 3-way *in-tree*
+agreement only.  This module builds ``tools/av_oracle.c`` against the
+distro's libavcodec and exposes a decode helper for tolerance-based
+cross-validation against an independent production decoder.
+
+Comparison semantics (learned the hard way, see tests/test_av_oracle.py):
+
+- libavcodec's float decoders do NOT clip; our S16 path clips at
+  ±32767.  mp3gen streams are routinely overdriven, so av PCM must be
+  clipped to ``±32767/32768`` before diffing.
+- MPEG-1/LSF MS stereo: the reference processes the butterfly only
+  below ``min(count1[l], count1[r])`` (pdmp3.c:1920) — lines in
+  ``[min,max)`` keep the raw mid signal.  A conformant decoder (ffmpeg)
+  butterflies the full spectrum, so MS joint-stereo streams only agree
+  where the two channels' count1 coincide.  Cross-validation either
+  avoids MS or tolerates those bands.
+- count1table_select==1 streams must be generated with
+  ``spec_conformant=True`` (real ISO table B codes) and decoded with
+  ``Frontend(count1_table_b_spec=True)``; the default emulates the
+  reference's broken stale-pointer table.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "tools", "av_oracle.c")
+_BIN = os.path.join(_REPO, "build", "host", "av_oracle")
+
+
+def ensure_av_oracle() -> str | None:
+    """Build av_oracle on demand; None when libavcodec is unavailable."""
+    if os.path.exists(_BIN) and os.path.getmtime(_BIN) >= os.path.getmtime(_SRC):
+        return _BIN
+    os.makedirs(os.path.dirname(_BIN), exist_ok=True)
+    try:
+        subprocess.run(
+            ["gcc", "-O2", "-o", _BIN, _SRC, "-lavcodec", "-lavutil"],
+            check=True, capture_output=True, cwd=_REPO)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return _BIN
+
+
+def av_decode(stream: bytes, codec: str = "mp3",
+              clip: bool = True) -> np.ndarray:
+    """Decode an MPEG audio stream with libavcodec.
+
+    Returns interleaved float32 PCM (all channels).  ``codec`` selects
+    the Layer: mp1 / mp2 / mp3.  ``clip`` applies the S16 full-scale
+    clip our quantize path applies (pdmp3.c:2028-2031), making the
+    result directly comparable to our S16 output / 32768.
+    """
+    binpath = ensure_av_oracle()
+    if binpath is None:
+        raise RuntimeError("libavcodec unavailable")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in.bin")
+        dst = os.path.join(d, "out.raw")
+        with open(src, "wb") as f:
+            f.write(stream)
+        subprocess.run([binpath, src, dst, codec], check=True,
+                       capture_output=True)
+        pcm = np.fromfile(dst, np.float32)
+    if clip:
+        pcm = np.clip(pcm, -32767.0 / 32768.0, 32767.0 / 32768.0)
+    return pcm

@@ -124,7 +124,8 @@ def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
                  preflag: int | None = None,
                  intensity_pos: int | None = None,
                  max_lines: int = 576, family: int = 0,
-                 intensity_ch: bool = False) -> GranuleSpec:
+                 intensity_ch: bool = False,
+                 rzero_on_sfb: bool = False) -> GranuleSpec:
     """Build a random-but-valid granule spec.
 
     block: "long" | "start" | "stop" | "short" | "mixed"
@@ -217,10 +218,31 @@ def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
 
     # spectrum: big_values pairs then count1 quads then rzero
     extent = max(2, min(int(limit * stereo_extent), max_lines)) & ~1
-    big2 = rng.randrange(2, extent + 1) & ~1
-    g.big_values = big2 // 2
-    max_quads = (extent - big2) // 4
-    g.n_quads = rng.randrange(0, max_quads + 1) if max_quads > 0 else 0
+    if rzero_on_sfb:
+        # Pin the rzero start to a scalefactor-band edge with a nonzero
+        # final quad.  The reference bounds intensity by count1 (the
+        # Huffman rzero cursor, pdmp3.c:1944); a conformant decoder
+        # (libavcodec) scans the actual zero samples — the two extents
+        # only provably coincide when rzero begins exactly on a band
+        # boundary and the last coded line is nonzero.  Band edges are
+        # all even, so the `& ~1` above is preserved.
+        if g.win_switch and g.block_type == 2 and not g.mixed:
+            edges = [3 * int(e) for e in T.SFB_SHORT_FAM[family][sfreq][:13]]
+        else:
+            edges = [int(e) for e in T.SFB_LONG_FAM[family][sfreq][:22]]
+        extent = max([e for e in edges if 6 <= e <= extent] or [8])
+        q = rng.randrange(1, max(2, (extent - 2) // 4 + 1))
+        big2 = extent - 4 * q
+        while big2 < 2:
+            q -= 1
+            big2 = extent - 4 * q
+        g.big_values = big2 // 2
+        g.n_quads = q
+    else:
+        big2 = rng.randrange(2, extent + 1) & ~1
+        g.big_values = big2 // 2
+        max_quads = (extent - big2) // 4
+        g.n_quads = rng.randrange(0, max_quads + 1) if max_quads > 0 else 0
     g.stuffing_bits = stuffing
 
     vals = np.zeros(576, np.int64)
@@ -246,6 +268,8 @@ def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
         for i in range(big2, big2 + 4 * g.n_quads):
             v = rng.randrange(0, 2)
             vals[i] = -v if (v and rng.random() < 0.5) else v
+    if rzero_on_sfb and vals[extent - 1] == 0:
+        vals[extent - 1] = -1 if rng.random() < 0.5 else 1
     g.values = vals
     return g
 
@@ -574,17 +598,24 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
                 use_reservoir: bool = False, protection: bool = False,
                 vary_padding: bool = False, stuffing: int = 0,
                 stereo_extent_ch1: float = 1.0,
+                ch1_rzero_on_sfb: bool = False,
                 intensity_pos: bool | int = False,
                 scfsi: bool = False, leading_garbage: int = 0,
                 amp: int = 6, vbr: bool = False,
                 family: int = 0, free_format_size: int = 0,
+                spec_conformant: bool = False,
                 specs_out: list | None = None) -> bytes:
     """Convenience builder for one homogeneous test stream.
 
     family 1/2 emits MPEG-2 / MPEG-2.5 LSF frames (one granule each;
     intensity positions ride ch1's scalefactors — intensity_pos is
     ignored there, ch1 values are already drawn over the full field
-    width so legal and "illegal" positions both occur)."""
+    width so legal and "illegal" positions both occur).
+
+    spec_conformant: encode count1table_select==1 quads with the REAL
+    ISO table B codewords instead of the reference's broken-table-33
+    convention — required when the stream is decoded by an external
+    conformant decoder (tools/av_oracle.c cross-validation)."""
     rng = random.Random(seed)
     # intensity_pos True draws is_pos < 8 (the defined range); an int N
     # draws is_pos < N (N=16 reaches the reference's OOB is_ratios
@@ -619,12 +650,15 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
                         stereo_extent=stereo_extent_ch1 if ch == 1 else 1.0,
                         amp=amp, stuffing=stuffing, max_lines=max_lines,
                         family=family,
+                        rzero_on_sfb=bool(ch1_rzero_on_sfb and ch == 1),
                         intensity_ch=bool(family and ch == 1 and mode == 1
                                           and (mode_extension & 1)),
                         intensity_pos=(rng.randrange(ipos_max)
                                        if (intensity_pos and ch == 0
                                            and not family)
                                        else None)))
+                    if spec_conformant:
+                        row[-1].count1_spec = True
                 row += [row[0]] * (2 - len(row))
                 grans.append(row)
             if any(grans[g][c].win_switch and grans[g][c].block_type == 2
