@@ -96,13 +96,29 @@ class Header:
         return int(T.SAMPLE_RATES_FAM[self.family]
                    [min(self.sampling_frequency, 2)])
 
+    @property
+    def pcm_samples(self) -> int:
+        """PCM samples per channel carried by one frame."""
+        if self.layer == 1:
+            return 384
+        if self.layer == 2:
+            return 1152   # LSF halves Layer III frames only (13818-3)
+        return 576 if self.family else 1152
+
     def frame_size(self) -> int:
         if self.bitrate_index == 0:  # free format: measured size
             return self.free_size + self.padding_bit
+        if self.layer == 1:
+            # 11172-3 §2.4.3.1: slots are 4 bytes in Layer I
+            br = (T.BITRATES_LSF_L1 if self.family else T.BITRATES[0])
+            return 4 * (12 * int(br[self.bitrate_index])
+                        // int(T.SAMPLE_RATES_FAM[self.family]
+                               [min(self.sampling_frequency, 2)])
+                        + self.padding_bit)
         if self.family:
             return T.lsf_frame_size(self.bitrate_index,
                                     self.sampling_frequency, self.family,
-                                    self.padding_bit)
+                                    self.padding_bit, self.layer)
         return (144 * int(T.BITRATES[self.layer - 1][self.bitrate_index])
                 // int(T.SAMPLE_RATES[self.sampling_frequency])
                 + self.padding_bit)
@@ -122,6 +138,43 @@ class FrameData:
     is_eff_l: np.ndarray | None = None   # [22] int32
     is_eff_s: np.ndarray | None = None   # [13,3] int32
     intensity_scale: int = 0
+    # Layer I/II (beyond-reference, header.layer < 3): requantized,
+    # scaled subband samples [2ch, nparts, 32] f32 with nparts = 12
+    # (Layer I) or 36 (Layer II); the DSP is polyphase synthesis only.
+    # When set, side/scalefac/ix above are unused placeholder zeros.
+    sb_samples: np.ndarray | None = None
+
+
+class _BitReader:
+    """Bounded MSB-first bit reader over one Layer I/II frame's bytes.
+
+    Reads past the end return 0 and set `overflow` — a frame whose
+    side data overruns its own byte budget is malformed and rejected
+    by the caller (no reference semantics to mirror; layer != 3 is
+    beyond-reference)."""
+
+    __slots__ = ("data", "pos", "nbits", "overflow")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = 8 * len(data)
+        self.overflow = False
+
+    def get(self, nb: int) -> int:
+        if nb == 0:
+            return 0
+        end = self.pos + nb
+        if end > self.nbits:
+            self.overflow = True
+            self.pos = end
+            return 0
+        first = self.pos >> 3
+        last = (end - 1) >> 3
+        chunk = int.from_bytes(self.data[first:last + 1], "big")
+        shift = 8 * (last + 1) - end
+        self.pos = end
+        return (chunk >> shift) & ((1 << nb) - 1)
 
 
 class Frontend:
@@ -142,9 +195,14 @@ class Frontend:
 
     def __init__(self, count1_table_b_spec: bool = False,
                  lsf: bool = False, free_format: bool = False,
-                 id3: bool = False):
+                 id3: bool = False, layers12: bool = False):
         self.count1_table_b_spec = count1_table_b_spec
         self.lsf = lsf
+        # layers12: also decode Layer I/II frames (the reference rejects
+        # layer != 3, pdmp3.c:1240/1312).  Default OFF: accepting more
+        # layers changes resync behavior on hostile streams, breaking
+        # the bit-parity differentials.
+        self.layers12 = layers12
         # id3: skip ID3v2 tags explicitly.  The reference's sync scan
         # absorbs tags that fit the buffered window, but a tag larger
         # than the 16 KiB ring (typical with cover art) starves the scan
@@ -322,7 +380,9 @@ class Frontend:
         cnt = 0
         while self.inbuf_filled() > 4:
             res = self._read_header()
-            if self.header.layer == 3 and res == T.OK:
+            if res == T.OK and (self.header.layer == 3
+                                or (self.layers12
+                                    and self.header.layer in (1, 2))):
                 break
             mark += 1
             if mark == T.INBUF_SIZE:
@@ -799,6 +859,152 @@ class Frontend:
             y = -y
         return v, w, x, y
 
+    # ---- Layer I/II frame decode (beyond-reference; ISO 11172-3
+    # §2.4.1.5-6, §2.4.2.1-2 and 13818-3 table B.1 for LSF Layer II;
+    # the reference rejects layer != 3, pdmp3.c:1240/1312) ----
+
+    def _read_frame_l12(self) -> tuple[int, "FrameData | None"]:
+        """Parse + requantize one Layer I/II frame into sb_samples.
+
+        Layer I/II carry no bit reservoir: the frame's sample data sits
+        between this header and the next, so it is consumed here in one
+        bounded read.  EOF mid-frame returns NEED_MORE (the caller rolls
+        the input cursor back, restoring the header bytes)."""
+        h = self.header
+        nbytes = h.frame_size() - 4 - (2 if h.protection_bit == 0 else 0)
+        if nbytes <= 0:
+            return T.ERR, None
+        data = bytearray(nbytes)
+        for i in range(nbytes):
+            v = self.get_byte()
+            if v == C_EOF:
+                return T.NEED_MORE, None
+            data[i] = v
+        br = _BitReader(bytes(data))
+        sb = self._parse_l1(br) if h.layer == 1 else self._parse_l2(br)
+        if sb is None or br.overflow:
+            return T.ERR, None
+        import copy
+        return T.OK, FrameData(
+            copy.deepcopy(h), SideInfo(),
+            np.zeros((2, 2, 22), np.int32),
+            np.zeros((2, 2, 13, 3), np.int32),
+            np.zeros((2, 2, 576), np.int32), sb_samples=sb)
+
+    @staticmethod
+    def _l12_frac(code: int, nb: int) -> float:
+        """MSB-inverted two's-complement fraction of an nb-bit code
+        (11172-3 §2.4.3.2/.3: s''')."""
+        msb = 1 << (nb - 1)
+        c = code ^ msb
+        if c >= msb:
+            c -= 1 << nb
+        return c / msb
+
+    def _parse_l1(self, br: "_BitReader") -> np.ndarray | None:
+        h = self.header
+        nch = h.nch
+        bound = T.l12_bound(h.mode, h.mode_extension, 32)
+        alloc = np.zeros((2, 32), np.int32)
+        for sb in range(32):
+            if sb < bound:
+                for ch in range(nch):
+                    alloc[ch][sb] = br.get(4)
+            else:
+                alloc[0][sb] = alloc[1][sb] = br.get(4)
+        if (alloc == 15).any():
+            return None     # forbidden allocation index
+        scf = np.zeros((2, 32), np.int32)
+        for sb in range(32):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    scf[ch][sb] = br.get(6)
+        out = np.zeros((2, 12, 32), np.float32)
+        scale = T.SCF_L12
+        for s in range(12):
+            for sb in range(32):
+                shared = sb >= bound
+                for ch in range(1 if shared else nch):
+                    a = int(alloc[ch][sb])
+                    if not a:
+                        continue
+                    nb = a + 1
+                    code = br.get(nb)
+                    spp = ((1 << nb) / ((1 << nb) - 1)) \
+                        * (self._l12_frac(code, nb) + 2.0 ** (1 - nb))
+                    for cch in range(nch if shared else ch + 1):
+                        if shared or cch == ch:
+                            out[cch][s][sb] = np.float32(
+                                float(scale[min(scf[cch][sb], 62)]) * spp)
+        return out
+
+    def _parse_l2(self, br: "_BitReader") -> np.ndarray | None:
+        h = self.header
+        nch = h.nch
+        table = T.l2_alloc_table(h.bitrate_index, h.sampling_frequency,
+                                 nch, h.family)
+        sblimit = len(table)
+        bound = T.l12_bound(h.mode, h.mode_extension, sblimit)
+        alloc = np.zeros((2, 32), np.int32)
+        for sb in range(sblimit):
+            nbal = table[sb][0]
+            if sb < bound:
+                for ch in range(nch):
+                    alloc[ch][sb] = br.get(nbal)
+            else:
+                alloc[0][sb] = alloc[1][sb] = br.get(nbal)
+        scfsi = np.zeros((2, 32), np.int32)
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    scfsi[ch][sb] = br.get(2)
+        scf = np.zeros((2, 32, 3), np.int32)
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    si = int(scfsi[ch][sb])
+                    if si == 0:
+                        a, b, c = br.get(6), br.get(6), br.get(6)
+                    elif si == 1:
+                        a = br.get(6)
+                        b, c = a, br.get(6)
+                    elif si == 2:
+                        a = br.get(6)
+                        b = c = a
+                    else:
+                        a = br.get(6)
+                        b = br.get(6)
+                        c = b
+                    scf[ch][sb] = (a, b, c)
+        out = np.zeros((2, 36, 32), np.float32)
+        scale = T.SCF_L12
+        for gr in range(12):
+            part = gr >> 2
+            for sb in range(sblimit):
+                shared = sb >= bound
+                for ch in range(1 if shared else nch):
+                    a = int(alloc[ch][sb])
+                    if not a:
+                        continue
+                    steps = table[sb][1][a - 1]
+                    bits, grouped, cc, dd = T.L2_CLASSES[steps]
+                    if grouped:
+                        nb = {3: 2, 5: 3, 9: 4}[steps]
+                        c = br.get(bits)
+                        codes = (c % steps, (c // steps) % steps,
+                                 (c // (steps * steps)) % steps)
+                    else:
+                        nb = bits
+                        codes = (br.get(bits), br.get(bits), br.get(bits))
+                    for k in range(3):
+                        spp = cc * (self._l12_frac(codes[k], nb) + dd)
+                        for cch in range(nch if shared else ch + 1):
+                            if shared or cch == ch:
+                                out[cch][3 * gr + k][sb] = np.float32(
+                                    float(scale[min(scf[cch][sb][part], 62)])
+                                    * spp)
+        return out
+
     # ---- frame driver (pdmp3.c:1217-1244) ----
 
     def read_frame(self) -> tuple[int, FrameData | None]:
@@ -824,6 +1030,8 @@ class Frontend:
             self.get_byte()
             self.get_byte()
         if self.header.layer != 3:
+            if self.layers12 and self.header.layer in (1, 2):
+                return self._read_frame_l12()
             return T.ERR, None
         res = self._read_side_info()
         if res != T.OK:

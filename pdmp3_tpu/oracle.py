@@ -300,9 +300,21 @@ class OracleDSP:
         self.v_vec[:] = 0
 
     def decode_frame(self, fd: FrameData) -> np.ndarray:
-        """Full Decode_L3 (pdmp3.c:1024-1060) -> packed PCM uint32[2,576]."""
+        """Full Decode_L3 (pdmp3.c:1024-1060) -> packed PCM uint32[2,576].
+
+        Layer I/II frames (fd.sb_samples set) skip the Layer III chain:
+        the frontend already requantized the subband samples, so the DSP
+        is the polyphase synthesis filterbank alone (same v_vec state,
+        same quantize/pack semantics)."""
         nch = fd.header.nch
         out = np.zeros((2, 576), np.uint32)
+        if fd.sb_samples is not None:
+            nparts = fd.sb_samples.shape[1]
+            for ch in range(nch):
+                for p in range(nparts):
+                    self._synth_step(ch, nch, fd.sb_samples[ch, p],
+                                     out[p // 18], p % 18)
+            return out
         prev = None
         for gr in range(fd.header.ngr):   # LSF frames: one granule
             x = np.zeros((2, 576), F32)
@@ -342,36 +354,44 @@ class OracleDSP:
                            x: np.ndarray, outdata: np.ndarray) -> None:
         """pdmp3.c:1978-2045 with per-stream v_vec state."""
         nch = fd.header.nch
-        v = self.v_vec[ch]
         for ss in range(18):
-            v[64:] = v[:-64].copy()
             s_vec = x[ss::18].astype(F32)  # 32 subband samples
-            acc = np.zeros(64, F32)
-            for j in range(32):
-                acc = acc + T.SYNTH_NWIN[:, j] * s_vec[j]
-            v[:64] = acc
-            vv = v.reshape(8, 128)
-            u = np.empty((8, 64), F32)
-            u[:, :32] = vv[:, :32]
-            u[:, 32:] = vv[:, 96:128]
-            u = (u.reshape(512) * T.SYNTH_D).reshape(16, 32)
-            acc = np.zeros(32, F32)
-            for j in range(16):
-                acc = acc + u[j]
-            # (int32_t)(sum*32767.0) (pdmp3.c:2028): cvttsd2si semantics —
-            # NaN or out-of-int32-range converts to INT32_MIN, which the
-            # clip then maps to -32767 (full-scale overdrive wraps negative)
-            t = np.trunc(acc.astype(np.float64) * 32767.0)
-            with np.errstate(invalid="ignore"):
-                oob = ~((t >= -2147483648.0) & (t <= 2147483647.0))
-            samp = np.where(oob, -2147483648.0, t).astype(np.int64)
-            samp = np.clip(samp, -32767, 32767).astype(np.int64) & 0xFFFF
-            samp = samp.astype(np.uint32)
-            o = slice(32 * ss, 32 * ss + 32)
-            if ch == 0:
-                if nch == 1:
-                    outdata[o] = (samp << 16) | samp
-                else:
-                    outdata[o] = samp << 16
+            self._synth_step(ch, nch, s_vec, outdata, ss)
+
+    def _synth_step(self, ch: int, nch: int, s_vec: np.ndarray,
+                    outdata: np.ndarray, ss: int) -> None:
+        """One 32-sample synthesis step (pdmp3.c:2006-2042): v_vec FIFO
+        shift, 64x32 cosine matrix, D-window FIR, S16 quantize/pack.
+        Shared by Layer III (18 steps per granule) and Layer I/II (12/36
+        steps per frame, subband samples direct from the frontend)."""
+        v = self.v_vec[ch]
+        v[64:] = v[:-64].copy()
+        acc = np.zeros(64, F32)
+        for j in range(32):
+            acc = acc + T.SYNTH_NWIN[:, j] * s_vec[j]
+        v[:64] = acc
+        vv = v.reshape(8, 128)
+        u = np.empty((8, 64), F32)
+        u[:, :32] = vv[:, :32]
+        u[:, 32:] = vv[:, 96:128]
+        u = (u.reshape(512) * T.SYNTH_D).reshape(16, 32)
+        acc = np.zeros(32, F32)
+        for j in range(16):
+            acc = acc + u[j]
+        # (int32_t)(sum*32767.0) (pdmp3.c:2028): cvttsd2si semantics —
+        # NaN or out-of-int32-range converts to INT32_MIN, which the
+        # clip then maps to -32767 (full-scale overdrive wraps negative)
+        t = np.trunc(acc.astype(np.float64) * 32767.0)
+        with np.errstate(invalid="ignore"):
+            oob = ~((t >= -2147483648.0) & (t <= 2147483647.0))
+        samp = np.where(oob, -2147483648.0, t).astype(np.int64)
+        samp = np.clip(samp, -32767, 32767).astype(np.int64) & 0xFFFF
+        samp = samp.astype(np.uint32)
+        o = slice(32 * ss, 32 * ss + 32)
+        if ch == 0:
+            if nch == 1:
+                outdata[o] = (samp << 16) | samp
             else:
-                outdata[o] = outdata[o] | samp
+                outdata[o] = samp << 16
+        else:
+            outdata[o] = outdata[o] | samp

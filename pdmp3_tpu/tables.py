@@ -442,11 +442,21 @@ def lsf_intensity_tables():
     return k0.astype(np.float32), k1.astype(np.float32)
 
 
+# MPEG-2 Layer I bitrates (13818-3 Table B.2; Layers II and III share
+# BITRATES_LSF above)
+BITRATES_LSF_L1 = np.array(
+    [0, 32000, 48000, 56000, 64000, 80000, 96000, 112000, 128000,
+     144000, 160000, 176000, 192000, 224000, 256000], np.int64)
+
+
 def lsf_frame_size(bitrate_index: int, sfreq: int, family: int,
-                   padding: int) -> int:
+                   padding: int, layer: int = 3) -> int:
     """LSF Layer III frames carry ONE 576-sample granule: size =
-    72 * bitrate / rate + padding (vs MPEG-1's 144 factor)."""
-    return (72 * int(BITRATES_LSF[bitrate_index])
+    72 * bitrate / rate + padding (vs MPEG-1's 144 factor).  LSF
+    Layer II keeps the full 1152-sample frame (144 factor); Layer I
+    is handled by Header.frame_size directly."""
+    factor = 144 if layer == 2 else 72
+    return (factor * int(BITRATES_LSF[bitrate_index])
             // int(SAMPLE_RATES_FAM[family][sfreq]) + padding)
 
 
@@ -493,3 +503,96 @@ def freq_inversion_sign() -> np.ndarray:
     s = np.ones((32, 18), np.float32)
     s[1::2, 1::2] = -1.0
     return s
+
+
+# ---- Layer I/II (beyond-reference: the reference hard-errors on
+# layer != 3, pdmp3.c:1240/1312; constants from ISO 11172-3 §2.4.3.2-3
+# and tables B.1-B.4, spec-derived — no reference code to mirror) ----
+
+# Layer II quantization classes (11172-3 table B.4): steps -> (codeword
+# bits, grouped, C, D).  Grouped classes pack 3 samples per codeword;
+# the dequant map is s'' = C * (s''' + D) with s''' the MSB-inverted
+# two's-complement fraction of the (per-sample) code.
+L2_CLASSES = {
+    3:     (5,  True,  4 / 3,         1 / 2),
+    5:     (7,  True,  8 / 5,         1 / 2),
+    7:     (3,  False, 8 / 7,         1 / 4),
+    9:     (10, True,  16 / 9,        1 / 2),
+    15:    (4,  False, 16 / 15,       1 / 8),
+    31:    (5,  False, 32 / 31,       1 / 16),
+    63:    (6,  False, 64 / 63,       1 / 32),
+    127:   (7,  False, 128 / 127,     1 / 64),
+    255:   (8,  False, 256 / 255,     1 / 128),
+    511:   (9,  False, 512 / 511,     1 / 256),
+    1023:  (10, False, 1024 / 1023,   1 / 512),
+    2047:  (11, False, 2048 / 2047,   1 / 1024),
+    4095:  (12, False, 4096 / 4095,   1 / 2048),
+    8191:  (13, False, 8192 / 8191,   1 / 4096),
+    16383: (14, False, 16384 / 16383, 1 / 8192),
+    32767: (15, False, 32768 / 32767, 1 / 16384),
+    65535: (16, False, 65536 / 65535, 1 / 32768),
+}
+
+# Allocation tables B.2a-d: per-subband (nbal, steps per nonzero index).
+_STEPS_A_LOW = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+                16383, 32767, 65535)
+_STEPS_A_MID = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                8191, 65535)
+_STEPS_A_HI = (3, 5, 7, 9, 15, 31, 65535)
+_STEPS_A_TOP = (3, 5, 65535)
+_STEPS_CD_LOW = (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                 8191, 16383, 32767)
+_STEPS_CD_HI = (3, 5, 9, 15, 31, 63, 127)
+_STEPS_LSF_LOW = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                  8191, 16383)
+_STEPS_LSF_MID = (3, 5, 9, 15, 31, 63, 127)
+_STEPS_LSF_TOP = (3, 5, 9)
+
+L2_ALLOC_A = ([(4, _STEPS_A_LOW)] * 3 + [(4, _STEPS_A_MID)] * 8
+              + [(3, _STEPS_A_HI)] * 12 + [(2, _STEPS_A_TOP)] * 4)
+L2_ALLOC_B = ([(4, _STEPS_A_LOW)] * 3 + [(4, _STEPS_A_MID)] * 8
+              + [(3, _STEPS_A_HI)] * 12 + [(2, _STEPS_A_TOP)] * 7)
+L2_ALLOC_C = [(4, _STEPS_CD_LOW)] * 2 + [(3, _STEPS_CD_HI)] * 6
+L2_ALLOC_D = [(4, _STEPS_CD_LOW)] * 2 + [(3, _STEPS_CD_HI)] * 10
+# 13818-3 table B.1 (LSF Layer II, all bitrates/rates)
+L2_ALLOC_LSF = ([(4, _STEPS_LSF_LOW)] * 4 + [(3, _STEPS_LSF_MID)] * 7
+                + [(2, _STEPS_LSF_TOP)] * 19)
+
+# Layer I/II scalefactors (11172-3 table B.1): 2 * 2^(-i/3), i = 0..62.
+SCF_L12 = (2.0 * np.exp2(-np.arange(63) / 3.0)).astype(np.float32)
+
+
+def l2_alloc_table(bitrate_index: int, sfreq: int, nch: int,
+                   family: int = 0) -> list:
+    """Select the Layer II allocation table (11172-3 §2.4.2.1: by
+    per-channel bitrate and sampling frequency; 13818-3: LSF streams
+    always use table B.1)."""
+    if family:
+        return L2_ALLOC_LSF
+    freq = int(SAMPLE_RATES[sfreq])
+    kbps = int(BITRATES[1][bitrate_index]) // 1000 // nch
+    if bitrate_index == 0:      # free format: highest-rate table
+        return L2_ALLOC_A if freq == 48000 else L2_ALLOC_B
+    if (freq == 48000 and kbps >= 56) or (56 <= kbps <= 80):
+        return L2_ALLOC_A
+    if freq != 48000 and kbps >= 96:
+        return L2_ALLOC_B
+    if freq != 32000 and kbps <= 48:
+        return L2_ALLOC_C
+    return L2_ALLOC_D
+
+
+def l1_steps(alloc: int) -> int:
+    """Layer I: 4-bit allocation index -> quantization steps
+    (11172-3 §2.4.2.1: nb = alloc + 1 bits, 2^nb - 1 levels; the code
+    is read ungrouped with the Layer II dequant map)."""
+    return (1 << (alloc + 1)) - 1
+
+
+def l12_bound(mode: int, mode_extension: int, sblimit: int) -> int:
+    """First subband of the joint-stereo (intensity) region
+    (11172-3 §2.4.2.1): bound = (mode_extension + 1) * 4 in joint
+    mode, else all subbands are independent."""
+    if mode != 1:
+        return sblimit
+    return min((mode_extension + 1) * 4, sblimit)

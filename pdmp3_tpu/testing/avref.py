@@ -50,6 +50,43 @@ def ensure_av_oracle() -> str | None:
     return _BIN
 
 
+_ENC_SRC = os.path.join(_REPO, "tools", "av_encode.c")
+_ENC_BIN = os.path.join(_REPO, "build", "host", "av_encode")
+
+
+def ensure_av_encode() -> str | None:
+    """Build av_encode on demand; None when libavcodec is unavailable."""
+    if os.path.exists(_ENC_BIN) \
+            and os.path.getmtime(_ENC_BIN) >= os.path.getmtime(_ENC_SRC):
+        return _ENC_BIN
+    os.makedirs(os.path.dirname(_ENC_BIN), exist_ok=True)
+    try:
+        subprocess.run(
+            ["gcc", "-O2", "-o", _ENC_BIN, _ENC_SRC, "-lavcodec", "-lavutil"],
+            check=True, capture_output=True, cwd=_REPO)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return _ENC_BIN
+
+
+def av_encode(pcm: np.ndarray, codec: str, rate: int, channels: int,
+              bitrate: int) -> bytes:
+    """Encode interleaved float32 PCM with a libavcodec encoder (mp2) —
+    ground-truth bitstreams from a production encoder, independent of
+    our own generator's table choices."""
+    binpath = ensure_av_encode()
+    if binpath is None:
+        raise RuntimeError("libavcodec unavailable")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in.f32")
+        dst = os.path.join(d, "out.bin")
+        np.asarray(pcm, np.float32).tofile(src)
+        subprocess.run([binpath, src, dst, codec, str(rate), str(channels),
+                        str(bitrate)], check=True, capture_output=True)
+        with open(dst, "rb") as f:
+            return f.read()
+
+
 def av_decode(stream: bytes, codec: str = "mp3",
               clip: bool = True) -> np.ndarray:
     """Decode an MPEG audio stream with libavcodec.

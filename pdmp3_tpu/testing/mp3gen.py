@@ -685,3 +685,155 @@ def make_stream(*, n_frames: int = 20, seed: int = 0,
         specs_out.extend(frames)   # ground truth for round-trip tests
     return assemble_stream(frames, rng=rng, use_reservoir=use_reservoir,
                            leading_garbage=leading_garbage)
+
+
+# ---- Layer I/II stream generator (beyond-reference: the reference
+# rejects layer != 3; frames per ISO 11172-3 §2.4.1.5-6 and 13818-3
+# table B.1 for LSF Layer II) ----
+
+def _l12_nsf(scfsi: int) -> int:
+    """Scalefactors transmitted per (ch, sb) for a Layer II scfsi code."""
+    return (3, 2, 1, 2)[scfsi]
+
+
+def make_l12_frame(rng: random.Random, *, layer: int, bitrate_index: int,
+                   sfreq: int, mode: int, mode_extension: int,
+                   family: int = 0, padding: int = 0,
+                   alloc_bias: int = 2) -> bytes:
+    """Build one random-but-valid Layer I/II frame (no CRC).
+
+    Allocations are drawn with a small-index bias then decremented at
+    random until the frame's bit budget fits; the remainder is zero
+    ancillary data.  alloc_bias: number of extra low-biased draws
+    (min of N uniform draws) — higher = sparser spectra."""
+    nch = 1 if mode == 3 else 2
+    if layer == 1:
+        br = T.BITRATES_LSF_L1 if family else T.BITRATES[0]
+        rate = int(T.SAMPLE_RATES_FAM[family][sfreq])
+        frame_size = 4 * (12 * int(br[bitrate_index]) // rate + padding)
+        sblimit, bound = 32, T.l12_bound(mode, mode_extension, 32)
+        nbal_of = [4] * 32
+    else:
+        if family:
+            rate = int(T.SAMPLE_RATES_FAM[family][sfreq])
+            frame_size = (144 * int(T.BITRATES_LSF[bitrate_index]) // rate
+                          + padding)
+        else:
+            frame_size = (144 * int(T.BITRATES[1][bitrate_index])
+                          // int(T.SAMPLE_RATES[sfreq]) + padding)
+        table = T.l2_alloc_table(bitrate_index, sfreq, nch, family)
+        sblimit = len(table)
+        bound = T.l12_bound(mode, mode_extension, sblimit)
+        nbal_of = [t[0] for t in table]
+    budget = (frame_size - 4) * 8
+
+    alloc = np.zeros((2, 32), np.int64)
+    for sb in range(sblimit):
+        hi = (1 << nbal_of[sb]) - (1 if layer == 1 else 0)  # L1: no 15
+        for ch in range(nch if sb < bound else 1):
+            a = min(rng.randrange(hi) for _ in range(1 + alloc_bias))
+            alloc[ch][sb] = a
+        if sb >= bound:
+            alloc[1][sb] = alloc[0][sb]
+    scfsi = np.zeros((2, 32), np.int64)
+    if layer == 2:
+        for sb in range(sblimit):
+            for ch in range(nch):
+                scfsi[ch][sb] = rng.randrange(4)
+
+    def cost() -> int:
+        bits = 0
+        for sb in range(sblimit):
+            bits += nbal_of[sb] * (nch if sb < bound else 1)
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    if layer == 1:
+                        bits += 6
+                    else:
+                        bits += 2 + 6 * _l12_nsf(int(scfsi[ch][sb]))
+            nuser = nch if sb < bound else 1
+            for ch in range(nuser):
+                a = int(alloc[ch][sb])
+                if not a:
+                    continue
+                if layer == 1:
+                    bits += 12 * (a + 1)
+                else:
+                    cb, grouped, _, _ = T.L2_CLASSES[table[sb][1][a - 1]]
+                    bits += 12 * (cb if grouped else 3 * cb)
+        return bits
+
+    while cost() > budget:
+        nz = [(ch, sb) for ch in range(nch) for sb in range(sblimit)
+              if alloc[ch][sb]]
+        if not nz:
+            break
+        ch, sb = rng.choice(nz)
+        alloc[ch][sb] -= 1
+        if sb >= bound:
+            alloc[0][sb] = alloc[1][sb] = alloc[ch][sb]
+    assert cost() <= budget, "frame cannot fit even with zero allocation"
+
+    bw = BitWriter()
+    ver = (3, 2, 0)[family]
+    hdr = (0x7FF << 21) | (ver << 19) | ((4 - layer) << 17) | (1 << 16) \
+        | (bitrate_index << 12) | (sfreq << 10) | (padding << 9) \
+        | (mode << 6) | (mode_extension << 4)
+    bw.put(hdr, 32)
+    for sb in range(sblimit):
+        for ch in range(nch if sb < bound else 1):
+            bw.put(int(alloc[ch][sb]), nbal_of[sb])
+    if layer == 1:
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    bw.put(rng.randrange(63), 6)
+        for s in range(12):
+            for sb in range(32):
+                for ch in range(nch if sb < bound else 1):
+                    a = int(alloc[ch][sb])
+                    if a:
+                        nb = a + 1
+                        # all-ones is not a valid Layer I code
+                        bw.put(rng.randrange((1 << nb) - 1), nb)
+    else:
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    bw.put(int(scfsi[ch][sb]), 2)
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    for _ in range(_l12_nsf(int(scfsi[ch][sb]))):
+                        bw.put(rng.randrange(63), 6)
+        for gr in range(12):
+            for sb in range(sblimit):
+                for ch in range(nch if sb < bound else 1):
+                    a = int(alloc[ch][sb])
+                    if not a:
+                        continue
+                    steps = table[sb][1][a - 1]
+                    cb, grouped, _, _ = T.L2_CLASSES[steps]
+                    if grouped:
+                        bw.put(rng.randrange(steps ** 3), cb)
+                    else:
+                        for _ in range(3):
+                            bw.put(rng.randrange(steps), cb)
+    body = bw.to_bytes()
+    assert len(body) <= frame_size, (len(body), frame_size)
+    return bytes(body) + b"\x00" * (frame_size - len(body))
+
+
+def make_l12_stream(*, layer: int = 2, n_frames: int = 12, seed: int = 0,
+                    sfreq: int = 0, bitrate_index: int = 12, mode: int = 0,
+                    mode_extension: int = 0, family: int = 0,
+                    alloc_bias: int = 2) -> bytes:
+    """Concatenate independent Layer I/II frames (no reservoir exists
+    in Layers I/II, so frames are self-contained)."""
+    rng = random.Random(seed)
+    return b"".join(
+        make_l12_frame(rng, layer=layer, bitrate_index=bitrate_index,
+                       sfreq=sfreq, mode=mode,
+                       mode_extension=mode_extension, family=family,
+                       alloc_bias=alloc_bias)
+        for _ in range(n_frames))
