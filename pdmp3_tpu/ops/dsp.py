@@ -723,38 +723,42 @@ def subband_synthesis(x_time, v_blocks, exact: bool = True):
     the block ages written out.  The j-loop accumulation order matches the
     reference's FIR loop, so the exact path is bit-exact.
 
-    x_time: [B,2,32,18]; v_blocks: [B,2,15,64] carried state (oldest
-    first).  Returns (sums [B,2,18,32] f32, new_v_blocks).
+    x_time: [B,2,32,S]; v_blocks: [B,2,15,64] carried state (oldest
+    first).  Returns (sums [B,2,S,32] f32, new_v_blocks).  S is 18 for
+    Layer III granules; the Layer I/II synthesis-only path reuses this
+    with S=12 / S=36 (the sliding-window formulation is step-count
+    agnostic).
     """
-    B = x_time.shape[0]
-    s_all = x_time.transpose(0, 1, 3, 2)              # [B,2,18,32] (ss, sb)
+    B, S = x_time.shape[0], x_time.shape[3]
+    s_all = x_time.transpose(0, 1, 3, 2)              # [B,2,S,32] (ss, sb)
     nwin = jnp.asarray(T.SYNTH_NWIN)                  # [64,32]
     if exact:
         acc = nwin[:, 0] * s_all[..., 0:1]
         for j in range(1, 32):
             acc = acc + nwin[:, j] * s_all[..., j:j + 1]
-        new_blocks = acc                              # [B,2,18,64]
+        new_blocks = acc                              # [B,2,S,64]
     else:
         new_blocks = jnp.einsum("bcsj,ij->bcsi", s_all, nwin,
                                 preferred_element_type=F32,
                                 precision=jax.lax.Precision.HIGHEST)
-    blocks = jnp.concatenate([v_blocks, new_blocks], axis=2)  # [B,2,33,64]
+    blocks = jnp.concatenate([v_blocks, new_blocks], axis=2)  # [B,2,15+S,64]
 
     d = jnp.asarray(T.SYNTH_D).reshape(16, 32)
-    acc32 = jnp.zeros((B, 2, 18, 32), F32)
+    acc32 = jnp.zeros((B, 2, S, 32), F32)
     for j in range(16):
-        blk = jax.lax.dynamic_slice_in_dim(blocks, 15 - j, 18, axis=2)
+        blk = jax.lax.dynamic_slice_in_dim(blocks, 15 - j, S, axis=2)
         half = blk[..., 32 * (j & 1):32 * (j & 1) + 32]
         acc32 = acc32 + d[j] * half
-    new_v = blocks[:, :, 18:, :]
+    new_v = blocks[:, :, S:, :]
     return acc32, new_v
 
 
 def quantize_pack(sums, nch, exact: bool = True):
     """Scale x32767, truncate toward zero, clip to ±32767, interleave
     (pdmp3.c:2028-2041).  Mono streams duplicate ch0.  Returns i16
-    [B,576,2]."""
+    [B,N,2] with N = S*32 (576 for Layer III granules)."""
     B = sums.shape[0]
+    N = sums.shape[2] * 32
     if exact:
         scaled = sums.astype(jnp.float64) * 32767.0
     else:
@@ -765,7 +769,7 @@ def quantize_pack(sums, nch, exact: bool = True):
     oob = jnp.isnan(scaled) | (t < -2147483648.0) | (t > 2147483647.0)
     samp = jnp.where(oob, scaled.dtype.type(-32767.0),
                      jnp.clip(t, -32767.0, 32767.0)).astype(jnp.int32)
-    pcm = samp.reshape(B, 2, 576).transpose(0, 2, 1)   # [B,576,ch]
+    pcm = samp.reshape(B, 2, N).transpose(0, 2, 1)     # [B,N,ch]
     left = pcm[..., 0]
     right = jnp.where((nch == 1)[:, None], left, pcm[..., 1])
     return jnp.stack([left, right], axis=-1).astype(jnp.int16)
@@ -780,10 +784,11 @@ def float_pack(sums, nch):
     (|sum*32767| escaping int32, where S16 wraps to -32767 but float
     saturates — deliberate: saturation is what a float consumer wants)."""
     B = sums.shape[0]
+    N = sums.shape[2] * 32
     x = jnp.where(jnp.isnan(sums), F32(-1.0), jnp.clip(sums, -1.0, 1.0))
     # keep the S16 truncation-equivalence at the rails: S16 clips the
     # *scaled* value to ±32767, i.e. float ±32767/32767 == ±1.0 exactly
-    pcm = x.reshape(B, 2, 576).transpose(0, 2, 1)
+    pcm = x.reshape(B, 2, N).transpose(0, 2, 1)
     left = pcm[..., 0]
     right = jnp.where((nch == 1)[:, None], left, pcm[..., 1])
     return jnp.stack([left, right], axis=-1).astype(F32)

@@ -150,6 +150,102 @@ def test_layers12_off_rejects():
     assert res != T.OK
 
 
+# ---- batched JAX device path (models/l12.py) ----
+
+def _frames(stream: bytes, **fe_kw):
+    fe = Frontend(layers12=True, lsf=True, **fe_kw)
+    fe.feed(stream)
+    out = []
+    while True:
+        res, fd = fe.read_frame()
+        if res != T.OK:
+            break
+        out.append(fd)
+    assert out
+    return out
+
+
+@pytest.mark.parametrize("layer,kw", [
+    (1, dict(bitrate_index=12)),
+    (1, dict(bitrate_index=8, mode=3)),
+    (2, dict(bitrate_index=12)),
+    (2, dict(bitrate_index=8, mode=3)),
+    (2, dict(family=1, sfreq=0, bitrate_index=8)),
+], ids=["l1-stereo", "l1-mono", "l2-stereo", "l2-mono", "l2-lsf"])
+def test_jax_l12_matches_oracle_bitwise(layer, kw):
+    """The batched device path must agree BITWISE with the oracle
+    synthesis path (same f32 op order) across the carried v_vec state."""
+    from pdmp3_tpu.models.l12 import JaxL12
+    fds = _frames(mp3gen.make_l12_stream(layer=layer, n_frames=6, seed=11,
+                                         **kw))
+    dsp, jx = OracleDSP(), JaxL12(exact=True)
+    for i, fd in enumerate(fds):
+        a = dsp.decode_frame(fd)
+        b = jx.decode_frame(fd)
+        assert np.array_equal(a, b), f"frame {i} mismatch"
+
+
+def test_l12_batched_equals_per_stream():
+    """Slot isolation: a batch of distinct streams (incl. starved slots
+    freezing their state) produces exactly the per-stream PCM."""
+    from pdmp3_tpu.models.l12 import (JaxL12, batch_from_frames,
+                                      decode_l12_frames, init_l12_state)
+    streams = [
+        _frames(mp3gen.make_l12_stream(layer=2, n_frames=4, seed=s,
+                                       bitrate_index=12))
+        for s in range(3)
+    ] + [_frames(mp3gen.make_l12_stream(layer=2, n_frames=2, seed=9,
+                                        mode=3, bitrate_index=8))]
+    B = len(streams)
+    n_steps = max(len(s) for s in streams)
+    state = init_l12_state(B)
+    got = [[] for _ in range(B)]
+    for t in range(n_steps):
+        fds = [s[t] if t < len(s) else None for s in streams]
+        sb, nch, active = batch_from_frames(fds, layer=2)
+        pcm, state = decode_l12_frames(
+            jnp_asarray(sb), jnp_asarray(nch), jnp_asarray(active), state)
+        pcm = np.asarray(pcm)
+        for b in range(B):
+            if fds[b] is not None:
+                got[b].append(pcm[b])
+    for b, s in enumerate(streams):
+        jx = JaxL12(exact=True)
+        for t, fd in enumerate(s):
+            ref = np.asarray(jx.decode_frame(fd))   # packed uint32 [2,576]
+            w = ref.reshape(-1)[:fd.header.pcm_samples]
+            left = (w >> 16).astype(np.uint16).view(np.int16)
+            right = (w & 0xFFFF).astype(np.uint16).view(np.int16)
+            gb = got[b][t][:fd.header.pcm_samples]
+            assert np.array_equal(gb[:, 0], left)
+            assert np.array_equal(gb[:, 1], right)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+def test_l12_float_pcm_matches_i16():
+    """float_pcm output is the S16 path within 1 LSB of scaling (shared
+    clip/NaN policy, ops/dsp.float_pack)."""
+    from pdmp3_tpu.models.l12 import (batch_from_frames, decode_l12_frames,
+                                      init_l12_state)
+    fds = _frames(mp3gen.make_l12_stream(layer=2, n_frames=3, seed=2,
+                                         bitrate_index=12))
+    state_i = init_l12_state(1)
+    state_f = init_l12_state(1)
+    for fd in fds:
+        sb, nch, active = batch_from_frames([fd], layer=2)
+        sb, nch, active = map(jnp_asarray, (sb, nch, active))
+        pcm_i, state_i = decode_l12_frames(sb, nch, active, state_i)
+        pcm_f, state_f = decode_l12_frames(sb, nch, active, state_f,
+                                           float_pcm=True)
+        d = np.abs(np.asarray(pcm_f) -
+                   np.asarray(pcm_i).astype(np.float32) / 32767.0)
+        assert float(d.max()) <= 1.001 / 32767.0
+
+
 # ---- libavcodec cross-validation ----
 
 L12_CASES = [
