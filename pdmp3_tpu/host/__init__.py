@@ -39,6 +39,11 @@ class _Granules(C.Structure):
         ("is_pos_l", C.c_int16 * 22),
         ("is_pos_s", C.c_int16 * (13 * 3)),
         ("is_pos_pad", C.c_int16),
+        # Layer I/II (PDMP3_PROFILE_L12): layer 1/2 frames carry
+        # requantized subband samples; layer == 3 leaves sb_samples stale
+        ("layer", C.c_int32),
+        ("nparts", C.c_int32),
+        ("sb_samples", C.c_float * (2 * 36 * 32)),
     ]
 
 
@@ -83,6 +88,7 @@ PROFILE_SPEC_INTENSITY = 2
 PROFILE_LSF = 4  # accept MPEG-2 / MPEG-2.5 (13818-3 LSF) streams
 PROFILE_FREE_FORMAT = 8  # accept free-format bitrate (sync-spacing size)
 PROFILE_ID3 = 16  # skip ID3v2 tags (incremental across NEED_MORE)
+PROFILE_L12 = 32  # also decode Layer I/II frames (beyond-reference)
 
 
 class NativePDMP3:
@@ -160,6 +166,16 @@ class NativePDMP3:
         res = lib().pdmp3_parse_frame(self._h, C.byref(g))
         if res != 0:
             return res, None
+        if g.layer in (1, 2):
+            # Layer I/II frame (PROFILE_L12): subband samples only
+            S = int(g.nparts)
+            sb = np.ctypeslib.as_array(g.sb_samples) \
+                .reshape(2, 36, 32)[:, :S].copy()
+            return 0, {
+                "layer": int(g.layer), "nparts": S, "sb_samples": sb,
+                "nch": int(g.nch), "sample_rate": int(g.sample_rate),
+                "family": int(g.family),
+            }
         out = {
             "ix": np.ctypeslib.as_array(g.ix).reshape(2, 2, 576).copy(),
             "scf_l": np.ctypeslib.as_array(g.scf_l).reshape(2, 2, 22)

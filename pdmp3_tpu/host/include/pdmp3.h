@@ -84,6 +84,15 @@ typedef struct pdmp3_granules {
   int16_t is_pos_l[22];
   int16_t is_pos_s[13][3];
   int16_t is_pos_pad;         /* keep the struct 4-byte aligned */
+  /* Layer I/II (PDMP3_PROFILE_L12; beyond-reference — the reference
+   * hard-errors on layer != 3, pdmp3.c:1240/1312).  layer == 3 leaves
+   * sb_samples untouched (possibly stale); layer 1/2 frames carry
+   * frontend-requantized subband samples instead of the fields above:
+   * nparts synthesis steps (12 = Layer I, 36 = Layer II) x 32 subbands,
+   * and the DSP is the polyphase filterbank alone. */
+  int32_t layer;
+  int32_t nparts;
+  float sb_samples[2][36][32];
 } pdmp3_granules;
 
 int pdmp3_parse_frame(pdmp3_handle *id, pdmp3_granules *out);
@@ -173,6 +182,22 @@ int pdmp3_parse_step_wire16_lsf(pdmp3_handle *const *ids, size_t n_slots,
                                 int16_t *ix, int16_t *scf_l,
                                 int16_t *scf_s, int16_t *meta,
                                 int16_t *is_pos, int16_t *active);
+
+/* Layer I/II pool wire (PDMP3_PROFILE_L12 handles; all slots of a pool
+ * share one layer — the serving layer routes streams to per-layer
+ * pools, like the LSF family pools).  S = 12 (layer 1) or 36 (layer 2)
+ * synthesis steps per frame:
+ *   sb     [F][n_slots][2][S][32] float (requantized subband samples)
+ *   meta   [F][n_slots][4]        int16 {nch, sample_rate/25, layer,
+ *                                        family}
+ *   active [F][n_slots]           int16
+ * A stray frame of the WRONG layer (or Layer III) is consumed and
+ * skipped; the slot's frame rows stay inactive for the rest of the
+ * step.  Returns the number of active slot-frames. */
+int pdmp3_parse_step_wire_l12(pdmp3_handle *const *ids, size_t n_slots,
+                              int n_threads, size_t frames_per_step,
+                              int layer, float *sb, int16_t *meta,
+                              int16_t *active);
 
 /* Sparse count1-bounded wire: every granule's frequency lines are zero
  * from count1 up (rzero, pdmp3.c:2108-2111), so the spectra ship as
@@ -276,6 +301,13 @@ void pdmp3_dsp_frame(pdmp3_handle *id, const pdmp3_granules *g,
  * (pdmp3.c:1322-1340).  Incremental: oversized tags drain across
  * NEED_MORE round trips. */
 #define PDMP3_PROFILE_ID3 16u
+/* PDMP3_PROFILE_L12: also decode Layer I/II frames (the reference
+ * rejects layer != 3, pdmp3.c:1240/1312).  Requantized subband samples
+ * land in pdmp3_granules.sb_samples; the scalar DSP and pdmp3_read
+ * synthesize them through the shared polyphase filterbank.  Default
+ * OFF: accepting more layers changes resync behavior on hostile
+ * streams, breaking bit-parity differentials. */
+#define PDMP3_PROFILE_L12 32u
 void pdmp3_set_profile(pdmp3_handle *id, unsigned flags);
 unsigned pdmp3_get_profile(const pdmp3_handle *id);
 

@@ -302,12 +302,13 @@ static int parse_range16(pdmp3_handle *const *ids, size_t lo, size_t hi,
           active[f2 * n_slots + s] = 0;
         break;
       }
-      if (g.family) {
-        // an LSF frame in a dense MPEG-1 pool (only reachable when the
-        // caller set PDMP3_PROFILE_LSF on a dense-pool handle): the wire
-        // has no one-granule layout here — skip the frame WITHOUT
-        // rollback (a rollback would re-parse it forever); the slot
-        // stays inactive this step.  LSF pools use the _lsf packer.
+      if (g.family || g.layer != 3) {
+        // an LSF or Layer I/II frame in a dense MPEG-1 pool (only
+        // reachable when the caller set PDMP3_PROFILE_LSF/_L12 on a
+        // dense-pool handle): the wire has no layout for it — skip the
+        // frame WITHOUT rollback (a rollback would re-parse it
+        // forever); the slot stays inactive this step.  LSF pools use
+        // the _lsf packer, Layer I/II pools the _l12 packer.
         continue;
       }
       PDMP3_TSC(pdmp3_cyc_pack, {
@@ -396,7 +397,8 @@ static int parse_range16_lsf(pdmp3_handle *const *ids, size_t lo,
           active[f2 * n_slots + s] = 0;
         break;
       }
-      if (!g.family) continue;  // stray MPEG-1 frame: skip, no rollback
+      if (!g.family || g.layer != 3)
+        continue;  // stray MPEG-1 / Layer I/II frame: skip, no rollback
       PDMP3_TSC(pdmp3_cyc_pack, {
         for (int ch = 0; ch < g.nch; ch++) {
           unsigned lay = (unsigned)g.layout[0][ch];
@@ -450,6 +452,79 @@ int pdmp3_parse_step_wire16_lsf(pdmp3_handle *const *ids, size_t n_slots,
   return n_active;
 }
 
+// Layer I/II pool wire: frontend-requantized float subband samples
+// (PDMP3_PROFILE_L12 handles; one layer per pool — S = 12 or 36
+// synthesis steps).  Frames of any OTHER layer are consumed and
+// skipped like the LSF packer's stray-MPEG-1 rule.
+static int parse_range_l12(pdmp3_handle *const *ids, size_t lo, size_t hi,
+                           size_t n_slots, size_t frames, int layer,
+                           float *sb, int16_t *meta, int16_t *active) {
+  const size_t S = layer == 1 ? 12 : 36;
+  const size_t ssb = n_slots * 2 * S * 32;
+  const size_t sm = n_slots * 4;
+  int n_active = 0;
+  pdmp3_granules g;
+  for (size_t s = lo; s < hi; s++) {
+    pdmp3_handle *id = ids[s];
+    for (size_t f = 0; f < frames; f++) {
+      active[f * n_slots + s] = 0;
+      // no 2*576 gate: Layer I/II frames can be much smaller (the
+      // parse returns NEED_MORE + rollback on short input)
+      if (!id || id->fp.in.filled() < 8) continue;
+      size_t pos0 = id->fp.in.processed;
+      unsigned mark0 = id->fp.in.istart;
+      int pr = id->fp.parse_frame(&g);
+      if (pr != PDMP3_OK) {
+        id->fp.in.processed = pos0;
+        id->fp.in.istart = mark0;
+        for (size_t f2 = f + 1; f2 < frames; f2++)
+          active[f2 * n_slots + s] = 0;
+        break;
+      }
+      if (g.layer != layer) continue;  // wrong-layer frame: skip
+      float *d = sb + f * ssb + s * 2 * S * 32;
+      std::memcpy(d, g.sb_samples[0], S * 32 * sizeof(float));
+      std::memcpy(d + S * 32, g.sb_samples[1], S * 32 * sizeof(float));
+      int16_t *m = meta + f * sm + s * 4;
+      m[0] = (int16_t)g.nch;
+      m[1] = (int16_t)(g.sample_rate / 25);
+      m[2] = (int16_t)g.layer;
+      m[3] = (int16_t)g.family;
+      active[f * n_slots + s] = 1;
+      n_active++;
+    }
+  }
+  return n_active;
+}
+
+int pdmp3_parse_step_wire_l12(pdmp3_handle *const *ids, size_t n_slots,
+                              int n_threads, size_t frames_per_step,
+                              int layer, float *sb, int16_t *meta,
+                              int16_t *active) {
+  if (n_threads <= 0)
+    n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 1 || n_slots < 64)
+    return parse_range_l12(ids, 0, n_slots, n_slots, frames_per_step,
+                           layer, sb, meta, active);
+  std::vector<std::thread> pool;
+  std::vector<int> counts((size_t)n_threads, 0);
+  size_t chunk = (n_slots + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    size_t lo = (size_t)t * chunk;
+    size_t hi = lo + chunk < n_slots ? lo + chunk : n_slots;
+    if (lo >= hi) break;
+    pool.emplace_back([=, &counts] {
+      counts[(size_t)t] = parse_range_l12(ids, lo, hi, n_slots,
+                                          frames_per_step, layer, sb,
+                                          meta, active);
+    });
+  }
+  int n_active = 0;
+  for (auto &th : pool) th.join();
+  for (int c : counts) n_active += c;
+  return n_active;
+}
+
 // Sparse LSF pool wire: count1-bounded blocks over the one-granule
 // layout (family band maps for the reorder + perm bound).
 static int parse_range16_lsf_sparse(
@@ -474,7 +549,7 @@ static int parse_range16_lsf_sparse(
       // a stray MPEG-1 frame (parse OK, family 0) was CONSUMED: skip it
       // without rollback and try this frame slot's next... frame rows
       // stay inactive either way (see the dense packer)
-      bool skip_mpeg1 = pr == PDMP3_OK && g.family == 0;
+      bool skip_mpeg1 = pr == PDMP3_OK && (g.family == 0 || g.layer != 3);
       int16_t *e = blk + f * sb + s * 2 * 4;
       if (pr != PDMP3_OK || skip_mpeg1) {
         std::memset(e, 0, 2 * 4 * sizeof(int16_t));
@@ -592,7 +667,8 @@ static int parse_range16_sparse(pdmp3_handle *const *ids, size_t lo,
       active[f * n_slots + s] = 0;
       bool ok = id && id->fp.in.filled() >= 2 * 576 &&
                 pdmp3_parse_frame(id, &g) == PDMP3_OK &&
-                g.family == 0;  // LSF frames skip (see dense packer)
+                g.family == 0 &&
+                g.layer == 3;  // LSF/L12 frames skip (see dense packer)
       for (int gr = 0; gr < 2; gr++) {
         int16_t *e =
             blk + f * sb + (((size_t)gr * n_slots + s) * 2) * 4;
@@ -829,16 +905,26 @@ int pdmp3_read(pdmp3_handle *id, unsigned char *outmemory, size_t outsize,
     *done += n;
     res = PDMP3_OK;
   }
+  // input gate: the reference requires 2*576 buffered bytes per frame
+  // attempt (pdmp3.c:2445).  Layer I/II frames can be far smaller (a
+  // 384-sample Layer I frame is ~420 bytes), so the gate would strand a
+  // stream's tail frames — L12-profile handles rely on parse_frame's
+  // NEED_MORE + rollback instead (profile 0 keeps reference parity).
+  const unsigned gate = id->fp.l12_enabled() ? 8 : 2 * 576;
   while (outsize) {
     if (id->fp.id3_enabled()) id->fp.skip_id3();  // before the snapshot
-    if (id->fp.in.filled() >= 2 * 576) {
+    if (id->fp.in.filled() >= gate) {
       size_t pos = id->fp.in.processed;
       unsigned mark = id->fp.in.istart;
       pdmp3_granules g;
       res = id->fp.parse_frame(&g);
       if (res == PDMP3_OK || res == PDMP3_NEW_FORMAT) {
         id->dsp.decode_frame(g, id->out, id->fp.profile);
-        id->owords = g.family ? 576 : 2 * 576;
+        // PCM words this frame carries: Layer I/II = nparts*32 (384 /
+        // 1152), LSF Layer III = 576, MPEG-1 Layer III = 1152
+        id->owords = (g.layer == 1 || g.layer == 2)
+                         ? (unsigned)g.nparts * 32
+                         : (g.family ? 576 : 2 * 576);
         size_t n = convert_s16(id, outmemory, outsize);
         outmemory += n;
         outsize -= n;

@@ -222,9 +222,63 @@ void imdct_win(const float in[18], float out[36], int bt) {
 
 }  // namespace
 
+void ScalarDsp::synth_step(int ch, int nch, const float s_vec[32],
+                           uint32_t *outrow, int ss) {
+  // polyphase synthesis (pdmp3.c:1978-2045).  The reference shifts a
+  // 1024-float buffer down by 64 every matrixing and gathers a 512-tap
+  // window; we keep the FIFO as a ring of 16 blocks and accumulate the
+  // D-window directly from the ring.  Per output sample i the 16 FIR
+  // terms are added in the same j=0..15 order with identical float
+  // operands, so the PCM is bit-identical.
+  float(*vb)[64] = v[ch];
+  int &vh = vhead[ch];
+  vh = (vh + 15) & 15;  // ring-decrement: new block becomes age 0
+  // matrixing, reduction-outer (same j order per output → bit-exact)
+  float *nb = vb[vh];
+  const float(*nt)[64] = nwin_t();
+  for (int i = 0; i < 64; i++) nb[i] = 0.0f;
+  for (int j = 0; j < 32; j++) {
+    float sj = s_vec[j];
+    const float *col = nt[j];
+    for (int i = 0; i < 64; i++) nb[i] += col[i] * sj;
+  }
+  // FIR term j reads the block of age j: even j at offsets [0,32),
+  // odd j at [32,64) (the reference's u[] gather, pdmp3.c:2005-2012)
+  float sums[32];
+  for (int i = 0; i < 32; i++) sums[i] = 0.0f;
+  for (int j = 0; j < 16; j++) {
+    const float *bj = vb[(vh + j) & 15] + ((j & 1) << 5);
+    const float *dj = kSynthD + (j << 5);
+    for (int i = 0; i < 32; i++) sums[i] += bj[i] * dj[i];
+  }
+  for (int i = 0; i < 32; i++) {
+    float sum = sums[i];
+    int32_t samp = (int32_t)((double)sum * 32767.0);
+    if (samp > 32767) samp = 32767;
+    else if (samp < -32767) samp = -32767;
+    samp &= 0xFFFF;
+    unsigned o = 32 * (unsigned)ss + (unsigned)i;
+    if (ch == 0) {
+      outrow[o] = (nch == 1) ? (((uint32_t)samp << 16) | (uint32_t)samp)
+                             : ((uint32_t)samp << 16);
+    } else {
+      outrow[o] |= (uint32_t)samp;
+    }
+  }
+}
+
 void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576],
                              unsigned profile) {
   int nch = g.nch;
+  if (g.layer == 1 || g.layer == 2) {
+    // Layer I/II: the frontend already requantized; the DSP is the
+    // polyphase filterbank alone (cf. oracle.OracleDSP.decode_frame's
+    // sb_samples path — same ch-outer/step-inner order, bit-identical)
+    for (int ch = 0; ch < nch; ch++)
+      for (int p = 0; p < g.nparts; p++)
+        synth_step(ch, nch, g.sb_samples[ch][p], out[p / 18], p % 18);
+    return;
+  }
   int ngr = g.family ? 1 : 2;  // LSF frames carry ONE granule
   float prev_gr0_ch0[3] = {0, 0, 0};
   for (int gr = 0; gr < ngr; gr++) {
@@ -263,44 +317,10 @@ void ScalarDsp::decode_frame(const pdmp3_granules &g, uint32_t out[2][576],
       // D-window directly from the ring.  Per output sample i the 16 FIR
       // terms are added in the same j=0..15 order with identical float
       // operands, so the PCM is bit-identical.
-      float(*vb)[64] = v[ch];
-      int &vh = vhead[ch];
       for (int ss = 0; ss < 18; ss++) {
-        vh = (vh + 15) & 15;  // ring-decrement: new block becomes age 0
         float s_vec[32];
         for (int i = 0; i < 32; i++) s_vec[i] = x[ch][i * 18 + ss];
-        // matrixing, reduction-outer (same j order per output → bit-exact)
-        float *nb = vb[vh];
-        const float(*nt)[64] = nwin_t();
-        for (int i = 0; i < 64; i++) nb[i] = 0.0f;
-        for (int j = 0; j < 32; j++) {
-          float sj = s_vec[j];
-          const float *col = nt[j];
-          for (int i = 0; i < 64; i++) nb[i] += col[i] * sj;
-        }
-        // FIR term j reads the block of age j: even j at offsets [0,32),
-        // odd j at [32,64) (the reference's u[] gather, pdmp3.c:2005-2012)
-        float sums[32];
-        for (int i = 0; i < 32; i++) sums[i] = 0.0f;
-        for (int j = 0; j < 16; j++) {
-          const float *bj = vb[(vh + j) & 15] + ((j & 1) << 5);
-          const float *dj = kSynthD + (j << 5);
-          for (int i = 0; i < 32; i++) sums[i] += bj[i] * dj[i];
-        }
-        for (int i = 0; i < 32; i++) {
-          float sum = sums[i];
-          int32_t samp = (int32_t)((double)sum * 32767.0);
-          if (samp > 32767) samp = 32767;
-          else if (samp < -32767) samp = -32767;
-          samp &= 0xFFFF;
-          unsigned o = 32 * (unsigned)ss + (unsigned)i;
-          if (ch == 0) {
-            out[gr][o] = (nch == 1) ? (((uint32_t)samp << 16) | (uint32_t)samp)
-                                    : ((uint32_t)samp << 16);
-          } else {
-            out[gr][o] |= (uint32_t)samp;
-          }
-        }
+        synth_step(ch, nch, s_vec, out[gr], ss);
       }
     }
     for (int k = 0; k < 3; k++) prev_gr0_ch0[k] = x[0][k];

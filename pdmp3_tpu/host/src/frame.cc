@@ -159,7 +159,9 @@ int FrameParser::search_header() {
   int cnt = 0;
   while (in.filled() > 4) {
     r = read_header();
-    if (hdr.layer == 3 && r == PDMP3_OK) break;
+    if (r == PDMP3_OK &&
+        (hdr.layer == 3 || (l12_enabled() && hdr.layer != 0)))
+      break;
     if (++mark == kInbufSize) mark = 0;
     in.istart = mark;
     in.processed = pos;
@@ -1274,6 +1276,227 @@ int FrameParser::read_main(pdmp3_granules *g,
   return PDMP3_OK;
 }
 
+// ---- Layer I/II frame decode (PDMP3_PROFILE_L12; beyond-reference —
+// the reference rejects layer != 3, pdmp3.c:1240/1312).  Bit-parse per
+// ISO 11172-3 §2.4.1.5-6/§2.4.2.1-2 (13818-3 table B.1 for LSF Layer
+// II), requantize to float subband samples.  Mirrors
+// frontend._parse_l1/_parse_l2 operation-for-operation (double
+// arithmetic, final float rounding) so native and Python frontends are
+// bitwise identical. ----
+
+namespace {
+
+// Bounded MSB-first bit reader over one frame's bytes (mirrors
+// frontend._BitReader: reads past the end return 0 and set overflow —
+// the frame is then rejected).  data must have >= 8 bytes of padding
+// past nbits/8 for the 64-bit window loads.
+struct L12BitReader {
+  const uint8_t *data;
+  unsigned pos = 0, nbits;
+  bool overflow = false;
+  L12BitReader(const uint8_t *d, unsigned nbytes)
+      : data(d), nbits(8 * nbytes) {}
+  unsigned get(unsigned nb) {
+    if (nb == 0) return 0;
+    unsigned end = pos + nb;
+    if (end > nbits) {
+      overflow = true;
+      pos = end;
+      return 0;
+    }
+    uint64_t w;
+    std::memcpy(&w, data + (pos >> 3), 8);
+    w = __builtin_bswap64(w) << (pos & 7);
+    pos = end;
+    return (unsigned)(w >> (64 - nb));
+  }
+};
+
+// MSB-inverted two's-complement fraction of an nb-bit code (11172-3
+// §2.4.3.2/.3: s'''; frontend._l12_frac)
+inline double l12_frac(unsigned code, int nb) {
+  int msb = 1 << (nb - 1);
+  int c = (int)(code ^ (unsigned)msb);
+  if (c >= msb) c -= 1 << nb;
+  return (double)c / (double)msb;
+}
+
+// first subband of the joint-stereo (intensity) region (11172-3
+// §2.4.2.1; tables.l12_bound)
+inline int l12_bound(int mode, int mode_ext, int sblimit) {
+  if (mode != 1) return sblimit;
+  int b = (mode_ext + 1) * 4;
+  return b < sblimit ? b : sblimit;
+}
+
+// Layer II allocation table index 0..4 = B.2a/b/c/d/LSF-B.1
+// (tables.l2_alloc_table selection rules)
+inline int l2_table_index(const FrameHeader &h) {
+  if (h.family) return 4;
+  long freq = kSampleRates[h.sampling_frequency];
+  long kbps = kBitratesL2[h.bitrate_index] / 1000 / h.nch();
+  if (h.bitrate_index == 0)  // free format: highest-rate table
+    return freq == 48000 ? 0 : 1;
+  if ((freq == 48000 && kbps >= 56) || (kbps >= 56 && kbps <= 80)) return 0;
+  if (freq != 48000 && kbps >= 96) return 1;
+  if (freq != 32000 && kbps <= 48) return 2;
+  return 3;
+}
+
+inline float scf_l12(int scf) { return kScfL12[scf > 62 ? 62 : scf]; }
+
+int parse_l1(const FrameHeader &h, L12BitReader &br, pdmp3_granules *g) {
+  // frontend._parse_l1 (11172-3 §2.4.1.5, §2.4.2.1)
+  int nch = h.nch();
+  int bound = l12_bound(h.mode, h.mode_extension, 32);
+  int alloc[2][32] = {};
+  for (int sb = 0; sb < 32; sb++) {
+    if (sb < bound) {
+      for (int ch = 0; ch < nch; ch++) alloc[ch][sb] = (int)br.get(4);
+    } else {
+      alloc[0][sb] = alloc[1][sb] = (int)br.get(4);
+    }
+  }
+  for (int ch = 0; ch < 2; ch++)
+    for (int sb = 0; sb < 32; sb++)
+      if (alloc[ch][sb] == 15) return PDMP3_ERR;  // forbidden index
+  int scf[2][32] = {};
+  for (int sb = 0; sb < 32; sb++)
+    for (int ch = 0; ch < nch; ch++)
+      if (alloc[ch][sb]) scf[ch][sb] = (int)br.get(6);
+  for (int s = 0; s < 12; s++)
+    for (int sb = 0; sb < 32; sb++) {
+      bool shared = sb >= bound;
+      for (int ch = 0; ch < (shared ? 1 : nch); ch++) {
+        int a = alloc[ch][sb];
+        if (!a) continue;
+        int nb = a + 1;
+        unsigned code = br.get((unsigned)nb);
+        double spp = ((double)(1 << nb) / (double)((1 << nb) - 1)) *
+                     (l12_frac(code, nb) + std::ldexp(1.0, 1 - nb));
+        for (int cch = 0; cch < nch; cch++)
+          if (shared || cch == ch)
+            g->sb_samples[cch][s][sb] =
+                (float)((double)scf_l12(scf[cch][sb]) * spp);
+      }
+    }
+  return PDMP3_OK;
+}
+
+int parse_l2(const FrameHeader &h, L12BitReader &br, pdmp3_granules *g) {
+  // frontend._parse_l2 (11172-3 §2.4.1.6, §2.4.2.2; 13818-3 B.1)
+  int nch = h.nch();
+  int tsel = l2_table_index(h);
+  int sblimit = kL2Sblimit[tsel];
+  int bound = l12_bound(h.mode, h.mode_extension, sblimit);
+  int alloc[2][32] = {};
+  for (int sb = 0; sb < sblimit; sb++) {
+    unsigned nbal = (unsigned)kL2Nbal[tsel][sb];
+    if (sb < bound) {
+      for (int ch = 0; ch < nch; ch++) alloc[ch][sb] = (int)br.get(nbal);
+    } else {
+      alloc[0][sb] = alloc[1][sb] = (int)br.get(nbal);
+    }
+  }
+  int scfsi[2][32] = {};
+  for (int sb = 0; sb < sblimit; sb++)
+    for (int ch = 0; ch < nch; ch++)
+      if (alloc[ch][sb]) scfsi[ch][sb] = (int)br.get(2);
+  int scf[2][32][3] = {};
+  for (int sb = 0; sb < sblimit; sb++)
+    for (int ch = 0; ch < nch; ch++) {
+      if (!alloc[ch][sb]) continue;
+      int a, b, c;
+      switch (scfsi[ch][sb]) {
+        case 0:
+          a = (int)br.get(6);
+          b = (int)br.get(6);
+          c = (int)br.get(6);
+          break;
+        case 1:
+          a = (int)br.get(6);
+          b = a;
+          c = (int)br.get(6);
+          break;
+        case 2:
+          a = (int)br.get(6);
+          b = c = a;
+          break;
+        default:
+          a = (int)br.get(6);
+          b = (int)br.get(6);
+          c = b;
+          break;
+      }
+      scf[ch][sb][0] = a;
+      scf[ch][sb][1] = b;
+      scf[ch][sb][2] = c;
+    }
+  for (int grp = 0; grp < 12; grp++) {
+    int part = grp >> 2;
+    for (int sb = 0; sb < sblimit; sb++) {
+      bool shared = sb >= bound;
+      for (int ch = 0; ch < (shared ? 1 : nch); ch++) {
+        int a = alloc[ch][sb];
+        if (!a) continue;
+        int ci = kL2Cls[tsel][sb][a - 1];
+        unsigned bits = (unsigned)kL2ClsBits[ci];
+        int gsteps = kL2ClsGroupSteps[ci];
+        int nb = kL2ClsNb[ci];
+        unsigned codes[3];
+        if (gsteps) {  // grouped: 3 samples per codeword
+          unsigned c = br.get(bits);
+          unsigned gs = (unsigned)gsteps;
+          codes[0] = c % gs;
+          codes[1] = (c / gs) % gs;
+          codes[2] = (c / (gs * gs)) % gs;
+        } else {
+          codes[0] = br.get(bits);
+          codes[1] = br.get(bits);
+          codes[2] = br.get(bits);
+        }
+        for (int k = 0; k < 3; k++) {
+          double spp = kL2ClsC[ci] * (l12_frac(codes[k], nb) + kL2ClsD[ci]);
+          for (int cch = 0; cch < nch; cch++)
+            if (shared || cch == ch)
+              g->sb_samples[cch][3 * grp + k][sb] =
+                  (float)((double)scf_l12(scf[cch][sb][part]) * spp);
+        }
+      }
+    }
+  }
+  return PDMP3_OK;
+}
+
+}  // namespace
+
+int FrameParser::parse_frame_l12(pdmp3_granules *g) {
+  // frontend._read_frame_l12: the frame body (no bit reservoir in
+  // Layers I/II) is consumed in one bounded read; short input returns
+  // NEED_MORE and the CALLER rolls the input cursor back (pdmp3_read /
+  // pdmp3_parse_frame), restoring the header bytes for resume.
+  long nbytes = hdr.frame_size() - 4 - (hdr.protection_bit == 0 ? 2 : 0);
+  if (nbytes <= 0 || nbytes > 2000) return PDMP3_ERR;
+  if (in.filled() < (unsigned)nbytes) return PDMP3_NEED_MORE;
+  uint8_t body[2000 + 8];
+  in.get_bytes(body, (unsigned)nbytes);
+  std::memset(body + nbytes, 0, 8);  // window-load padding
+  L12BitReader br(body, (unsigned)nbytes);
+  int nparts = hdr.layer == 1 ? 12 : 36;
+  std::memset(g->sb_samples[0], 0, (size_t)nparts * 32 * sizeof(float));
+  std::memset(g->sb_samples[1], 0, (size_t)nparts * 32 * sizeof(float));
+  int r = hdr.layer == 1 ? parse_l1(hdr, br, g) : parse_l2(hdr, br, g);
+  if (r != PDMP3_OK || br.overflow) return PDMP3_ERR;
+  g->layer = hdr.layer;
+  g->nparts = nparts;
+  g->nch = hdr.nch();
+  g->sample_rate =
+      (int32_t)kSampleRatesFam[hdr.family][hdr.sampling_frequency];
+  g->family = hdr.family;
+  g->ms_flag = g->is_flag = 0;
+  return PDMP3_OK;
+}
+
 int FrameParser::parse_frame(pdmp3_granules *g,
                              int16_t *const (*wire_dst)[2]) {
   // Read_Frame (pdmp3.c:1217-1244); caller rolls back on non-OK
@@ -1293,13 +1516,21 @@ int FrameParser::parse_frame(pdmp3_granules *g,
     in.get_byte();
     in.get_byte();
   }
-  if (hdr.layer != 3) return PDMP3_ERR;
+  if (hdr.layer != 3) {
+    if (l12_enabled() && (hdr.layer == 1 || hdr.layer == 2))
+      return parse_frame_l12(g);
+    return PDMP3_ERR;
+  }
+  g->layer = 3;
+  g->nparts = 0;
   // read_huffman writes every parsed channel's 576 lines (decode +
   // rzero fill) and read_main overwrites the scalefactor arrays, so only
   // the meta tail needs zeroing here — plus the unparsed channel's lines
-  // for mono, which the SoA wire packers copy verbatim
+  // for mono, which the SoA wire packers copy verbatim.  sb_samples
+  // (Layer I/II only, past `layer`) is deliberately left stale.
   std::memset(g->scf_l, 0,
-              sizeof(*g) - offsetof(pdmp3_granules, scf_l[0][0][0]));
+              offsetof(pdmp3_granules, layer) -
+                  offsetof(pdmp3_granules, scf_l[0][0][0]));
   if (hdr.mode == 3) {
     std::memset(g->ix[0][1], 0, sizeof g->ix[0][1]);
     std::memset(g->ix[1][1], 0, sizeof g->ix[1][1]);

@@ -42,6 +42,22 @@ extern const int kSwitchSfbL[3];
 extern const float kLsfK0[2][64];
 extern const float kLsfK1[2][64];
 constexpr int kLsfIsIllegal = 63;  // tables.LSF_IS_ILLEGAL
+// Layer I/II (beyond-reference; 11172-3 tables B.2a-d/B.4, 13818-3 B.1
+// — cf. tables.py L12 section; alloc tables as class-index grids over
+// one deduplicated 17-entry class list, dequant constants C/D as
+// bit-identical doubles)
+extern const float kScfL12[63];
+extern const long kBitratesL1[15];
+extern const long kBitratesL2[15];
+extern const long kBitratesLsfL1[15];
+extern const int kL2Sblimit[5];       // A,B,C,D,LSF
+extern const int kL2Nbal[5][32];
+extern const int kL2Cls[5][32][15];   // class index, -1 pad
+extern const int kL2ClsBits[17];      // codeword bits
+extern const int kL2ClsGroupSteps[17];  // steps if grouped else 0
+extern const int kL2ClsNb[17];        // per-sample fraction bits
+extern const double kL2ClsC[17];
+extern const double kL2ClsD[17];
 extern const short kReorderSrc[9][576];
 extern const short kPermBound[9][577];
 extern const int kPretab[22];
@@ -231,9 +247,25 @@ struct FrameHeader {
   int free_size = 0;
   int nch() const { return mode == 3 ? 1 : 2; }
   int ngr() const { return family ? 1 : 2; }  // LSF frames: ONE granule
+  // PCM samples per channel carried by one frame (cf. Header.pcm_samples)
+  int pcm_samples() const {
+    if (layer == 1) return 384;
+    if (layer == 2) return 1152;  // LSF halves Layer III frames only
+    return family ? 576 : 1152;
+  }
   long frame_size() const {
     if (bitrate_index == 0)  // free format: measured size
       return free_size + padding_bit;
+    int sf = sampling_frequency > 2 ? 2 : sampling_frequency;
+    if (layer == 1)  // 11172-3 §2.4.3.1: 4-byte slots in Layer I
+      return 4 * (12 * (family ? kBitratesLsfL1 : kBitratesL1)
+                           [bitrate_index] /
+                      kSampleRatesFam[family][sf] +
+                  padding_bit);
+    if (layer == 2)
+      return 144 * (family ? kBitratesLsf : kBitratesL2)[bitrate_index] /
+                 kSampleRatesFam[family][sf] +
+             padding_bit;
     if (family)  // 72-factor LSF framing (tables.lsf_frame_size)
       return 72 * kBitratesLsf[bitrate_index] /
                  kSampleRatesFam[family][sampling_frequency] +
@@ -291,6 +323,7 @@ struct FrameParser {
     return (profile & PDMP3_PROFILE_FREE_FORMAT) != 0;
   }
   bool id3_enabled() const { return (profile & PDMP3_PROFILE_ID3) != 0; }
+  bool l12_enabled() const { return (profile & PDMP3_PROFILE_L12) != 0; }
   // unskipped ID3v2 tag bytes (can exceed the ring); see skip_id3()
   unsigned id3_remaining = 0;
   void skip_id3();
@@ -317,6 +350,10 @@ struct FrameParser {
   int read_main(pdmp3_granules *g, int16_t *const (*wire_dst)[2] = nullptr);
   int parse_frame(pdmp3_granules *g,
                   int16_t *const (*wire_dst)[2] = nullptr);
+  // Layer I/II (PDMP3_PROFILE_L12): bit-parse + requantize one frame's
+  // subband samples into g->sb_samples (beyond-reference; mirrors
+  // frontend._read_frame_l12 / _parse_l1 / _parse_l2 bitwise)
+  int parse_frame_l12(pdmp3_granules *g);
 };
 
 // Clear-text per-stage debug dumps for the NATIVE path (equivalent of
@@ -347,6 +384,12 @@ struct ScalarDsp {
   }
   void decode_frame(const pdmp3_granules &g, uint32_t out[2][576],
                     unsigned profile = 0);
+  // one 32-sample polyphase synthesis step (pdmp3.c:2006-2042): v FIFO
+  // ring-decrement, 64x32 matrixing, D-window FIR, S16 quantize/pack
+  // into outrow[32*ss..].  Shared by Layer III (18 steps per granule)
+  // and Layer I/II (12/36 steps per frame, samples from the frontend).
+  void synth_step(int ch, int nch, const float s_vec[32],
+                  uint32_t *outrow, int ss);
 };
 
 }  // namespace pdmp3host

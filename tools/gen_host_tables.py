@@ -40,6 +40,58 @@ def fmt_ints(name: str, arr: np.ndarray, ctype: str = "int",
     return f"extern const {ctype} {name}{dims} = {{\n" + "\n".join(body) + "\n};\n"
 
 
+def fmt_doubles(name: str, arr: np.ndarray, per_line: int = 3) -> str:
+    flat = np.asarray(arr, np.float64).reshape(-1)
+    dims = "".join(f"[{d}]" for d in arr.shape)
+    body = []
+    for i in range(0, len(flat), per_line):
+        chunk = ",".join(float(v).hex() for v in flat[i:i + per_line])
+        body.append("  " + chunk + ",")
+    return (f"extern const double {name}{dims} = {{\n"
+            + "\n".join(body) + "\n};\n")
+
+
+def build_l12_tables() -> list:
+    """Layer I/II constants (beyond-reference; ISO 11172-3 tables B.2a-d
+    / B.4 and 13818-3 table B.1 via pdmp3_tpu.tables).  The allocation
+    tables ship as class-index grids over one deduplicated class list so
+    the native parser shares the Python frontend's dequant constants
+    exactly (C/D as bit-identical doubles)."""
+    steps_order = sorted(T.L2_CLASSES)            # 17 classes
+    cls_idx = {s: i for i, s in enumerate(steps_order)}
+    bits = np.array([T.L2_CLASSES[s][0] for s in steps_order], np.int32)
+    grouped = np.array([s if T.L2_CLASSES[s][1] else 0
+                        for s in steps_order], np.int32)
+    nb = np.array([{3: 2, 5: 3, 9: 4}[s] if T.L2_CLASSES[s][1]
+                   else T.L2_CLASSES[s][0] for s in steps_order], np.int32)
+    cc = np.array([T.L2_CLASSES[s][2] for s in steps_order], np.float64)
+    dd = np.array([T.L2_CLASSES[s][3] for s in steps_order], np.float64)
+    tabs = [T.L2_ALLOC_A, T.L2_ALLOC_B, T.L2_ALLOC_C, T.L2_ALLOC_D,
+            T.L2_ALLOC_LSF]
+    sblimit = np.array([len(t) for t in tabs], np.int32)
+    nbal = np.zeros((5, 32), np.int32)
+    cls = np.full((5, 32, 15), -1, np.int32)
+    for t, tab in enumerate(tabs):
+        for sb, (nb_sb, steps) in enumerate(tab):
+            nbal[t, sb] = nb_sb
+            for k, s in enumerate(steps):
+                cls[t, sb, k] = cls_idx[s]
+    return [
+        fmt_floats("kScfL12", np.asarray(T.SCF_L12)),
+        fmt_ints("kBitratesL1", T.BITRATES[0], ctype="long"),
+        fmt_ints("kBitratesL2", T.BITRATES[1], ctype="long"),
+        fmt_ints("kBitratesLsfL1", T.BITRATES_LSF_L1, ctype="long"),
+        fmt_ints("kL2Sblimit", sblimit),
+        fmt_ints("kL2Nbal", nbal),
+        fmt_ints("kL2Cls", cls),
+        fmt_ints("kL2ClsBits", bits),
+        fmt_ints("kL2ClsGroupSteps", grouped),
+        fmt_ints("kL2ClsNb", nb),
+        fmt_doubles("kL2ClsC", cc),
+        fmt_doubles("kL2ClsD", dd),
+    ]
+
+
 def build_huff_luts():
     """Two-level LUTs: primary[34][512] uint16 + escape descriptors + one
     shared secondary blob (shared trees deduplicated).
@@ -152,6 +204,8 @@ def main() -> None:
         fmt_ints("kSwitchSfbL", np.asarray(T.SWITCH_SFB_L, np.int32)),
         fmt_floats("kLsfK0", T.lsf_intensity_tables()[0]),
         fmt_floats("kLsfK1", T.lsf_intensity_tables()[1]),
+        # --- Layer I/II (beyond-reference; 11172-3 B.2a-d/B.4, 13818-3 B.1)
+        *build_l12_tables(),
     ]
     primary, secondary, esc_off, esc_ext, maxlens, linbits = build_huff_luts()
     parts += [
