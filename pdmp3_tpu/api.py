@@ -24,13 +24,16 @@ class PDMP3:
     """One decoder stream handle (pdmp3_new/open_feed/feed/read/decode)."""
 
     def __init__(self, dsp=None, lsf: bool = False,
-                 free_format: bool = False, id3: bool = False):
-        self.fe = Frontend(lsf=lsf, free_format=free_format, id3=id3)
+                 free_format: bool = False, id3: bool = False,
+                 layers12: bool = False):
+        self.fe = Frontend(lsf=lsf, free_format=free_format, id3=id3,
+                           layers12=layers12)
         self.dsp = dsp if dsp is not None else OracleDSP()
         self.out = np.zeros((2, 576), np.uint32)  # packed PCM words
         self.ostart = 0
         # PCM words the current frame actually carries: 1152 for MPEG-1
-        # (2 granules), 576 for LSF frames (Frontend(lsf=True) only)
+        # (2 granules), 576 for LSF frames (Frontend(lsf=True) only),
+        # 384/1152 for Layer I/II frames (layers12=True only)
         self.owords = 2 * 576
 
     # -- pdmp3_open_feed (pdmp3.c:2369-2384) --
@@ -80,18 +83,22 @@ class PDMP3:
             chunks.append(b)
             outsize -= len(b)
             res = T.OK
+        # Layer I/II frames can be far smaller than the reference's
+        # 1152-byte read gate (pdmp3.c:2445) — layers12 handles rely on
+        # read_frame's NEED_MORE + rollback instead (native api.cc parity)
+        gate = 8 if self.fe.layers12 else 2 * 576
         while outsize > 0:
             if self.fe.id3:
                 # consume tag bytes OUTSIDE the rollback snapshot so the
                 # skip persists across NEED_MORE round trips
                 self.fe.skip_id3()
-            if self.fe.inbuf_filled() >= 2 * 576:
+            if self.fe.inbuf_filled() >= gate:
                 pos = self.fe.processed
                 mark = self.fe.istart
                 res, fd = self.fe.read_frame()
                 if res == T.OK:
                     self.out = self.dsp.decode_frame(fd)
-                    self.owords = 576 * fd.header.ngr
+                    self.owords = fd.header.pcm_samples
                     b = self._convert_frame_s16(outsize)
                     chunks.append(b)
                     outsize -= len(b)
@@ -136,9 +143,10 @@ class PDMP3:
 
 def decode_file(data: bytes, dsp=None, chunk: int = 4096,
                 lsf: bool = False, free_format: bool = False,
-                id3: bool = False) -> bytes:
+                id3: bool = False, layers12: bool = False) -> bytes:
     """CLI-equivalent loop (pdmp3.c:2540-2589): feed/read to exhaustion."""
-    h = PDMP3(dsp=dsp, lsf=lsf, free_format=free_format, id3=id3)
+    h = PDMP3(dsp=dsp, lsf=lsf, free_format=free_format, id3=id3,
+              layers12=layers12)
     h.open_feed()
     pos = 0
     out = []

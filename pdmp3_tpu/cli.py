@@ -14,18 +14,20 @@ import sys
 
 
 def _decode(data: bytes, backend: str, lsf: bool = False,
-            free_format: bool = False, id3: bool = False) -> bytes:
+            free_format: bool = False, id3: bool = False,
+            layers12: bool = False) -> bytes:
     if backend == "native":
-        from .host import (PROFILE_FREE_FORMAT, PROFILE_ID3, PROFILE_LSF,
-                           native_decode_file)
+        from .host import (PROFILE_FREE_FORMAT, PROFILE_ID3, PROFILE_L12,
+                           PROFILE_LSF, native_decode_file)
         prof = (PROFILE_LSF if lsf else 0) \
             | (PROFILE_FREE_FORMAT if free_format else 0) \
-            | (PROFILE_ID3 if id3 else 0)
+            | (PROFILE_ID3 if id3 else 0) \
+            | (PROFILE_L12 if layers12 else 0)
         return native_decode_file(data, profile=prof)
     if backend == "oracle":
         from .api import decode_file
         return decode_file(data, lsf=lsf, free_format=free_format,
-                           id3=id3)
+                           id3=id3, layers12=layers12)
     if backend in ("tpu", "tpu-exact", "tpu-fast"):
         from .api import decode_file
         from .models.decoder import JaxDSP
@@ -34,11 +36,12 @@ def _decode(data: bytes, backend: str, lsf: bool = False,
             import jax
             jax.config.update("jax_enable_x64", True)
         return decode_file(data, dsp=JaxDSP(exact=exact), lsf=lsf,
-                           free_format=free_format, id3=id3)
+                           free_format=free_format, id3=id3,
+                           layers12=layers12)
     if backend == "batch":
         from .runtime import decode_files_batched
-        if lsf or free_format or id3:
-            raise SystemExit("--lsf/--free-format/--id3: use a "
+        if lsf or free_format or id3 or layers12:
+            raise SystemExit("--lsf/--free-format/--id3/--layers12: use a "
                              "streaming backend (native/oracle/tpu)")
         return decode_files_batched([data])[0]
     raise SystemExit(f"unknown backend {backend!r}")
@@ -68,6 +71,9 @@ def main(argv=None) -> int:
                     help="skip ID3v2 tags explicitly (tags larger than "
                          "the 16 KiB input ring would otherwise kill "
                          "the stream, as in the reference)")
+    ap.add_argument("--layers12", action="store_true",
+                    help="also decode MPEG Layer I/II frames (beyond "
+                         "the reference, which rejects layer != 3)")
     args = ap.parse_args(argv)
 
     files = list(args.files)
@@ -79,7 +85,8 @@ def main(argv=None) -> int:
     for path in files:
         data = sys.stdin.buffer.read() if path == "-" else \
             open(path, "rb").read()
-        pcm = _decode(data, args.backend, args.lsf, args.free_format, args.id3)
+        pcm = _decode(data, args.backend, args.lsf, args.free_format,
+                      args.id3, args.layers12)
         out = args.output or (path + ".raw" if path != "-" else "-")
         if out == "-":
             sys.stdout.buffer.write(pcm)

@@ -624,14 +624,24 @@ class JaxDSP:
         self.exact = exact
         self.bug_compat = bug_compat
         self.state = init_state(1)
+        self._l12 = None  # lazy Layer I/II adapter (sb_samples frames)
 
     def reset(self) -> None:
         self.state = init_state(1)
+        if self._l12 is not None:
+            self._l12.reset()
 
     def decode_frame(self, fd: FrameData) -> np.ndarray:
         """Returns packed PCM words uint32 [2,576] like the reference's
         ``id->out`` (pdmp3.c:129).  LSF frames fill row 0 only (one
         granule per frame), matching OracleDSP."""
+        if fd.sb_samples is not None:
+            # Layer I/II frame (Frontend(layers12=True)): synthesis-only
+            # device path, shares the polyphase v_blocks state semantics
+            if self._l12 is None:
+                from .l12 import JaxL12
+                self._l12 = JaxL12(exact=self.exact)
+            return self._l12.decode_frame(fd)
         out = np.zeros((2, 576), np.uint32)
         for gr, batch in enumerate(frame_to_batches([fd])):
             pcm, self.state = decode_granules(batch, self.state,

@@ -416,18 +416,159 @@ class SparseStreamDecoder(StreamDecoder):
         return np.asarray(pcm) if fetch else pcm
 
 
+class L12StreamDecoder:
+    """N-slot batched Layer I/II decoder (beyond-reference: the
+    reference rejects layer != 3, pdmp3.c:1240/1312).
+
+    One layer per pool, like the LSF family pools: handles get
+    PDMP3_PROFILE_L12, the native frontend bit-parses AND requantizes
+    (the whole Layer I/II bitstream stage is control flow — there is no
+    Huffman/reservoir), and the wire ships float subband samples
+    [F][B][2][S][32] (S = 12 Layer I / 36 Layer II) straight into the
+    batched polyphase synthesis step (models.l12.decode_l12_frames).
+    The API surface mirrors StreamDecoder (feed / parse_step /
+    decode_step / pipelined drain / checkpoints); the per-slot device
+    state is the synthesis v_blocks FIFO alone.
+
+    The wire is two buffers per step (f32 spectra + tiny int16
+    meta/active) instead of StreamDecoder's single packed int16 buffer —
+    the sb section is already device-ready f32, so there is nothing to
+    recombine on device."""
+
+    def __init__(self, n_slots: int, layer: int = 2, exact: bool = False,
+                 parse_threads: int = 1, frames_per_step: int = 1,
+                 profile: int = 0, float_pcm: bool = False):
+        from ..host import PROFILE_L12
+        from ..models.l12 import init_l12_state
+
+        assert layer in (1, 2)
+        self.n = n_slots
+        self.layer = layer
+        self.S = 12 if layer == 1 else 36
+        self.exact = exact
+        self.float_pcm = float_pcm
+        self.parse_threads = parse_threads
+        self.F = frames_per_step
+        self.profile = profile | PROFILE_L12
+        self.handles = [NativePDMP3() for _ in range(n_slots)]
+        for h in self.handles:
+            h.set_profile(self.profile)
+            h.open_feed()
+        self.state = init_l12_state(n_slots)
+        F, B, S = self.F, self.n, self.S
+        # double-buffered wire (cf. StreamDecoder): host parses step t+1
+        # while step t's upload may be in flight
+        self._sb_wires = [np.zeros((F, B, 2, S, 32), np.float32)
+                          for _ in range(2)]
+        self._mt_wires = [np.zeros((F, B, 4), np.int16) for _ in range(2)]
+        self._act_wires = [np.zeros((F, B) if F > 1 else (B,), np.int16)
+                           for _ in range(2)]
+        self._cur = 0
+        self._bind_views()
+        self._fn = lib().pdmp3_parse_step_wire_l12
+        self._fn.argtypes = [C.c_void_p, C.c_size_t, C.c_int, C.c_size_t,
+                             C.c_int, C.c_void_p, C.c_void_p, C.c_void_p]
+        self._handle_arr = (C.c_void_p * self.n)(
+            *[h._h for h in self.handles])
+
+    def _bind_views(self):
+        self.sb = self._sb_wires[self._cur]
+        self.meta = self._mt_wires[self._cur]
+        self.active = self._act_wires[self._cur]
+
+    # ---- host side ----
+
+    def feed(self, slot: int, data: bytes) -> int:
+        return self.handles[slot].feed(data)
+
+    def inbuf_free(self, slot: int) -> int:
+        return self.handles[slot].inbuf_free()
+
+    def parse_step(self) -> int:
+        return self._fn(self._handle_arr, self.n, self.parse_threads,
+                        self.F, self.layer,
+                        self.sb.ctypes.data_as(C.c_void_p),
+                        self.meta.ctypes.data_as(C.c_void_p),
+                        self.active.ctypes.data_as(C.c_void_p))
+
+    def nch(self, slot: int) -> int:
+        m = self.meta if self.F == 1 else self.meta[0]
+        return max(int(m.reshape(self.F, self.n, 4)[0, slot, 0]), 1)
+
+    # ---- device side ----
+
+    def decode_step(self, fetch: bool = True):
+        """Decode the parsed frame(s).  Returns PCM int16
+        [B, frames_per_step*S*32, 2] (f32 with float_pcm), zeros for
+        inactive slot-frames, or None if no slot was active."""
+        if not self.active.any():
+            return None
+        import jax
+        from ..models.l12 import decode_l12_frames
+        sb = jax.device_put(self.sb)
+        meta = jax.device_put(self.meta)
+        act = jax.device_put(self.active.reshape(self.F, self.n))
+        outs = []
+        for f in range(self.F):
+            pcm, self.state = decode_l12_frames(
+                sb[f], meta[f, :, 0].astype(jnp.int32), act[f],
+                self.state, exact=self.exact, float_pcm=self.float_pcm)
+            outs.append(pcm)
+        pcm = outs[0] if self.F == 1 else jnp.concatenate(outs, axis=1)
+        act_h = self.active.copy()
+        meta_h = self.meta.copy()
+        self._cur ^= 1
+        self._bind_views()
+        self.active[:] = act_h
+        self.meta[:] = meta_h
+        return np.asarray(pcm) if fetch else pcm
+
+    def decode_step_pipelined(self):
+        """Asynchronous D2H PCM drain (cf. StreamDecoder): returns the
+        PREVIOUS step's PCM."""
+        pcm = self.decode_step(fetch=False)
+        if pcm is not None:
+            pcm.copy_to_host_async()
+        prev, self._pending_pcm = getattr(self, "_pending_pcm", None), pcm
+        return np.asarray(prev) if prev is not None else None
+
+    def drain_pending(self):
+        prev, self._pending_pcm = getattr(self, "_pending_pcm", None), None
+        return np.asarray(prev) if prev is not None else None
+
+    # ---- checkpoint/resume ----
+
+    def save_checkpoint(self) -> dict:
+        return {
+            "handles": [h.save_state() for h in self.handles],
+            "v_blocks": np.asarray(self.state.v_blocks),
+        }
+
+    def restore_checkpoint(self, ckpt: dict) -> None:
+        from ..models.l12 import L12State
+        assert len(ckpt["handles"]) == self.n
+        for h, blob in zip(self.handles, ckpt["handles"]):
+            h.restore_state(blob)
+        self.state = L12State(v_blocks=jnp.asarray(ckpt["v_blocks"]))
+
+
 def decode_files_batched(files: list[bytes], n_slots: int | None = None,
                          exact: bool = False, chunk: int = 4096,
-                         family: int = 0) -> list[bytes]:
+                         family: int = 0, layer: int = 3) -> list[bytes]:
     """Offline batched decode (BASELINE.json configs[3]): round-robin the
     files over slots, stepping all streams in lockstep on the TPU.
     family 1/2 decodes an MPEG-2 / MPEG-2.5 (LSF) corpus through the
-    per-family pool."""
+    per-family pool; layer 1/2 decodes a Layer I/II corpus through the
+    per-layer pool (beyond-reference)."""
     n = n_slots or len(files)
     out: list[list[bytes]] = [[] for _ in files]
     for base in range(0, len(files), n):
         group = files[base:base + n]
-        dec = StreamDecoder(len(group), exact=exact, family=family)
+        if layer in (1, 2):
+            assert family == 0, "Layer I/II pools select by layer"
+            dec = L12StreamDecoder(len(group), layer=layer, exact=exact)
+        else:
+            dec = StreamDecoder(len(group), exact=exact, family=family)
         pos = [0] * len(group)
         while True:
             # keep input rings topped up

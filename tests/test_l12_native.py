@@ -188,6 +188,105 @@ def test_wire_l12_wrong_layer_pool_skips():
     assert n == 0 and active.sum() == 0
 
 
+# ---- Python streaming API + CLI (layers12 plumbing) ----
+
+def test_python_streaming_api_l12():
+    """api.PDMP3(layers12=True): oracle and JaxDSP backends both match
+    the oracle PCM through the full feed/read protocol."""
+    from pdmp3_tpu.api import decode_file
+    from pdmp3_tpu.models.decoder import JaxDSP
+    s = mp3gen.make_l12_stream(layer=2, n_frames=4, seed=6,
+                               bitrate_index=12) \
+        + mp3gen.make_l12_stream(layer=2, n_frames=2, seed=7,
+                                 bitrate_index=12)
+    want = oracle_pcm_bytes(s)
+    assert decode_file(s, layers12=True) == want
+    assert decode_file(s, dsp=JaxDSP(exact=True), layers12=True) == want
+
+
+def test_cli_layers12(tmp_path):
+    from pdmp3_tpu.cli import main
+    s = mp3gen.make_l12_stream(layer=1, n_frames=4, seed=4,
+                               bitrate_index=12)
+    p = tmp_path / "a.mp2"
+    p.write_bytes(s)
+    assert main(["--layers12", str(p)]) == 0
+    assert (tmp_path / "a.mp2.raw").read_bytes() == oracle_pcm_bytes(s)
+
+
+# ---- serving pool (runtime.L12StreamDecoder) ----
+
+def _pool_decode(streams, layer, **kw):
+    """Drive an L12StreamDecoder pool to completion; returns per-slot
+    PCM bytes (mono slots keep one channel)."""
+    from pdmp3_tpu.runtime import L12StreamDecoder
+    dec = L12StreamDecoder(len(streams), layer=layer, **kw)
+    pos = [0] * len(streams)
+    out = [[] for _ in streams]
+    while True:
+        for s, data in enumerate(streams):
+            while pos[s] < len(data) and dec.inbuf_free(s) >= 4096:
+                n = min(4096, len(data) - pos[s])
+                dec.feed(s, data[pos[s]:pos[s] + n])
+                pos[s] += n
+        if dec.parse_step() == 0:
+            break
+        pcm = dec.decode_step()
+        for s in range(len(streams)):
+            if dec.active[s]:
+                p = pcm[s]
+                out[s].append(p[:, 0].tobytes() if dec.nch(s) == 1
+                              else p.tobytes())
+    return [b"".join(c) for c in out], dec
+
+
+@pytest.mark.parametrize("layer", [1, 2])
+def test_l12_pool_matches_oracle(layer):
+    """The serving pool (native wire + batched device synthesis, exact
+    mode) reproduces the oracle PCM byte-for-byte per slot, including a
+    mono slot and a short slot that starves mid-pool."""
+    streams = [
+        mp3gen.make_l12_stream(layer=layer, n_frames=5, seed=1,
+                               bitrate_index=12),
+        mp3gen.make_l12_stream(layer=layer, n_frames=5, seed=2,
+                               bitrate_index=8, mode=3),
+        mp3gen.make_l12_stream(layer=layer, n_frames=2, seed=3,
+                               bitrate_index=12),
+    ]
+    got, _ = _pool_decode(streams, layer, exact=True)
+    for s, stream in enumerate(streams):
+        assert got[s] == oracle_pcm_bytes(stream), f"slot {s}"
+
+
+def test_l12_pool_checkpoint_resume():
+    """A pool checkpointed mid-serving resumes bit-identically."""
+    streams = [mp3gen.make_l12_stream(layer=2, n_frames=6, seed=s,
+                                      bitrate_index=12) for s in range(2)]
+    from pdmp3_tpu.runtime import L12StreamDecoder
+    dec = L12StreamDecoder(2, layer=2, exact=True)
+    for s, d in enumerate(streams):
+        dec.feed(s, d)
+    outs = []
+    for _ in range(3):
+        assert dec.parse_step() > 0
+        outs.append(dec.decode_step())
+    ckpt = dec.save_checkpoint()
+    dec2 = L12StreamDecoder(2, layer=2, exact=True)
+    dec2.restore_checkpoint(ckpt)
+    a = (dec.parse_step(), dec.decode_step())
+    b = (dec2.parse_step(), dec2.decode_step())
+    assert a[0] == b[0] and np.array_equal(a[1], b[1])
+
+
+def test_decode_files_batched_l12():
+    files = [mp3gen.make_l12_stream(layer=2, n_frames=4, seed=s,
+                                    bitrate_index=12) for s in range(3)]
+    from pdmp3_tpu.runtime import decode_files_batched
+    got = decode_files_batched(files, exact=True, layer=2)
+    for f, data in enumerate(files):
+        assert got[f] == oracle_pcm_bytes(data)
+
+
 def test_native_checkpoint_roundtrip_l12():
     """The L12 profile and synthesis FIFO ride the checkpoint blob."""
     s = mp3gen.make_l12_stream(layer=2, n_frames=6, seed=8,
