@@ -182,6 +182,54 @@ def _measure_lsf(B: int, steps: int, path: str) -> float:
     return (B * n * K * 576 / 22050.0) / el
 
 
+def _measure_l12(B: int, steps: int) -> float:
+    """Device decode rate of a Layer II pool (beyond-reference, which
+    rejects layer != 3) — 1152 samples per frame at 44.1 kHz; the device
+    step is the batched polyphase synthesis alone (the host frontend
+    requantizes), so this tracks the synthesis kernel in isolation."""
+    from pdmp3_tpu.frontend import Frontend
+    from pdmp3_tpu.models import decoder as M
+    from pdmp3_tpu.models.l12 import (batch_from_frames,
+                                      decode_l12_frames, init_l12_state)
+    from pdmp3_tpu.testing import mp3gen
+
+    fe = Frontend(layers12=True)
+    fe.feed(mp3gen.make_l12_stream(layer=2, n_frames=6, seed=61,
+                                   bitrate_index=12))
+    frames = []
+    for _ in range(4):
+        res, fd = fe.read_frame()
+        if res != 0:
+            break
+        frames.append(fd)
+    pool = []
+    for fd in frames[:4]:
+        sb, nch, act = batch_from_frames([fd] * B, layer=2)
+        pool.append((jax.device_put(sb), jax.device_put(nch),
+                     jax.device_put(act)))
+    state = init_l12_state(B)
+
+    @functools.partial(M._lazy_jit, donate_argnames=("state",))
+    def step_fn(p0, p1, p2, p3, state):
+        outs = []
+        for k in range(K):
+            sb, nch, act = (p0, p1, p2, p3)[k % 4]
+            pcm, state = decode_l12_frames.__wrapped__(
+                sb, nch, act, state, False, False)
+            outs.append(pcm)
+        return outs, state
+
+    outs, state = step_fn(*pool, state)
+    jax.block_until_ready(outs)
+    n = max(1, steps // K)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        outs, state = step_fn(*pool, state)
+    jax.block_until_ready(outs)
+    el = time.perf_counter() - t0
+    return (B * n * K * 1152 / 44100.0) / el
+
+
 def _attest_pallas_vs_xla(pool, B: int = 1024) -> dict:
     """Compiled-on-device equivalence of the fused Pallas kernel vs the
     XLA pipeline: exact modes bitwise identical, fast modes within 1 LSB
@@ -534,6 +582,9 @@ def main() -> None:
     lsf_rtf = _measure_lsf(B, max(32, steps // 4), "pallas")
     lsf_e2e = _bench_e2e_lsf()
 
+    # Layer II (beyond-reference) pool rate — synthesis-only device step
+    l12_rtf = _measure_l12(B, max(32, steps // 4))
+
     # projected end-to-end at PCIe gen3 x16 (12 GB/s effective), wire =
     # int16 spectra + sideinfo up, int16 stereo PCM down per granule
     wire_bytes = B * (2 * 576 * 2 + 160 + 576 * 4)
@@ -571,6 +622,7 @@ def main() -> None:
         "e2e_distinct_streams": 128,
         "lsf_rtf_pallas_22k05": round(lsf_rtf, 1),
         "e2e_lsf_sparse_pallas_rtf_22k05": round(lsf_e2e, 1),
+        "l12_rtf_layer2_44k1": round(l12_rtf, 1),
         "native_singlecore_frames_per_sec": round(native_fps, 1),
         "host_parse_frames_per_sec_1t": round(parse_fps, 1),
         "reference_binary_frames_per_sec": round(ref_fps, 1),

@@ -61,10 +61,11 @@ static void run_streaming(const uint8_t *data, size_t size, Rng &r) {
   pdmp3_handle *h = pdmp3_new(nullptr, nullptr);
   if (!h) return;
   pdmp3_open_feed(h);
-  // all 32 profile combinations: COUNT1B_SPEC, SPEC_INTENSITY, LSF
+  // all 64 profile combinations: COUNT1B_SPEC, SPEC_INTENSITY, LSF
   // (11-bit sync + one-granule parse), FREE_FORMAT (sync-spacing
-  // measurement), ID3 (incremental tag skip + ring-wrap normalization)
-  pdmp3_set_profile(h, (unsigned)(r.next() & 31));
+  // measurement), ID3 (incremental tag skip + ring-wrap normalization),
+  // L12 (Layer I/II bit-allocation parse + host requantize)
+  pdmp3_set_profile(h, (unsigned)(r.next() & 63));
   unsigned char out[16384];
   size_t done = 0, pos = 0;
   int guard = 0;
@@ -106,11 +107,14 @@ static void run_wire(const uint8_t *data, size_t size, Rng &r) {
   // serving wire packers, 2 slots x 2 frames/step, dense + sparse + LSF
   enum { kSlots = 2, kFrames = 2 };
   pdmp3_handle *hs[kSlots];
-  bool lsf = (r.next() & 3) == 0;  // LSF pool round (1 in 4)
+  uint32_t pool = r.below(8);
+  bool lsf = pool < 2;  // LSF pool round (1 in 4)
+  bool l12 = pool == 2 || pool == 3;  // Layer I/II pool round (1 in 4)
   for (auto &h : hs) {
     h = pdmp3_new(nullptr, nullptr);
     pdmp3_open_feed(h);
     if (lsf) pdmp3_set_profile(h, PDMP3_PROFILE_LSF);
+    if (l12) pdmp3_set_profile(h, PDMP3_PROFILE_L12);
   }
   static int16_t ix[kFrames * 2 * kSlots * 2 * 576];
   static int16_t scf_l[kFrames * 2 * kSlots * 2 * 22];
@@ -130,7 +134,13 @@ static void run_wire(const uint8_t *data, size_t size, Rng &r) {
         if (pdmp3_feed(hs[s], data + pos[s], n) == PDMP3_OK)
           pos[s] += n;
     }
-    if (lsf && (step & 1)) {
+    if (l12) {
+      static float sb_l12[kFrames * kSlots * 2 * 36 * 32];
+      static int16_t meta_l12[kFrames * kSlots * 4];
+      int layer = (step & 1) ? 2 : 1;  // both per-layer pools per input
+      pdmp3_parse_step_wire_l12(hs, kSlots, 1, kFrames, layer, sb_l12,
+                                meta_l12, active);
+    } else if (lsf && (step & 1)) {
       long long used = 0;
       pdmp3_parse_step_wire16_lsf_sparse(hs, kSlots, 1, kFrames, flat,
                                          kCap, blk, scf_l, scf_s, meta,

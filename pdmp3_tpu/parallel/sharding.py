@@ -193,6 +193,31 @@ def sharded_frame_lsf_step(mesh: Mesh, axis: str, family: int,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def sharded_l12_step(mesh: Mesh, axis: str, exact: bool,
+                     float_pcm: bool = False):
+    """jit(shard_map) of the batched Layer I/II frame step
+    (models.l12.decode_l12_frames) over the stream axis — the sharded
+    serving form for the per-layer pools (beyond-reference capability).
+    The step is synthesis-only (the frontend requantizes on the host),
+    so like the Layer III paths it is pure data placement: sb_samples
+    [B,2,S,32], nch/active [B], and the v_blocks FIFO [B,2,15,64] all
+    shard on B; zero collectives."""
+    from ..models.l12 import L12State, decode_l12_frames
+
+    def step(sb, nch, active, state):
+        return decode_l12_frames.__wrapped__(sb, nch, active, state,
+                                             exact, float_pcm)
+
+    sspec = L12State(v_blocks=P(axis, None, None, None))
+    fn = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis, None, None, None), P(axis), P(axis), sspec),
+        out_specs=(P(axis, None, None), sspec),
+        check_vma=False)  # see _sharded_pallas_step
+    return jax.jit(fn)
+
+
 def decode_granules_sharded(batch: GranuleBatch, state, mesh: Mesh,
                             exact: bool = False, bug_compat: bool = True,
                             kernel: str = "xla"):

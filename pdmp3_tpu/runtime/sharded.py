@@ -26,9 +26,9 @@ import jax
 
 from ..models import decoder as M
 from ..parallel.sharding import (STREAM_AXIS, batch_sharding, make_mesh,
-                                 pallas_state_specs,
+                                 pallas_state_specs, sharded_l12_step,
                                  sharded_frame_soa_step)
-from .scheduler import StreamDecoder
+from .scheduler import L12StreamDecoder, StreamDecoder
 
 
 class ShardedStreamDecoder(StreamDecoder):
@@ -103,3 +103,50 @@ class ShardedStreamDecoder(StreamDecoder):
                     ix2, scf_l2, scf_s2, meta2, active, self.state,
                     exact=self.exact, bug_compat=self.bug_compat)
         return np.asarray(pcm) if fetch else pcm
+
+
+class ShardedL12StreamDecoder(L12StreamDecoder):
+    """L12StreamDecoder (per-layer Layer I/II pool) sharded over a mesh.
+
+    Same pure-data-placement story as the Layer III pools: the device
+    step is synthesis-only, streams are embarrassingly parallel, and the
+    v_blocks FIFO shards on the slot axis and never moves between chips.
+    n_slots must be a multiple of the mesh size."""
+
+    def __init__(self, n_slots: int, layer: int = 2, mesh=None,
+                 exact: bool = False, parse_threads: int = 1,
+                 profile: int = 0, float_pcm: bool = False):
+        super().__init__(n_slots, layer=layer, exact=exact,
+                         parse_threads=parse_threads, frames_per_step=1,
+                         profile=profile, float_pcm=float_pcm)
+        from ..models.l12 import L12State
+        self.mesh = mesh if mesh is not None else make_mesh()
+        assert n_slots % self.mesh.size == 0, (n_slots, self.mesh.size)
+        self.state = L12State(v_blocks=jax.device_put(
+            self.state.v_blocks, batch_sharding(self.mesh, 4)))
+        self._sharded_step = sharded_l12_step(
+            self.mesh, STREAM_AXIS, exact, float_pcm)
+
+    def decode_step(self, fetch: bool = True):
+        if not self.active.any():
+            return None
+        put = lambda x, nd: jax.device_put(
+            np.ascontiguousarray(x), batch_sharding(self.mesh, nd))
+        pcm, self.state = self._sharded_step(
+            put(self.sb[0], 4),
+            put(self.meta[0, :, 0].astype(np.int32), 1),
+            put(self.active.reshape(-1).astype(np.int32), 1),
+            self.state)
+        self._cur ^= 1
+        act_h, meta_h = self.active.copy(), self.meta.copy()
+        self._bind_views()
+        self.active[:] = act_h
+        self.meta[:] = meta_h
+        return np.asarray(pcm) if fetch else pcm
+
+    def restore_checkpoint(self, ckpt: dict) -> None:
+        super().restore_checkpoint(ckpt)
+        from ..models.l12 import L12State
+        self.state = L12State(v_blocks=jax.device_put(
+            np.asarray(self.state.v_blocks),
+            batch_sharding(self.mesh, 4)))

@@ -151,3 +151,50 @@ def test_sharded_lsf_pool_both_kernels():
                 else dec_s.state.store_t)
         devs = {sh.device.id for sh in leaf.addressable_shards}
         assert len(devs) == 8
+
+
+def test_sharded_l12_pool_equals_unsharded():
+    """Layer I/II pools shard like the rest (synthesis-only device step
+    under shard_map): sharded serving equals the unsharded L12 pool
+    bitwise in exact mode, state genuinely partitioned, checkpoint
+    round-trips across the sharded/unsharded boundary."""
+    from pdmp3_tpu.runtime import L12StreamDecoder
+    from pdmp3_tpu.runtime.sharded import ShardedL12StreamDecoder
+    B = 16
+    mesh = make_mesh(jax.devices()[:8])
+    for layer in (1, 2):
+        streams = [mp3gen.make_l12_stream(layer=layer, n_frames=5,
+                                          seed=500 + i, bitrate_index=12,
+                                          mode=3 if i % 3 == 2 else 0)
+                   for i in range(B)]
+        dec_s = ShardedL12StreamDecoder(B, layer=layer, mesh=mesh,
+                                        exact=True)
+        dec_u = L12StreamDecoder(B, layer=layer, exact=True)
+        for s in range(B):
+            dec_s.feed(s, streams[s])
+            dec_u.feed(s, streams[s])
+        steps = 0
+        for step in range(5):
+            na_s = dec_s.parse_step()
+            na_u = dec_u.parse_step()
+            assert na_s == na_u
+            if na_s == 0:
+                break
+            p_s = dec_s.decode_step()
+            p_u = dec_u.decode_step()
+            np.testing.assert_array_equal(
+                p_s, p_u, err_msg=f"layer {layer} step {step}")
+            steps += 1
+        assert steps >= 3
+        devs = {sh.device.id
+                for sh in dec_s.state.v_blocks.addressable_shards}
+        assert len(devs) == 8
+    # checkpoint from the sharded pool resumes in an unsharded one
+    ckpt = dec_s.save_checkpoint()
+    dec_r = L12StreamDecoder(B, layer=2, exact=True)
+    dec_r.restore_checkpoint(ckpt)
+    a = (dec_s.parse_step(), dec_s.decode_step())
+    b = (dec_r.parse_step(), dec_r.decode_step())
+    assert a[0] == b[0]
+    if a[1] is not None:
+        np.testing.assert_array_equal(a[1], b[1])

@@ -52,7 +52,17 @@ def make_seeds(d: str) -> int:
         # draws PDMP3_PROFILE_FREE_FORMAT, else exercises rejection)
         dict(n_frames=5, seed=908, free_format_size=420, mode=0),
     ]
-    extra_raw = []
+    extra_raw = [
+        # Layer I/II seeds (parsed when the harness draws the
+        # PDMP3_PROFILE_L12 round or an L12 wire-pool round; otherwise
+        # exercise the reference's layer != 3 rejection)
+        mp3gen.make_l12_stream(layer=1, n_frames=4, seed=910,
+                               bitrate_index=12),
+        mp3gen.make_l12_stream(layer=2, n_frames=4, seed=911,
+                               bitrate_index=12, mode=3),
+        mp3gen.make_l12_stream(layer=2, n_frames=3, seed=912,
+                               bitrate_index=8),
+    ]
     # ID3-tagged seed: small tag + stream (the mutator grows/splices
     # tags; PDMP3_PROFILE_ID3 rounds exercise the incremental skip and
     # the ring-wrap normalization)
