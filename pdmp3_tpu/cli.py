@@ -74,6 +74,21 @@ def main(argv=None) -> int:
     ap.add_argument("--layers12", action="store_true",
                     help="also decode MPEG Layer I/II frames (beyond "
                          "the reference, which rejects layer != 3)")
+    ap.add_argument("--info", action="store_true",
+                    help="print stream metadata as JSON (Xing/Info/"
+                         "VBRI/LAME tags, duration, gapless bounds) "
+                         "and exit without decoding")
+    ap.add_argument("--seek", type=float, default=None, metavar="SEC",
+                    help="decode starting at SEC (bit-exact vs the "
+                         "same window of a full decode)")
+    ap.add_argument("--duration", type=float, default=None, metavar="SEC",
+                    help="with --seek: decode only SEC seconds")
+    ap.add_argument("--gapless", action="store_true",
+                    help="apply LAME encoder delay/padding trim "
+                         "(exact original sample count)")
+    ap.add_argument("--wav", action="store_true",
+                    help="write a RIFF/WAVE container instead of raw "
+                         "S16LE (output defaults to <file>.wav)")
     args = ap.parse_args(argv)
 
     files = list(args.files)
@@ -85,15 +100,57 @@ def main(argv=None) -> int:
     for path in files:
         data = sys.stdin.buffer.read() if path == "-" else \
             open(path, "rb").read()
-        pcm = _decode(data, args.backend, args.lsf, args.free_format,
-                      args.id3, args.layers12)
-        out = args.output or (path + ".raw" if path != "-" else "-")
+        if args.info:
+            _print_info(path, data)
+            continue
+        if args.seek is not None or args.gapless:
+            from . import metadata as M
+            dec = lambda b: _decode(b, args.backend, args.lsf,    # noqa: E731
+                                    args.free_format, args.id3,
+                                    args.layers12)
+            if args.seek is not None:
+                pcm, sinfo = M.decode_file_seek(data, args.seek,
+                                                args.duration, decode=dec)
+            else:
+                pcm, sinfo = M.decode_file_gapless(data, decode=dec)
+            rate, nch = sinfo.sample_rate, sinfo.channels
+        else:
+            pcm = _decode(data, args.backend, args.lsf, args.free_format,
+                          args.id3, args.layers12)
+            rate = nch = None
+        ext = ".wav" if args.wav else ".raw"
+        out = args.output or (path + ext if path != "-" else "-")
+        if args.wav:
+            if rate is None:
+                from . import metadata as M
+                sinfo = M.parse_stream_info(data)
+                if sinfo is None:
+                    raise SystemExit(f"{path}: no MPEG frame sync found")
+                rate, nch = sinfo.sample_rate, sinfo.channels
+            from .utils.wav import wav_bytes
+            pcm = wav_bytes(pcm, rate, nch)
         if out == "-":
             sys.stdout.buffer.write(pcm)
         else:
             with open(out, "wb") as f:
                 f.write(pcm)
     return 0
+
+
+def _print_info(path: str, data: bytes) -> None:
+    import dataclasses
+    import json
+
+    from . import metadata as M
+    info = M.parse_stream_info(data)
+    if info is None:
+        raise SystemExit(f"{path}: no MPEG frame sync found")
+    d = dataclasses.asdict(info)
+    d.pop("toc", None)                  # 100 raw bytes: not JSON-friendly
+    d["duration_seconds"] = info.estimate_duration(len(data))
+    d["total_samples"] = info.total_samples
+    d["file"] = path
+    print(json.dumps(d, indent=2))
 
 
 if __name__ == "__main__":

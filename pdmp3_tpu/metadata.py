@@ -1,0 +1,615 @@
+"""Stream metadata, duration, gapless trim, and sample-accurate seeking.
+
+Host-side control plane (pure Python, no hot-path impact): parses the
+VBR metadata headers real-world MP3 files carry — Xing/Info (frame
+count, byte count, 100-entry seek TOC, quality), the LAME extension
+(encoder string, VBR method, encoder delay/padding for gapless
+playback, music/tag CRCs), and Fraunhofer VBRI — none of which the
+reference decoder reads at all (it decodes a tag frame as 1152 samples
+of silence, /root/reference/pdmp3.c has no "Xing" string).  On top of
+the parsed index it provides:
+
+- :func:`parse_stream_info` — one-call probe: format, duration,
+  VBR/CBR, gapless bounds.
+- :class:`FrameIndex` — exact per-frame byte offsets by header walk,
+  with reservoir-aware preroll for seeking.
+- :func:`decode_file_seek` — decode an arbitrary ``[t0, t1)`` window
+  bit-exactly equal to the same window of a full-file decode (the
+  preroll covers the bit reservoir's 511-byte reach plus one frame of
+  IMDCT-overlap/synthesis-ring warm-up; both converge exactly, see
+  tests/test_metadata.py::test_seek_bit_exact).
+- :func:`decode_file_gapless` — LAME delay/padding trim: drops the
+  encoder delay + the 529-sample decoder latency up front and the
+  encoder padding at the tail, yielding exactly the track's original
+  sample count.
+
+Layer III only for the VBR headers (Xing/VBRI are Layer III
+conventions); the header walk and duration estimate also handle the
+Layer I/II and MPEG-2/2.5 LSF extensions.
+
+Design choice: this module is deliberately Python — stream metadata is
+parsed once per file on the host; the native C++ frontend stays the
+reference-parity bitstream engine (a tag frame decodes to silence
+there, exactly like the reference).
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from . import tables as T
+
+#: Samples a conforming Layer III decoder is late by (256-sample IMDCT
+#: half-window + 241 polyphase + ... = 529; the constant LAME's gapless
+#: delay/padding accounting is defined against).
+DECODER_DELAY = 529
+
+_SYNC_MASK = 0xFFE0  # 11-bit sync (accepts MPEG-2.5's cleared bit)
+
+
+@dataclass
+class MPEGHeader:
+    """Decoded 4-byte frame header (bit layout: ISO 11172-3 §2.4.1.3)."""
+    family: int            # 0 = MPEG-1, 1 = MPEG-2, 2 = MPEG-2.5
+    layer: int             # 1..3
+    protection_bit: int
+    bitrate_index: int
+    sampling_frequency: int
+    padding_bit: int
+    mode: int
+    mode_extension: int
+
+    @property
+    def nch(self) -> int:
+        return 1 if self.mode == 3 else 2
+
+    @property
+    def sample_rate(self) -> int:
+        return int(T.SAMPLE_RATES_FAM[self.family][self.sampling_frequency])
+
+    @property
+    def bitrate(self) -> int:
+        """Nominal bits/s (0 for free format)."""
+        if self.bitrate_index == 0:
+            return 0
+        if self.family == 0:
+            return int(T.BITRATES[self.layer - 1][self.bitrate_index])
+        if self.layer == 1:
+            return int(T.BITRATES_LSF_L1[self.bitrate_index])
+        return int(T.BITRATES_LSF[self.bitrate_index])
+
+    @property
+    def samples_per_frame(self) -> int:
+        if self.layer == 1:
+            return 384
+        if self.layer == 2:
+            return 1152
+        return 576 if self.family else 1152
+
+    @property
+    def side_info_size(self) -> int:
+        """Layer III side-info bytes (frontend.py:408-415)."""
+        if self.layer != 3:
+            return 0
+        if self.family:
+            return 9 if self.nch == 1 else 17
+        return 17 if self.nch == 1 else 32
+
+    def frame_size(self) -> int:
+        """Whole-frame bytes incl. header (0 = free format: measure)."""
+        if self.bitrate_index == 0:
+            return 0
+        rate = self.sample_rate
+        if self.layer == 1:
+            return 4 * (12 * self.bitrate // rate + self.padding_bit)
+        factor = self.samples_per_frame // 8
+        return factor * self.bitrate // rate + self.padding_bit
+
+
+def parse_header(data: bytes, off: int) -> MPEGHeader | None:
+    """Decode the 4 bytes at ``off`` as a frame header; None if invalid.
+
+    Accepts all three MPEG families and all three layers (a metadata
+    probe should describe the stream, not enforce a decode profile —
+    profile gating happens in the decoders)."""
+    if off + 4 > len(data):
+        return None
+    b0, b1, b2, b3 = data[off:off + 4]
+    if b0 != 0xFF or ((b0 << 8) | b1) & _SYNC_MASK != _SYNC_MASK:
+        return None
+    ver = (b1 >> 3) & 3
+    family = {3: 0, 2: 1, 0: 2}.get(ver)
+    layer_bits = (b1 >> 1) & 3
+    if family is None or layer_bits == 0:
+        return None
+    h = MPEGHeader(
+        family=family,
+        layer=4 - layer_bits,
+        protection_bit=b1 & 1,
+        bitrate_index=(b2 >> 4) & 0xF,
+        sampling_frequency=(b2 >> 2) & 3,
+        padding_bit=(b2 >> 1) & 1,
+        mode=(b3 >> 6) & 3,
+        mode_extension=(b3 >> 4) & 3,
+    )
+    if h.bitrate_index in (0, 15) or h.sampling_frequency == 3:
+        return None              # free format needs a measured size; skip
+    return h
+
+
+def skip_id3v2(data: bytes, off: int = 0) -> int:
+    """Return the offset past any ID3v2 tag(s) at ``off``."""
+    while off + 10 <= len(data) and data[off:off + 3] == b"ID3" \
+            and data[off + 3] != 0xFF \
+            and not any(b & 0x80 for b in data[off + 6:off + 10]):
+        size = ((data[off + 6] << 21) | (data[off + 7] << 14)
+                | (data[off + 8] << 7) | data[off + 9])
+        off += 10 + size + (10 if data[off + 5] & 0x10 else 0)
+    return off
+
+
+def find_first_frame(data: bytes, off: int = 0) -> tuple[int, MPEGHeader] | None:
+    """Scan for the first frame header that chains to a second valid
+    header (the standard false-sync filter), skipping ID3v2 tags."""
+    off = skip_id3v2(data, off)
+    end = len(data)
+    while off + 4 <= end:
+        h = parse_header(data, off)
+        if h is not None:
+            nxt = off + h.frame_size()
+            if nxt + 4 > end:     # stream too short to confirm: accept
+                return off, h
+            h2 = parse_header(data, nxt)
+            if h2 is not None and h2.layer == h.layer \
+                    and h2.family == h.family \
+                    and h2.sampling_frequency == h.sampling_frequency:
+                return off, h
+        off += 1
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Xing/Info + LAME extension, VBRI
+# ---------------------------------------------------------------------------
+
+_XING_FRAMES = 1
+_XING_BYTES = 2
+_XING_TOC = 4
+_XING_QUALITY = 8
+
+
+def crc16_lame(buf: bytes, crc: int = 0) -> int:
+    """CRC-16/ARC (poly 0x8005 reflected, init 0) — the checksum LAME's
+    tag writer uses for both the music CRC and the tag CRC (validated
+    against libavformat's writer, tests/test_metadata.py)."""
+    for byte in buf:
+        crc ^= byte
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0xA001 if crc & 1 else 0)
+    return crc
+
+
+@dataclass
+class LameInfo:
+    """LAME tag extension (the 36 bytes after the Xing TOC/quality)."""
+    encoder: str = ""
+    revision: int = 0
+    vbr_method: int = 0
+    lowpass_hz: int = 0
+    encoder_delay: int = 0     # samples the encoder prepended
+    encoder_padding: int = 0   # samples the encoder appended
+    mp3_gain: int = 0
+    music_length: int = 0      # stream bytes; writers differ on whether
+    #                            the tag frame counts (Lavf: whole file)
+    music_crc: int = 0
+    tag_crc: int = 0
+    tag_crc_ok: bool = False
+
+
+@dataclass
+class StreamInfo:
+    """Everything :func:`parse_stream_info` learns about a stream."""
+    # container / framing
+    id3v2_bytes: int = 0
+    first_frame_offset: int = 0     # tag frame if one exists
+    first_audio_offset: int = 0     # first PCM-bearing frame
+    # format (from the first header)
+    family: int = 0                 # 0 = MPEG-1, 1 = MPEG-2, 2 = MPEG-2.5
+    layer: int = 0
+    sample_rate: int = 0
+    channels: int = 0
+    mode: int = 0
+    samples_per_frame: int = 0
+    nominal_bitrate: int = 0        # bits/s from the first audio header
+    # VBR metadata
+    vbr_header: str | None = None   # "xing" | "info" | "vbri" | None
+    is_cbr_tag: bool = False        # magic was "Info" (CBR assertion)
+    frame_count: int | None = None  # audio frames (excl. the tag frame)
+    byte_count: int | None = None
+    toc: bytes | None = None        # Xing: 100 bytes; VBRI: raw table
+    quality: int | None = None
+    lame: LameInfo | None = None
+    # VBRI specifics
+    vbri_version: int | None = None
+    vbri_delay: int | None = None
+
+    @property
+    def has_gapless_info(self) -> bool:
+        return self.lame is not None and (self.lame.encoder_delay
+                                          or self.lame.encoder_padding)
+
+    @property
+    def total_samples(self) -> int | None:
+        """Per-channel PCM samples a gapless decode yields (None when
+        the stream carries no frame count)."""
+        if self.frame_count is None:
+            return None
+        n = self.frame_count * self.samples_per_frame
+        if self.lame is not None:
+            n -= self.lame.encoder_delay + self.lame.encoder_padding
+        return max(n, 0)
+
+    @property
+    def duration_seconds(self) -> float | None:
+        n = self.total_samples
+        if n is None or not self.sample_rate:
+            return None
+        return n / self.sample_rate
+
+    def estimate_duration(self, stream_bytes: int) -> float | None:
+        """CBR fallback when no VBR header is present: audio bytes over
+        the nominal byte rate."""
+        if self.duration_seconds is not None:
+            return self.duration_seconds
+        if not self.nominal_bitrate:
+            return None
+        audio = stream_bytes - self.first_audio_offset
+        return 8.0 * audio / self.nominal_bitrate
+
+
+def _parse_xing(data: bytes, off: int, h: MPEGHeader,
+                info: StreamInfo) -> bool:
+    """Parse a Xing/Info header in the frame at ``off``; True on hit."""
+    pos = off + 4 + (2 if h.protection_bit == 0 else 0) + h.side_info_size
+    magic = data[pos:pos + 4]
+    if magic not in (b"Xing", b"Info"):
+        return False
+    frame_end = min(off + h.frame_size(), len(data))  # truncated tag: degrade
+    info.vbr_header = "info" if magic == b"Info" else "xing"
+    info.is_cbr_tag = magic == b"Info"
+    pos += 4
+    if pos + 4 > frame_end:
+        return True
+    flags = struct.unpack_from(">I", data, pos)[0]
+    pos += 4
+    if flags & _XING_FRAMES and pos + 4 <= frame_end:
+        info.frame_count = struct.unpack_from(">I", data, pos)[0]
+        pos += 4
+    if flags & _XING_BYTES and pos + 4 <= frame_end:
+        info.byte_count = struct.unpack_from(">I", data, pos)[0]
+        pos += 4
+    if flags & _XING_TOC and pos + 100 <= frame_end:
+        info.toc = bytes(data[pos:pos + 100])
+        pos += 100
+    if flags & _XING_QUALITY and pos + 4 <= frame_end:
+        info.quality = struct.unpack_from(">I", data, pos)[0]
+        pos += 4
+    # LAME extension: encoder string onward (LAME writes all four Xing
+    # fields, so this sits at magic+120; we follow the actual cursor)
+    if pos + 36 > frame_end:
+        return True
+    enc = data[pos:pos + 9]
+    if not any(32 <= c < 127 for c in enc):
+        return True               # no printable encoder string: no tag
+    lm = LameInfo()
+    lm.encoder = enc.decode("latin-1").rstrip("\x00 ")
+    lm.revision = data[pos + 9] >> 4
+    lm.vbr_method = data[pos + 9] & 0xF
+    lm.lowpass_hz = data[pos + 10] * 100
+    d0, d1, d2 = data[pos + 21:pos + 24]
+    lm.encoder_delay = (d0 << 4) | (d1 >> 4)
+    lm.encoder_padding = ((d1 & 0xF) << 8) | d2
+    lm.mp3_gain = data[pos + 25]
+    lm.music_length = struct.unpack_from(">I", data, pos + 28)[0]
+    lm.music_crc = struct.unpack_from(">H", data, pos + 32)[0]
+    lm.tag_crc = struct.unpack_from(">H", data, pos + 34)[0]
+    # tag CRC covers the frame bytes before the CRC field (190 of them
+    # in the canonical MPEG-1-stereo all-flags layout; LAME CRCs up to
+    # the field position, so the general rule is [frame, field))
+    crc_field = pos + 34
+    lm.tag_crc_ok = crc16_lame(data[off:crc_field]) == lm.tag_crc
+    info.lame = lm
+    return True
+
+
+def _parse_vbri(data: bytes, off: int, h: MPEGHeader,
+                info: StreamInfo) -> bool:
+    """Fraunhofer VBRI header: fixed 32-byte gap after the header."""
+    pos = off + 4 + 32
+    if data[pos:pos + 4] != b"VBRI" or pos + 30 > len(data):
+        return False
+    info.vbr_header = "vbri"
+    (info.vbri_version, info.vbri_delay, q, nbytes, nframes,
+     n_ent, scale, ent_bytes, ent_frames) = struct.unpack_from(
+        ">HHHIIHHHH", data, pos + 4)
+    info.quality = q
+    info.byte_count = nbytes
+    info.frame_count = nframes
+    tab = pos + 26
+    info.toc = bytes(data[tab:tab + n_ent * ent_bytes])
+    return True
+
+
+def parse_stream_info(data: bytes) -> StreamInfo | None:
+    """Probe a stream: format, VBR metadata, gapless bounds.
+
+    Returns None when no frame sync is found.  Never raises on
+    truncated/garbage tag payloads — fields stay at their defaults.
+    """
+    hit = find_first_frame(data)
+    if hit is None:
+        return None
+    off, h = hit
+    info = StreamInfo(
+        id3v2_bytes=skip_id3v2(data),
+        first_frame_offset=off,
+        first_audio_offset=off,
+        family=h.family,
+        layer=h.layer,
+        sample_rate=h.sample_rate,
+        channels=h.nch,
+        mode=h.mode,
+        samples_per_frame=h.samples_per_frame,
+        nominal_bitrate=h.bitrate,
+    )
+    if h.layer == 3 and (_parse_xing(data, off, h, info)
+                         or _parse_vbri(data, off, h, info)):
+        info.first_audio_offset = off + h.frame_size()
+        nxt = find_first_frame(data, info.first_audio_offset)
+        if nxt is not None:
+            info.first_audio_offset = nxt[0]
+            info.nominal_bitrate = nxt[1].bitrate
+    return info
+
+
+# ---------------------------------------------------------------------------
+# Frame index + seeking
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FrameIndex:
+    """Exact per-frame byte offsets (header walk from the first audio
+    frame; the VBR tag frame, if any, is excluded)."""
+    info: StreamInfo
+    offsets: list[int] = field(default_factory=list)
+    # main-data capacity per frame (frame bytes minus header/CRC/side
+    # info) — the reservoir-reach input for preroll computation
+    capacities: list[int] = field(default_factory=list)
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def samples_per_frame(self) -> int:
+        return self.info.samples_per_frame
+
+    def frame_for_sample(self, sample: int) -> int:
+        return min(max(sample, 0) // self.samples_per_frame,
+                   max(self.n_frames - 1, 0))
+
+    def preroll_start(self, frame: int, min_frames: int = 2,
+                      max_frames: int = 16) -> int:
+        """First frame to decode so that ``frame`` comes out bit-exact:
+        walk back until the skipped frames' main-data capacity covers
+        the bit reservoir's maximum reach (511 bytes, 9-bit
+        main_data_begin) AND at least ``min_frames`` are prerolled (one
+        for the IMDCT-overlap + synthesis-ring warm-up, one so the
+        warm-up frame itself has its reservoir)."""
+        g = frame
+        need = 511
+        while g > 0 and (frame - g < min_frames or need > 0) \
+                and frame - g < max_frames:
+            g -= 1
+            need -= self.capacities[g]
+        return g
+
+    def toc_byte_for_time(self, t: float, stream_bytes: int) -> int | None:
+        """Approximate byte offset from the Xing TOC (what a player uses
+        when it has no index; the exact path is the frame walk)."""
+        info = self.info
+        if info.toc is None or info.vbr_header == "vbri" \
+                or info.duration_seconds in (None, 0):
+            return None
+        frac = min(max(t / info.duration_seconds, 0.0), 1.0) * 100.0
+        i = min(int(frac), 99)
+        a = info.toc[i]
+        b = info.toc[i + 1] if i + 1 < 100 else 256
+        fa = a + (b - a) * (frac - i)
+        total = info.byte_count or stream_bytes
+        return info.first_frame_offset + int(fa / 256.0 * total)
+
+
+def build_frame_index(data: bytes, info: StreamInfo | None = None) -> FrameIndex:
+    """Walk every frame header from the first audio frame."""
+    if info is None:
+        info = parse_stream_info(data)
+        if info is None:
+            raise ValueError("no MPEG frame sync found")
+    idx = FrameIndex(info=info)
+    off = info.first_audio_offset
+    end = len(data)
+    while off + 4 <= end:
+        h = parse_header(data, off)
+        if h is None or h.layer != info.layer or h.family != info.family \
+                or h.sample_rate != info.sample_rate:
+            # lost sync (or trailing tag): rescan for the next real frame
+            nxt = find_first_frame(data, off)
+            if nxt is None or nxt[0] <= off:
+                break
+            off = nxt[0]
+            continue
+        size = h.frame_size()
+        if size <= 4 or off + size > end:
+            break                  # truncated tail frame: stop the index
+        idx.offsets.append(off)
+        idx.capacities.append(size - 4
+                              - (2 if h.protection_bit == 0 else 0)
+                              - h.side_info_size)
+        off += size
+    return idx
+
+
+def _primer_frames(h: MPEGHeader) -> tuple[bytes, int]:
+    """Silent Layer III frames that prime the bit reservoir for a
+    mid-stream join.
+
+    A decoder fed a slice whose first frame has ``main_data_begin > 0``
+    starves: the reference buffers the frame and reports NEED_MORE
+    forever (Get_Main_Data, /root/reference/pdmp3.c:1101-1110 — real
+    streams never hit this because encoders emit frame 0 with
+    main_data_begin == 0).  Prepending high-bitrate frames with zeroed
+    side info (every part2_3_length == 0 → they decode as silence)
+    fills main_data_top past the reservoir's maximum reach so every
+    following frame decodes; the preroll then guarantees the *target*
+    frame's reservoir window contains only real stream bytes.
+
+    Returns (frames, count) — each primer emits one frame of PCM that
+    the caller must drop.
+    """
+    ver = (3, 2, 0)[h.family]
+    # largest bitrate whose frame stays <= 1152 bytes: frames at/above
+    # 1440 bytes (e.g. 320 kbps @ 32 kHz) are the reference's
+    # feed-cadence-dependent read-gate regime (DESIGN.md §6) — a primer
+    # must never poke that
+    if h.family == 0:
+        need = 511                       # 9-bit main_data_begin
+        sizes = {i: 144 * int(T.BITRATES[2][i]) // h.sample_rate
+                 for i in range(14, 0, -1)}
+    else:
+        need = 255                       # LSF: 8-bit main_data_begin
+        sizes = {i: 72 * int(T.BITRATES_LSF[i]) // h.sample_rate
+                 for i in range(14, 0, -1)}
+    bi, size = next((i, s) for i, s in sizes.items() if s <= 1152)
+    hdr = ((0x7FF << 21) | (ver << 19) | (1 << 17) | (1 << 16)
+           | (bi << 12) | (h.sampling_frequency << 10) | (h.mode << 6))
+    frame = hdr.to_bytes(4, "big") + b"\x00" * (size - 4)
+    capacity = size - 4 - h.side_info_size
+    count = -(-need // capacity)
+    return frame * count, count
+
+
+def _default_decode(data: bytes, lsf: bool = False) -> bytes:
+    from .host import PROFILE_LSF, native_decode_file
+    return native_decode_file(data, profile=PROFILE_LSF if lsf else 0)
+
+
+def decode_file_seek(data: bytes, start_s: float,
+                     duration_s: float | None = None, *,
+                     decode=None, index: FrameIndex | None = None,
+                     ) -> tuple[bytes, StreamInfo]:
+    """Decode only the ``[start_s, start_s + duration_s)`` window.
+
+    Bit-exact vs the same window of a full-file decode: decoding starts
+    ``preroll_start`` frames early so the bit reservoir and the
+    decoder's carried state (IMDCT overlap, synthesis ring) converge,
+    then the warm-up samples are dropped.  Accounting is front-anchored
+    (the decoder emits exactly one output frame per parsed frame, even
+    reservoir-starved warm-up frames — they come out as noise and are
+    dropped here), and the slice is extended a couple of frames past
+    the window because the decoder holds tail frames back at its
+    1152-byte read gate (reference parity, pdmp3.c:2445).  ``decode``
+    is a ``bytes -> S16LE bytes`` callable (default: the native
+    decoder).
+    """
+    if index is None:
+        index = build_frame_index(data)
+    info = index.info
+    if decode is None:
+        dec = lambda b: _default_decode(b, lsf=info.family != 0)  # noqa: E731
+    else:
+        dec = decode
+    spf, rate, nch = info.samples_per_frame, info.sample_rate, info.channels
+    start_sample = int(round(start_s * rate))
+    end_sample = index.n_frames * spf if duration_s is None else \
+        min(start_sample + int(round(duration_s * rate)),
+            index.n_frames * spf)
+    if start_sample >= index.n_frames * spf or end_sample <= start_sample:
+        return b"", info
+    f0 = index.frame_for_sample(start_sample)
+    f1 = index.frame_for_sample(max(end_sample - 1, 0))
+    g = index.preroll_start(f0)
+    lo = index.offsets[g]
+    # extra tail bytes so f1 clears the 1152-byte read-gate holdback
+    # (byte-based: low-bitrate frames are far smaller than the gate);
+    # at the stream tail the full decode holds those frames back too,
+    # so a short window there matches the full decode's truncation
+    end_f1 = index.offsets[f1 + 1] if f1 + 1 < index.n_frames else len(data)
+    k = f1 + 1
+    while k < index.n_frames and index.offsets[k] - end_f1 < 2048:
+        k += 1
+    hi = index.offsets[k] if k < index.n_frames else len(data)
+    lead, primers = (b"", 0)
+    if info.layer == 3:
+        h0 = parse_header(data, lo)
+        if h0 is not None:
+            lead, primers = _primer_frames(h0)
+    pcm = dec(lead + bytes(data[lo:hi]))
+    frame_bytes = 2 * nch
+    emitted = len(pcm) // frame_bytes
+    drop_front = primers * spf + (start_sample - g * spf)
+    take = min(end_sample - start_sample, max(emitted - drop_front, 0))
+    return pcm[drop_front * frame_bytes:(drop_front + take) * frame_bytes], \
+        info
+
+
+def gapless_bounds(info: StreamInfo) -> tuple[int, int | None]:
+    """(front_skip_samples, keep_samples) for a gapless decode of the
+    full stream: the encoder delay plus the 529-sample decoder latency
+    up front, the encoder padding off the tail."""
+    if info.lame is None:
+        return 0, info.total_samples
+    skip = info.lame.encoder_delay + DECODER_DELAY
+    return skip, info.total_samples
+
+
+def decode_file_gapless(data: bytes, *, decode=None,
+                        index: FrameIndex | None = None,
+                        ) -> tuple[bytes, StreamInfo]:
+    """Full-file decode with LAME gapless trim applied.
+
+    The tag frame is excluded from the decode (it would add 1152
+    samples of silence); the LAME delay/padding and the 529-sample
+    decoder latency are trimmed so the output is exactly the encoder's
+    input length.  Streams without a LAME tag decode untrimmed.
+
+    When the keep-length is known, silent primer frames are appended so
+    the stream's last frames clear the decoder's 1152-byte read gate
+    (reference parity, pdmp3.c:2445, which otherwise holds the tail
+    back forever at EOF); their silence lands past ``keep`` and is
+    trimmed.  Untagged streams stay identical to a plain full decode,
+    tail holdback included.
+    """
+    if index is None:
+        index = build_frame_index(data)
+    info = index.info
+    if decode is None:
+        dec = lambda b: _default_decode(b, lsf=info.family != 0)  # noqa: E731
+    else:
+        dec = decode
+    skip_, keep_ = gapless_bounds(info)
+    tail = b""
+    if keep_ is not None and info.layer == 3:
+        h0 = parse_header(data, info.first_audio_offset)
+        if h0 is not None:
+            tail = _primer_frames(h0)[0]
+            while len(tail) < 2 * 1152:   # clear the gate even when the
+                tail += tail              # real tail frames are tiny
+
+    pcm = dec(bytes(data[info.first_audio_offset:]) + tail)
+    frame_bytes = 2 * info.channels
+    if skip_:
+        pcm = pcm[skip_ * frame_bytes:]
+    if keep_ is not None:
+        pcm = pcm[:keep_ * frame_bytes]
+    return pcm, info

@@ -110,3 +110,40 @@ def av_decode(stream: bytes, codec: str = "mp3",
     if clip:
         pcm = np.clip(pcm, -32767.0 / 32768.0, 32767.0 / 32768.0)
     return pcm
+
+
+_MUX_SRC = os.path.join(_REPO, "tools", "av_remux.c")
+_MUX_BIN = os.path.join(_REPO, "build", "host", "av_remux")
+
+
+def ensure_av_remux() -> str | None:
+    """Build av_remux on demand; None when libavformat is unavailable."""
+    if os.path.exists(_MUX_BIN) \
+            and os.path.getmtime(_MUX_BIN) >= os.path.getmtime(_MUX_SRC):
+        return _MUX_BIN
+    os.makedirs(os.path.dirname(_MUX_BIN), exist_ok=True)
+    try:
+        subprocess.run(
+            ["gcc", "-O2", "-o", _MUX_BIN, _MUX_SRC,
+             "-lavformat", "-lavcodec", "-lavutil"],
+            check=True, capture_output=True, cwd=_REPO)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return _MUX_BIN
+
+
+def av_remux(stream: bytes) -> bytes:
+    """Remux an MP3 elementary stream through libavformat's mp3 muxer,
+    which prepends a production Xing/Info metadata frame — an external
+    tag-*writer* oracle for pdmp3_tpu.metadata's parser."""
+    binpath = ensure_av_remux()
+    if binpath is None:
+        raise RuntimeError("libavformat unavailable")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in.mp3")
+        dst = os.path.join(d, "out.mp3")
+        with open(src, "wb") as f:
+            f.write(stream)
+        subprocess.run([binpath, src, dst], check=True, capture_output=True)
+        with open(dst, "rb") as f:
+            return f.read()

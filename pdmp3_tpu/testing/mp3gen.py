@@ -837,3 +837,140 @@ def make_l12_stream(*, layer: int = 2, n_frames: int = 12, seed: int = 0,
                        mode_extension=mode_extension, family=family,
                        alloc_bias=alloc_bias)
         for _ in range(n_frames))
+
+
+# ---------------------------------------------------------------------------
+# VBR metadata tag frames (Xing/Info + LAME extension, Fraunhofer VBRI)
+# ---------------------------------------------------------------------------
+
+def _crc16_lame(buf: bytes, crc: int = 0) -> int:
+    """CRC-16/ARC (poly 0x8005 reflected, init 0) — LAME's tag CRC."""
+    for byte in buf:
+        crc ^= byte
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0xA001 if crc & 1 else 0)
+    return crc
+
+
+def make_xing_frame(*, sfreq: int = 0, bitrate_index: int = 9,
+                    mode: int = 0, n_frames: int = 0, n_bytes: int = 0,
+                    toc: bytes | None = None, quality: int = 50,
+                    cbr: bool = False, lame: bool = True,
+                    encoder: bytes = b"LAME3.100",
+                    encoder_delay: int = 576, encoder_padding: int = 1152,
+                    vbr_method: int = 3, lowpass_hz: int = 19500,
+                    mp3_gain: int = 0, music_length: int = 0,
+                    music_crc: int = 0) -> bytes:
+    """Build a silent Layer III frame carrying a Xing/Info + LAME tag.
+
+    The tag sits where main data would: a zeroed side info (every
+    part2_3_length = 0) decodes as 1152 samples of silence in any
+    decoder — exactly the frame LAME emits.  The tag CRC is computed
+    LAME-style over the frame bytes preceding the CRC field.
+    """
+    fs = FrameSpec(bitrate_index=bitrate_index, sampling_frequency=sfreq,
+                   mode=mode)
+    nch = 1 if mode == 3 else 2
+    side = 17 if nch == 1 else 32
+    frame_size = (144 * int(T.BITRATES[2][bitrate_index])
+                  // int(T.SAMPLE_RATES[sfreq]))
+    buf = bytearray(build_header(fs))
+    buf += b"\x00" * side
+    buf += b"Info" if cbr else b"Xing"
+    buf += (0xF).to_bytes(4, "big")           # frames|bytes|toc|quality
+    buf += n_frames.to_bytes(4, "big")
+    buf += n_bytes.to_bytes(4, "big")
+    if toc is None:
+        toc = bytes(min(i * 256 // 100, 255) for i in range(100))
+    assert len(toc) == 100
+    buf += toc
+    buf += quality.to_bytes(4, "big")
+    if lame:
+        buf += encoder[:9].ljust(9, b"\x00")
+        buf += bytes([(0 << 4) | (vbr_method & 0xF)])     # revision 0
+        buf += bytes([min(lowpass_hz // 100, 255)])
+        buf += b"\x00" * 4                                # peak (unset)
+        buf += b"\x00" * 2 + b"\x00" * 2                  # replay gains
+        buf += b"\x00"                                    # flags + ATH
+        buf += b"\x00"                                    # ABR bitrate
+        buf += bytes([encoder_delay >> 4,
+                      ((encoder_delay & 0xF) << 4) | (encoder_padding >> 8),
+                      encoder_padding & 0xFF])
+        buf += b"\x00"                                    # misc
+        buf += bytes([mp3_gain & 0xFF])
+        buf += b"\x00\x00"                                # preset/surround
+        buf += music_length.to_bytes(4, "big")
+        buf += music_crc.to_bytes(2, "big")
+        buf += _crc16_lame(bytes(buf)).to_bytes(2, "big")
+    assert len(buf) <= frame_size, (len(buf), frame_size)
+    return bytes(buf) + b"\x00" * (frame_size - len(buf))
+
+
+def make_vbri_frame(*, sfreq: int = 0, bitrate_index: int = 9,
+                    mode: int = 0, n_frames: int = 0, n_bytes: int = 0,
+                    quality: int = 80, delay: int = 4608,
+                    toc_entries: list | None = None,
+                    entry_frames: int = 4) -> bytes:
+    """Fraunhofer VBRI tag frame: magic at header+36, per-interval byte
+    table (``toc_entries``: bytes spanned by each ``entry_frames``-frame
+    interval)."""
+    fs = FrameSpec(bitrate_index=bitrate_index, sampling_frequency=sfreq,
+                   mode=mode)
+    frame_size = (144 * int(T.BITRATES[2][bitrate_index])
+                  // int(T.SAMPLE_RATES[sfreq]))
+    buf = bytearray(build_header(fs))
+    buf += b"\x00" * 32
+    buf += b"VBRI"
+    entries = toc_entries or []
+    buf += (1).to_bytes(2, "big")             # version
+    buf += delay.to_bytes(2, "big")
+    buf += quality.to_bytes(2, "big")
+    buf += n_bytes.to_bytes(4, "big")
+    buf += n_frames.to_bytes(4, "big")
+    buf += len(entries).to_bytes(2, "big")
+    buf += (1).to_bytes(2, "big")             # scale
+    buf += (2).to_bytes(2, "big")             # bytes per entry
+    buf += entry_frames.to_bytes(2, "big")
+    for e in entries:
+        buf += int(e).to_bytes(2, "big")
+    assert len(buf) <= frame_size, (len(buf), frame_size)
+    return bytes(buf) + b"\x00" * (frame_size - len(buf))
+
+
+def make_tagged_stream(*, tag: str = "xing", encoder_delay: int = 576,
+                       encoder_padding: int = 1152, cbr: bool = False,
+                       id3_bytes: int = 0, **make_stream_kw):
+    """A mp3gen stream with an accurate metadata tag frame prepended
+    (frame count, byte count, TOC measured from the generated frames),
+    optionally behind an ID3v2 tag.  Returns (stream, n_audio_frames).
+    """
+    make_stream_kw.setdefault("n_frames", 20)
+    sfreq = make_stream_kw.get("sfreq", 0)
+    bi = make_stream_kw.get("bitrate_index", 9)
+    mode = make_stream_kw.get("mode", 0)
+    audio = make_stream(**make_stream_kw)
+    n_frames = make_stream_kw["n_frames"]
+    tag_size = (144 * int(T.BITRATES[2][bi]) // int(T.SAMPLE_RATES[sfreq]))
+    total = tag_size + len(audio)
+    if tag == "xing":
+        # TOC: percent-of-duration -> scaled byte offset (whole file)
+        toc = bytes(min(int((i / 100.0) * len(audio) + tag_size)
+                        * 256 // total, 255) for i in range(100))
+        tf = make_xing_frame(sfreq=sfreq, bitrate_index=bi, mode=mode,
+                             n_frames=n_frames, n_bytes=total, toc=toc,
+                             cbr=cbr, encoder_delay=encoder_delay,
+                             encoder_padding=encoder_padding,
+                             music_length=len(audio),
+                             music_crc=_crc16_lame(audio))
+    elif tag == "vbri":
+        tf = make_vbri_frame(sfreq=sfreq, bitrate_index=bi, mode=mode,
+                             n_frames=n_frames, n_bytes=total)
+    else:
+        raise ValueError(tag)
+    head = b""
+    if id3_bytes:
+        size = id3_bytes
+        head = b"ID3\x04\x00\x00" + bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]) + b"\x00" * size
+    return head + tf + audio, n_frames
