@@ -504,38 +504,43 @@ def _default_decode(data: bytes, lsf: bool = False) -> bytes:
     return native_decode_file(data, profile=PROFILE_LSF if lsf else 0)
 
 
-def decode_file_seek(data: bytes, start_s: float,
-                     duration_s: float | None = None, *,
-                     decode=None, index: FrameIndex | None = None,
-                     ) -> tuple[bytes, StreamInfo]:
-    """Decode only the ``[start_s, start_s + duration_s)`` window.
+@dataclass
+class SeekPlan:
+    """Everything needed to decode a ``[start_s, start_s+duration_s)``
+    window through ANY decode surface (one-shot file decode or a
+    serving-pool slot): feed ``payload``, then keep the emitted PCM
+    after dropping the first ``drop_samples`` per-channel samples,
+    up to ``take_samples``."""
+    info: StreamInfo
+    payload: bytes          # primer frames + preroll slice of the stream
+    drop_samples: int       # warm-up PCM to discard (front-anchored)
+    take_samples: int       # window length actually available
 
-    Bit-exact vs the same window of a full-file decode: decoding starts
-    ``preroll_start`` frames early so the bit reservoir and the
-    decoder's carried state (IMDCT overlap, synthesis ring) converge,
-    then the warm-up samples are dropped.  Accounting is front-anchored
-    (the decoder emits exactly one output frame per parsed frame, even
-    reservoir-starved warm-up frames — they come out as noise and are
-    dropped here), and the slice is extended a couple of frames past
-    the window because the decoder holds tail frames back at its
-    1152-byte read gate (reference parity, pdmp3.c:2445).  ``decode``
-    is a ``bytes -> S16LE bytes`` callable (default: the native
-    decoder).
+
+def plan_seek(data: bytes, start_s: float,
+              duration_s: float | None = None, *,
+              index: FrameIndex | None = None) -> SeekPlan | None:
+    """Build the byte slice + accounting for a mid-stream window.
+
+    Decoding starts ``preroll_start`` frames early so the bit reservoir
+    and the decoder's carried state (IMDCT overlap, synthesis ring)
+    converge; the slice is extended past the window because the decoder
+    holds tail frames back at its 1152-byte read gate (reference
+    parity, pdmp3.c:2445), and silent primer frames are prepended so a
+    join whose first frame has main_data_begin > 0 does not starve the
+    reservoir forever (pdmp3.c:1101-1110).  Returns None for an empty
+    window.
     """
     if index is None:
         index = build_frame_index(data)
     info = index.info
-    if decode is None:
-        dec = lambda b: _default_decode(b, lsf=info.family != 0)  # noqa: E731
-    else:
-        dec = decode
-    spf, rate, nch = info.samples_per_frame, info.sample_rate, info.channels
+    spf, rate = info.samples_per_frame, info.sample_rate
     start_sample = int(round(start_s * rate))
     end_sample = index.n_frames * spf if duration_s is None else \
         min(start_sample + int(round(duration_s * rate)),
             index.n_frames * spf)
     if start_sample >= index.n_frames * spf or end_sample <= start_sample:
-        return b"", info
+        return None
     f0 = index.frame_for_sample(start_sample)
     f1 = index.frame_for_sample(max(end_sample - 1, 0))
     g = index.preroll_start(f0)
@@ -554,13 +559,42 @@ def decode_file_seek(data: bytes, start_s: float,
         h0 = parse_header(data, lo)
         if h0 is not None:
             lead, primers = _primer_frames(h0)
-    pcm = dec(lead + bytes(data[lo:hi]))
-    frame_bytes = 2 * nch
+    return SeekPlan(
+        info=info,
+        payload=lead + bytes(data[lo:hi]),
+        drop_samples=primers * spf + (start_sample - g * spf),
+        take_samples=end_sample - start_sample)
+
+
+def decode_file_seek(data: bytes, start_s: float,
+                     duration_s: float | None = None, *,
+                     decode=None, index: FrameIndex | None = None,
+                     ) -> tuple[bytes, StreamInfo]:
+    """Decode only the ``[start_s, start_s + duration_s)`` window.
+
+    Bit-exact vs the same window of a full-file decode (see
+    :func:`plan_seek` for the mechanism).  Accounting is front-anchored:
+    the decoder emits exactly one output frame per parsed frame, even
+    reservoir-starved warm-up frames — they come out as noise and are
+    dropped here.  ``decode`` is a ``bytes -> S16LE bytes`` callable
+    (default: the native decoder).
+    """
+    if index is None:
+        index = build_frame_index(data)
+    info = index.info
+    plan = plan_seek(data, start_s, duration_s, index=index)
+    if plan is None:
+        return b"", info
+    if decode is None:
+        dec = lambda b: _default_decode(b, lsf=info.family != 0)  # noqa: E731
+    else:
+        dec = decode
+    pcm = dec(plan.payload)
+    frame_bytes = 2 * info.channels
     emitted = len(pcm) // frame_bytes
-    drop_front = primers * spf + (start_sample - g * spf)
-    take = min(end_sample - start_sample, max(emitted - drop_front, 0))
-    return pcm[drop_front * frame_bytes:(drop_front + take) * frame_bytes], \
-        info
+    drop = plan.drop_samples
+    take = min(plan.take_samples, max(emitted - drop, 0))
+    return pcm[drop * frame_bytes:(drop + take) * frame_bytes], info
 
 
 def gapless_bounds(info: StreamInfo) -> tuple[int, int | None]:

@@ -261,6 +261,39 @@ class StreamDecoder:
     def nch(self, slot: int) -> int:
         return max(int(self.meta[0, slot, _M_NCH]), 1)
 
+    # ---- mid-stream join (seek inside the serving pool) ----
+
+    def join(self, slot: int, data: bytes, start_s: float,
+             duration_s: float | None = None, *, index=None):
+        """Point ``slot`` at time ``start_s`` of a NEW stream.
+
+        Serving-side seek: the slot's handle is reset and a
+        :class:`SlotJoin` cursor is returned whose payload (silent
+        primer frames + reservoir-covering preroll slice, see
+        metadata.plan_seek) the caller pumps into the slot's ring as
+        space allows.  The slot's first ``drop_samples`` per-channel
+        PCM samples are warm-up and must be discarded; what follows is
+        bit-exact vs the same window of a full decode of the stream.
+        No device-state reset is needed even when the slot previously
+        served another stream: the decoder's recurrent carries (overlap
+        store, synthesis ring, band-12 prev_lines) are fully
+        re-written within one granule, inside the dropped warm-up
+        (tests/test_metadata.py::test_pool_join_reused_slot).
+
+        Returns None when the window is empty.
+        """
+        from ..metadata import build_frame_index, plan_seek
+        if index is None:
+            index = build_frame_index(data)
+        plan = plan_seek(data, start_s, duration_s, index=index)
+        if plan is None:
+            return None
+        assert plan.info.layer == 3, "pools decode Layer III"
+        assert plan.info.family == self.family, \
+            f"stream family {plan.info.family} != pool family {self.family}"
+        self.handles[slot].open_feed()
+        return SlotJoin(self, slot, plan)
+
     # ---- checkpoint/resume (SURVEY.md §5): host state blobs + device
     # recurrent state; a restored decoder continues bit-identically ----
 
@@ -293,6 +326,36 @@ class StreamDecoder:
             from ..ops.pallas_step import state_to_pallas
             state = state_to_pallas(state)
         self.state = state
+
+
+class SlotJoin:
+    """Feed cursor for a slot serving a mid-stream join (see
+    :meth:`StreamDecoder.join`).  ``pump()`` each scheduling round;
+    consume the slot's PCM front-anchored: every step where the slot is
+    active emits samples_per_frame samples — drop the first
+    ``drop_samples``, keep up to ``take_samples``."""
+
+    def __init__(self, dec: StreamDecoder, slot: int, plan):
+        self.dec, self.slot, self.plan = dec, slot, plan
+        self.pos = 0
+        self.drop_samples = plan.drop_samples
+        self.take_samples = plan.take_samples
+
+    @property
+    def exhausted(self) -> bool:
+        return self.pos >= len(self.plan.payload)
+
+    def pump(self) -> int:
+        """Feed as much remaining payload as the slot ring fits;
+        returns bytes fed (0 once exhausted)."""
+        free = self.dec.inbuf_free(self.slot)
+        chunk = self.plan.payload[self.pos:self.pos + free]
+        if not chunk:
+            return 0
+        rc = self.dec.feed(self.slot, chunk)
+        assert rc == T.OK, rc
+        self.pos += len(chunk)
+        return len(chunk)
 
 
 class SparseStreamDecoder(StreamDecoder):

@@ -171,3 +171,83 @@ def test_pipelined_drain_equals_sync(corpus):
     assert len(want) == len(got)
     for a, b in zip(want, got):
         np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# mid-stream join (serving-side seek)
+# ---------------------------------------------------------------------------
+
+def _run_join(dec, j, slot, max_steps=120):
+    """Pump a SlotJoin and collect the slot's active-step PCM,
+    front-anchored trim per the cursor's accounting."""
+    got = []
+    for _ in range(max_steps):
+        j.pump()
+        if dec.parse_step() == 0:
+            if j.exhausted:
+                break
+            continue
+        pcm = dec.decode_step()
+        if dec.active[slot]:
+            got.append(pcm[slot].tobytes())
+    blob = b"".join(got)
+    fb = 2 * 2  # stereo S16
+    return blob[j.drop_samples * fb:(j.drop_samples + j.take_samples) * fb]
+
+
+def test_pool_join_mid_stream():
+    """StreamDecoder.join: a slot pointed at t=0.5s of a new stream
+    emits PCM bit-exact vs the same window of a full decode."""
+    s = mp3gen.make_stream(n_frames=60, seed=80, blocks="varied",
+                           mode=1, mode_extension=2, use_reservoir=True)
+    full = native_decode_file(s)
+    dec = StreamDecoder(2, exact=True)
+    dec.feed(0, _mk(81))          # a neighbour stream from t=0
+    t0, dur = 0.5, 0.25
+    j = dec.join(1, s, t0, dur)
+    window = _run_join(dec, j, 1)
+    a = int(round(t0 * 44100)) * 4
+    assert len(window) == j.take_samples * 4
+    assert window == full[a:a + len(window)]
+
+
+def test_pool_join_reused_slot():
+    """A slot that already served another stream joins bit-exactly —
+    the preroll rewrites every recurrent carry inside the dropped
+    warm-up, so no device-state reset is needed."""
+    s = mp3gen.make_stream(n_frames=50, seed=82, use_reservoir=True)
+    full = native_decode_file(s)
+    dec = StreamDecoder(2, exact=True)
+    # serve a different stream in slot 1 first
+    dec.feed(1, _mk(83, blocks="short"))
+    for _ in range(8):
+        if dec.parse_step():
+            dec.decode_step()
+    t0, dur = 0.7, 0.2
+    j = dec.join(1, s, t0, dur)
+    window = _run_join(dec, j, 1)
+    a = int(round(t0 * 44100)) * 4
+    assert len(window) == j.take_samples * 4
+    assert window == full[a:a + len(window)]
+
+
+def test_pool_join_lsf_family():
+    """Join works in an LSF family pool (one granule per frame)."""
+    from pdmp3_tpu.host import PROFILE_LSF
+    s = mp3gen.make_stream(n_frames=60, seed=84, family=1)
+    full = native_decode_file(s, profile=PROFILE_LSF)
+    dec = StreamDecoder(2, exact=True, family=1)
+    t0, dur = 0.4, 0.2
+    j = dec.join(0, s, t0, dur)
+    window = _run_join(dec, j, 0)
+    info_rate = 22050
+    a = int(round(t0 * info_rate)) * 4
+    assert len(window) == j.take_samples * 4
+    assert window == full[a:a + len(window)]
+
+
+def test_pool_join_family_mismatch_asserts():
+    s = mp3gen.make_stream(n_frames=10, seed=85, family=1)
+    dec = StreamDecoder(1, exact=True)
+    with pytest.raises(AssertionError):
+        dec.join(0, s, 0.0)
