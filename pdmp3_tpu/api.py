@@ -25,9 +25,9 @@ class PDMP3:
 
     def __init__(self, dsp=None, lsf: bool = False,
                  free_format: bool = False, id3: bool = False,
-                 layers12: bool = False):
+                 layers12: bool = False, crc_check: bool = False):
         self.fe = Frontend(lsf=lsf, free_format=free_format, id3=id3,
-                           layers12=layers12)
+                           layers12=layers12, crc_check=crc_check)
         self.dsp = dsp if dsp is not None else OracleDSP()
         self.out = np.zeros((2, 576), np.uint32)  # packed PCM words
         self.ostart = 0
@@ -143,10 +143,11 @@ class PDMP3:
 
 def decode_file(data: bytes, dsp=None, chunk: int = 4096,
                 lsf: bool = False, free_format: bool = False,
-                id3: bool = False, layers12: bool = False) -> bytes:
+                id3: bool = False, layers12: bool = False,
+                crc_check: bool = False) -> bytes:
     """CLI-equivalent loop (pdmp3.c:2540-2589): feed/read to exhaustion."""
     h = PDMP3(dsp=dsp, lsf=lsf, free_format=free_format, id3=id3,
-              layers12=layers12)
+              layers12=layers12, crc_check=crc_check)
     h.open_feed()
     pos = 0
     out = []

@@ -15,19 +15,20 @@ import sys
 
 def _decode(data: bytes, backend: str, lsf: bool = False,
             free_format: bool = False, id3: bool = False,
-            layers12: bool = False) -> bytes:
+            layers12: bool = False, crc_check: bool = False) -> bytes:
     if backend == "native":
-        from .host import (PROFILE_FREE_FORMAT, PROFILE_ID3, PROFILE_L12,
-                           PROFILE_LSF, native_decode_file)
+        from .host import (PROFILE_CRC, PROFILE_FREE_FORMAT, PROFILE_ID3,
+                           PROFILE_L12, PROFILE_LSF, native_decode_file)
         prof = (PROFILE_LSF if lsf else 0) \
             | (PROFILE_FREE_FORMAT if free_format else 0) \
             | (PROFILE_ID3 if id3 else 0) \
-            | (PROFILE_L12 if layers12 else 0)
+            | (PROFILE_L12 if layers12 else 0) \
+            | (PROFILE_CRC if crc_check else 0)
         return native_decode_file(data, profile=prof)
     if backend == "oracle":
         from .api import decode_file
         return decode_file(data, lsf=lsf, free_format=free_format,
-                           id3=id3, layers12=layers12)
+                           id3=id3, layers12=layers12, crc_check=crc_check)
     if backend in ("tpu", "tpu-exact", "tpu-fast"):
         from .api import decode_file
         from .models.decoder import JaxDSP
@@ -37,7 +38,7 @@ def _decode(data: bytes, backend: str, lsf: bool = False,
             jax.config.update("jax_enable_x64", True)
         return decode_file(data, dsp=JaxDSP(exact=exact), lsf=lsf,
                            free_format=free_format, id3=id3,
-                           layers12=layers12)
+                           layers12=layers12, crc_check=crc_check)
     if backend == "batch":
         from .runtime import decode_files_batched
         if lsf or free_format or id3 or layers12:
@@ -74,6 +75,10 @@ def main(argv=None) -> int:
     ap.add_argument("--layers12", action="store_true",
                     help="also decode MPEG Layer I/II frames (beyond "
                          "the reference, which rejects layer != 3)")
+    ap.add_argument("--crc", action="store_true",
+                    help="verify the ISO CRC-16 of protected frames and "
+                         "skip failures (the reference discards CRC "
+                         "bytes unchecked)")
     ap.add_argument("--info", action="store_true",
                     help="print stream metadata as JSON (Xing/Info/"
                          "VBRI/LAME tags, duration, gapless bounds) "
@@ -107,7 +112,7 @@ def main(argv=None) -> int:
             from . import metadata as M
             dec = lambda b: _decode(b, args.backend, args.lsf,    # noqa: E731
                                     args.free_format, args.id3,
-                                    args.layers12)
+                                    args.layers12, args.crc)
             if args.seek is not None:
                 pcm, sinfo = M.decode_file_seek(data, args.seek,
                                                 args.duration, decode=dec)
@@ -116,7 +121,7 @@ def main(argv=None) -> int:
             rate, nch = sinfo.sample_rate, sinfo.channels
         else:
             pcm = _decode(data, args.backend, args.lsf, args.free_format,
-                          args.id3, args.layers12)
+                          args.id3, args.layers12, args.crc)
             rate = nch = None
         ext = ".wav" if args.wav else ".raw"
         out = args.output or (path + ext if path != "-" else "-")

@@ -195,9 +195,18 @@ class Frontend:
 
     def __init__(self, count1_table_b_spec: bool = False,
                  lsf: bool = False, free_format: bool = False,
-                 id3: bool = False, layers12: bool = False):
+                 id3: bool = False, layers12: bool = False,
+                 crc_check: bool = False):
         self.count1_table_b_spec = count1_table_b_spec
         self.lsf = lsf
+        # crc_check: actually verify the ISO 11172-3 §2.4.3.1 CRC-16 of
+        # protected frames (the reference reads and DISCARDS the two CRC
+        # bytes, pdmp3.c:1206-1210).  A failing Layer III frame is
+        # skipped whole — its main data never enters the reservoir, so a
+        # following frame that reaches back simply takes the standard
+        # underflow NEED_MORE path.  Default OFF for bit-parity
+        # differentials.
+        self.crc_check = crc_check
         # layers12: also decode Layer I/II frames (the reference rejects
         # layer != 3, pdmp3.c:1240/1312).  Default OFF: accepting more
         # layers changes resync behavior on hostile streams, breaking
@@ -346,6 +355,7 @@ class Frontend:
                 return T.ERR
             hdr = ((hdr << 8) & 0xFFFFFF00) | nb
         h = self.header
+        self._hdr_raw16 = hdr & 0xFFFF   # header bits 16-31, CRC-protected
         ver = (hdr >> 19) & 3        # 0=2.5, 1=reserved, 2=MPEG-2, 3=MPEG-1
         h.id = (hdr >> 19) & 1
         h.layer = (hdr >> 17) & 3
@@ -1023,12 +1033,15 @@ class Frontend:
                 # so the consumed header bytes are restored for resume
                 return res, None
             self.header.free_size = self.free_size
+        crc_read = -1
         if self.header.protection_bit == 0:
-            # CRC bytes read and discarded; EOF here is silently ignored
-            # because the reference's Read_CRC returns FALSE==PDMP3_OK on
-            # EOF (pdmp3.c:1206-1210, 1231).
-            self.get_byte()
-            self.get_byte()
+            # CRC bytes read and (by default) discarded; EOF here is
+            # silently ignored because the reference's Read_CRC returns
+            # FALSE==PDMP3_OK on EOF (pdmp3.c:1206-1210, 1231).
+            c1 = self.get_byte()
+            c2 = self.get_byte()
+            if self.crc_check and C_EOF not in (c1, c2):
+                crc_read = (c1 << 8) | c2
         if self.header.layer != 3:
             if self.layers12 and self.header.layer in (1, 2):
                 return self._read_frame_l12()
@@ -1036,6 +1049,26 @@ class Frontend:
         res = self._read_side_info()
         if res != T.OK:
             return T.ERR, None
+        if crc_read >= 0:
+            # ISO CRC-16 over header bits 16-31 + the side-info bytes
+            # (tables.crc16_mpeg).  On mismatch the frame is skipped
+            # whole: its (corrupt) main data never enters the reservoir,
+            # and decoding resumes at the next frame.  Layer I/II CRC
+            # (different protected-bit extent) stays discard-only.
+            size = (9 if self.header.nch == 1 else 17) if self.header.family \
+                else (17 if self.header.nch == 1 else 32)
+            prot = bytes([(self._hdr_raw16 >> 8) & 0xFF,
+                          self._hdr_raw16 & 0xFF]) \
+                + bytes(int(v) & 0xFF for v in self.side_vec[:size])
+            if T.crc16_mpeg(prot) != crc_read:
+                skip = self.header.frame_size() - 4 - 2 - size
+                for _ in range(skip):
+                    if self.get_byte() == C_EOF:
+                        # partial frame buffered: the caller rolls the
+                        # cursor back and retries once fed more
+                        return T.NEED_MORE, None
+                # bounded by the frames the 16 KiB ring can hold
+                return self.read_frame()
         scalefac_l = self.scalefac_l
         scalefac_s = self.scalefac_s
         ix = np.zeros((2, 2, 576), np.int32)

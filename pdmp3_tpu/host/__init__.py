@@ -89,6 +89,7 @@ PROFILE_LSF = 4  # accept MPEG-2 / MPEG-2.5 (13818-3 LSF) streams
 PROFILE_FREE_FORMAT = 8  # accept free-format bitrate (sync-spacing size)
 PROFILE_ID3 = 16  # skip ID3v2 tags (incremental across NEED_MORE)
 PROFILE_L12 = 32  # also decode Layer I/II frames (beyond-reference)
+PROFILE_CRC = 64  # verify ISO CRC-16; skip failing frames (ref discards)
 
 
 class NativePDMP3:

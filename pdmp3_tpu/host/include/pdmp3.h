@@ -308,6 +308,14 @@ void pdmp3_dsp_frame(pdmp3_handle *id, const pdmp3_granules *g,
  * OFF: accepting more layers changes resync behavior on hostile
  * streams, breaking bit-parity differentials. */
 #define PDMP3_PROFILE_L12 32u
+/* PDMP3_PROFILE_CRC: verify the ISO 11172-3 §2.4.3.1 CRC-16 of
+ * protected Layer III frames (poly 0x8005 MSB-first, init 0xFFFF, over
+ * header bits 16-31 + the side info; law validated against libavcodec's
+ * AV_EF_CRCCHECK).  A failing frame is skipped whole — its main data
+ * never enters the bit reservoir.  The reference reads and DISCARDS the
+ * CRC bytes unchecked (pdmp3.c:1206-1210); default OFF for bit-parity.
+ * Layer I/II frames (different protected-bit extent) stay discard-only. */
+#define PDMP3_PROFILE_CRC 64u
 void pdmp3_set_profile(pdmp3_handle *id, unsigned flags);
 unsigned pdmp3_get_profile(const pdmp3_handle *id);
 

@@ -88,6 +88,7 @@ int FrameParser::read_header() {
     h = ((h << 8) & 0xFFFFFF00u) | nb;
   }
   int ver = (h >> 19) & 3;  // 0 = MPEG-2.5, 1 = reserved, 2 = 2, 3 = 1
+  hdr.raw16 = (uint16_t)(h & 0xFFFF);  // CRC-protected header half
   hdr.id = (h >> 19) & 1;
   hdr.layer = (h >> 17) & 3;
   hdr.protection_bit = (h >> 16) & 1;
@@ -1497,9 +1498,24 @@ int FrameParser::parse_frame_l12(pdmp3_granules *g) {
   return PDMP3_OK;
 }
 
+static uint16_t crc16_mpeg(const uint8_t *data, size_t n,
+                           uint16_t crc = 0xFFFF) {
+  // ISO 11172-3 §2.4.3.1: poly 0x8005 MSB-first, init 0xFFFF (law
+  // validated against libavcodec's AV_EF_CRCCHECK, tests/test_crc.py)
+  for (size_t i = 0; i < n; i++) {
+    crc = (uint16_t)(crc ^ ((uint16_t)data[i] << 8));
+    for (int k = 0; k < 8; k++)
+      crc = (uint16_t)((crc & 0x8000) ? (crc << 1) ^ 0x8005 : crc << 1);
+  }
+  return crc;
+}
+
 int FrameParser::parse_frame(pdmp3_granules *g,
                              int16_t *const (*wire_dst)[2]) {
-  // Read_Frame (pdmp3.c:1217-1244); caller rolls back on non-OK
+  // Read_Frame (pdmp3.c:1217-1244); caller rolls back on non-OK.  The
+  // loop restarts at the next header when PDMP3_PROFILE_CRC skips a
+  // corrupt frame (bounded by the frames the 16 KiB ring holds).
+restart:
   int r;
   PDMP3_TSC(pdmp3_cyc_header, r = search_header());
   if (r != PDMP3_OK) return r == PDMP3_ERR ? PDMP3_ERR : r;
@@ -1510,11 +1526,14 @@ int FrameParser::parse_frame(pdmp3_granules *g,
     if (r != PDMP3_OK) return r;
     hdr.free_size = (int)free_size;
   }
+  int32_t crc_read = -1;
   if (hdr.protection_bit == 0) {
-    // CRC read and discarded; EOF silently ignored (Read_CRC returns
-    // FALSE==PDMP3_OK on EOF, pdmp3.c:1206-1210)
-    in.get_byte();
-    in.get_byte();
+    // CRC read and (by default) discarded; EOF silently ignored
+    // (Read_CRC returns FALSE==PDMP3_OK on EOF, pdmp3.c:1206-1210)
+    uint32_t c1 = in.get_byte();
+    uint32_t c2 = in.get_byte();
+    if (crc_enabled() && c1 != kEof && c2 != kEof)
+      crc_read = (int32_t)((c1 << 8) | c2);
   }
   if (hdr.layer != 3) {
     if (l12_enabled() && (hdr.layer == 1 || hdr.layer == 2))
@@ -1539,6 +1558,22 @@ int FrameParser::parse_frame(pdmp3_granules *g,
     std::memset(g->ix[1], 0, sizeof g->ix[1]);
   PDMP3_TSC(pdmp3_cyc_sideinfo, r = read_side_info());
   if (r != PDMP3_OK) return PDMP3_ERR;
+  if (crc_read >= 0) {
+    int size = hdr.family ? (hdr.nch() == 1 ? 9 : 17)
+                          : (hdr.nch() == 1 ? 17 : 32);
+    uint8_t h2[2] = {(uint8_t)(hdr.raw16 >> 8), (uint8_t)hdr.raw16};
+    uint16_t crc = crc16_mpeg(side.bytes, (size_t)size,
+                              crc16_mpeg(h2, 2));
+    if ((int32_t)crc != crc_read) {
+      // skip the corrupt frame whole: its main data never enters the
+      // reservoir; a following frame reaching back takes the standard
+      // underflow NEED_MORE path (pdmp3.c:1101-1110 semantics)
+      long skip = hdr.frame_size() - 4 - 2 - size;
+      for (long i = 0; i < skip; i++)
+        if (in.get_byte() == kEof) return PDMP3_NEED_MORE;
+      goto restart;
+    }
+  }
   r = read_main(g, wire_dst);
   if (r != PDMP3_OK) return r;
   // fill granule tensor metadata

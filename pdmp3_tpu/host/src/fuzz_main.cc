@@ -61,11 +61,12 @@ static void run_streaming(const uint8_t *data, size_t size, Rng &r) {
   pdmp3_handle *h = pdmp3_new(nullptr, nullptr);
   if (!h) return;
   pdmp3_open_feed(h);
-  // all 64 profile combinations: COUNT1B_SPEC, SPEC_INTENSITY, LSF
+  // all 128 profile combinations: COUNT1B_SPEC, SPEC_INTENSITY, LSF
   // (11-bit sync + one-granule parse), FREE_FORMAT (sync-spacing
   // measurement), ID3 (incremental tag skip + ring-wrap normalization),
-  // L12 (Layer I/II bit-allocation parse + host requantize)
-  pdmp3_set_profile(h, (unsigned)(r.next() & 63));
+  // L12 (Layer I/II bit-allocation parse + host requantize), CRC
+  // (ISO CRC-16 verify + whole-frame skip)
+  pdmp3_set_profile(h, (unsigned)(r.next() & 127));
   unsigned char out[16384];
   size_t done = 0, pos = 0;
   int guard = 0;

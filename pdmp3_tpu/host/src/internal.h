@@ -242,6 +242,9 @@ struct FrameHeader {
   // 0 = MPEG-1, 1 = MPEG-2, 2 = MPEG-2.5 (families 1/2 reachable only
   // behind PDMP3_PROFILE_LSF; the reference rejects id==0, pdmp3.c:1295)
   int family = 0;
+  // header bits 16-31 verbatim — the CRC-protected half (11172-3
+  // §2.4.3.1); consumed only behind PDMP3_PROFILE_CRC
+  uint16_t raw16 = 0;
   // measured free-format frame size excl. padding (bitrate_index == 0,
   // reachable only behind PDMP3_PROFILE_FREE_FORMAT)
   int free_size = 0;
@@ -324,6 +327,7 @@ struct FrameParser {
   }
   bool id3_enabled() const { return (profile & PDMP3_PROFILE_ID3) != 0; }
   bool l12_enabled() const { return (profile & PDMP3_PROFILE_L12) != 0; }
+  bool crc_enabled() const { return (profile & PDMP3_PROFILE_CRC) != 0; }
   // unskipped ID3v2 tag bytes (can exceed the ring); see skip_id3()
   unsigned id3_remaining = 0;
   void skip_id3();

@@ -596,3 +596,17 @@ def l12_bound(mode: int, mode_extension: int, sblimit: int) -> int:
     if mode != 1:
         return sblimit
     return min((mode_extension + 1) * 4, sblimit)
+
+
+def crc16_mpeg(data: bytes, crc: int = 0xFFFF) -> int:
+    """ISO 11172-3 §2.4.3.1 CRC-16: poly 0x8005 MSB-first, init 0xFFFF,
+    computed over header bytes 2-3 + the protected audio-data bytes
+    (Layer III: the whole side info).  The reference reads and DISCARDS
+    the CRC bytes (pdmp3.c:1206-1210); this law is validated against
+    libavcodec's AV_EF_CRCCHECK in tests/test_crc.py."""
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) \
+                & 0xFFFF
+    return crc

@@ -583,10 +583,17 @@ def assemble_stream(frames: list[FrameSpec], *, rng: random.Random,
     S = 0
     for i, fs in enumerate(frames):
         begin = S - positions[i]
-        out += build_header(fs)
+        hdr = build_header(fs)
+        side = build_side_info(fs, begin, p23s[i])
+        out += hdr
         if fs.protection:
-            out += bytes([rng.randrange(256), rng.randrange(256)])
-        out += build_side_info(fs, begin, p23s[i])
+            # real ISO CRC-16 over header bits 16-31 + side info
+            # (11172-3 §2.4.3.1; law pinned against libavcodec's
+            # AV_EF_CRCCHECK in tests/test_crc.py).  The reference
+            # discards these bytes unchecked (pdmp3.c:1206-1210), so
+            # valid CRCs are reference-parity-neutral.
+            out += T.crc16_mpeg(hdr[2:4] + side).to_bytes(2, "big")
+        out += side
         out += M[S:S + caps[i]]
         S += caps[i]
     return bytes(out)

@@ -1,9 +1,11 @@
 /* External golden oracle: decode an MPEG audio file (Layer I/II/III,
  * MPEG-1/2/2.5) to raw PCM via the system libavcodec.
  *
- * Usage: av_oracle <in.mp3> <out.raw> [mp1|mp2|mp3]
+ * Usage: av_oracle <in.mp3> <out.raw> [mp1|mp2|mp3] [crccheck]
  * Writes interleaved float32 PCM; prints "rate channels layer nframes"
- * on stdout.
+ * on stdout.  The optional 4th arg enables AV_EF_CRCCHECK|AV_EF_EXPLODE
+ * so frames failing the ISO CRC-16 are dropped — the external anchor
+ * for the framework's PDMP3_PROFILE_CRC verification law.
  *
  * This is test tooling only (it links the distro's libavcodec 59); the
  * decoder framework itself has no FFmpeg dependency.  It exists because
@@ -42,7 +44,10 @@ int main(int argc, char **argv) {
   AVCodecParserContext *parser = av_parser_init(codec->id);
   if (!parser) die("no parser");
   AVCodecContext *ctx = avcodec_alloc_context3(codec);
-  if (!ctx || avcodec_open2(ctx, codec, NULL) < 0) die("open failed");
+  if (!ctx) die("alloc failed");
+  if (argc > 4 && !strcmp(argv[4], "crccheck"))
+    ctx->err_recognition = AV_EF_CRCCHECK | AV_EF_EXPLODE;
+  if (avcodec_open2(ctx, codec, NULL) < 0) die("open failed");
 
   FILE *fin = fopen(argv[1], "rb");
   if (!fin) die("cannot open input");
