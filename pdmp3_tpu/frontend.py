@@ -873,13 +873,17 @@ class Frontend:
     # §2.4.1.5-6, §2.4.2.1-2 and 13818-3 table B.1 for LSF Layer II;
     # the reference rejects layer != 3, pdmp3.c:1240/1312) ----
 
-    def _read_frame_l12(self) -> tuple[int, "FrameData | None"]:
+    def _read_frame_l12(self, crc_read: int = -1
+                        ) -> tuple[int, "FrameData | None"]:
         """Parse + requantize one Layer I/II frame into sb_samples.
 
         Layer I/II carry no bit reservoir: the frame's sample data sits
         between this header and the next, so it is consumed here in one
         bounded read.  EOF mid-frame returns NEED_MORE (the caller rolls
-        the input cursor back, restoring the header bytes)."""
+        the input cursor back, restoring the header bytes).
+        crc_read >= 0 (crc_check mode): verify before parsing; a
+        failing frame's body is already consumed, so decoding simply
+        restarts at the next header."""
         h = self.header
         nbytes = h.frame_size() - 4 - (2 if h.protection_bit == 0 else 0)
         if nbytes <= 0:
@@ -890,6 +894,23 @@ class Frontend:
             if v == C_EOF:
                 return T.NEED_MORE, None
             data[i] = v
+        if crc_read >= 0:
+            if h.layer == 1:
+                widths, bound = [4] * 32, 0   # bound unused for Layer I
+            else:
+                table = T.l2_alloc_table(h.bitrate_index,
+                                         h.sampling_frequency, h.nch,
+                                         h.family)
+                widths = [t[0] for t in table]
+                bound = T.l12_bound(h.mode, h.mode_extension, len(table))
+            nbits = T.l12_protected_bits(h.layer, h.nch, bound, widths,
+                                         bytes(data))
+            crc = T.crc16_mpeg_bits(
+                bytes(data), nbits,
+                T.crc16_mpeg(bytes([(self._hdr_raw16 >> 8) & 0xFF,
+                                    self._hdr_raw16 & 0xFF])))
+            if crc != crc_read:
+                return self.read_frame()
         br = _BitReader(bytes(data))
         sb = self._parse_l1(br) if h.layer == 1 else self._parse_l2(br)
         if sb is None or br.overflow:
@@ -1044,7 +1065,7 @@ class Frontend:
                 crc_read = (c1 << 8) | c2
         if self.header.layer != 3:
             if self.layers12 and self.header.layer in (1, 2):
-                return self._read_frame_l12()
+                return self._read_frame_l12(crc_read)
             return T.ERR, None
         res = self._read_side_info()
         if res != T.OK:

@@ -1471,7 +1471,60 @@ int parse_l2(const FrameHeader &h, L12BitReader &br, pdmp3_granules *g) {
 
 }  // namespace
 
-int FrameParser::parse_frame_l12(pdmp3_granules *g) {
+static uint16_t crc16_mpeg(const uint8_t *data, size_t n, uint16_t crc);
+
+static uint16_t crc16_mpeg_bits(const uint8_t *data, long nbits,
+                                uint16_t crc) {
+  // crc16_mpeg over the first nbits bits (MSB-first) — Layer I/II
+  // protected regions are not byte-aligned in general
+  long nbytes = nbits >> 3, rem = nbits & 7;
+  crc = crc16_mpeg(data, (size_t)nbytes, crc);
+  for (int i = 0; i < rem; i++) {
+    unsigned bit = (data[nbytes] >> (7 - i)) & 1;
+    crc = (uint16_t)((((crc >> 15) & 1) ^ bit) ? (crc << 1) ^ 0x8005
+                                               : crc << 1);
+  }
+  return crc;
+}
+
+static long l12_protected_bits(const FrameHeader &h, const uint8_t *body,
+                               long nbytes) {
+  // tables.l12_protected_bits: Layer I = FIXED 4*32*nch bits (ISO's
+  // fixed-length definition; libavcodec-pinned — NOT the bound-aware
+  // allocation extent); Layer II = bit allocation + scfsi, pre-scanned
+  long end = 8 * nbytes;
+  if (h.layer == 1) {
+    long n = 4 * 32 * h.nch();
+    return n < end ? n : end;
+  }
+  int tsel = l2_table_index(h);
+  int sblimit = kL2Sblimit[tsel];
+  int bound = l12_bound(h.mode, h.mode_extension, sblimit);
+  int nch = h.nch();
+  long pos = 0, nz = 0;
+  auto get = [&](unsigned n) -> unsigned {
+    unsigned v = 0;
+    for (unsigned i = 0; i < n; i++) {
+      v <<= 1;
+      if (pos < end) v |= (unsigned)((body[pos >> 3] >> (7 - (pos & 7))) & 1);
+      pos++;
+    }
+    return v;
+  };
+  for (int sb = 0; sb < sblimit; sb++) {
+    unsigned nbal = (unsigned)kL2Nbal[tsel][sb];
+    if (sb < bound) {
+      for (int ch = 0; ch < nch; ch++)
+        if (get(nbal)) nz++;
+    } else if (get(nbal)) {
+      nz += nch;
+    }
+  }
+  long n = pos + 2 * nz;
+  return n < end ? n : end;
+}
+
+int FrameParser::parse_frame_l12(pdmp3_granules *g, int32_t crc_read) {
   // frontend._read_frame_l12: the frame body (no bit reservoir in
   // Layers I/II) is consumed in one bounded read; short input returns
   // NEED_MORE and the CALLER rolls the input cursor back (pdmp3_read /
@@ -1482,6 +1535,14 @@ int FrameParser::parse_frame_l12(pdmp3_granules *g) {
   uint8_t body[2000 + 8];
   in.get_bytes(body, (unsigned)nbytes);
   std::memset(body + nbytes, 0, 8);  // window-load padding
+  if (crc_read >= 0) {
+    uint8_t h2[2] = {(uint8_t)(hdr.raw16 >> 8), (uint8_t)hdr.raw16};
+    uint16_t crc = crc16_mpeg_bits(body, l12_protected_bits(hdr, body,
+                                                            nbytes),
+                                   crc16_mpeg(h2, 2, 0xFFFF));
+    // body already consumed: the caller restarts at the next header
+    if ((int32_t)crc != crc_read) return kCrcSkip;
+  }
   L12BitReader br(body, (unsigned)nbytes);
   int nparts = hdr.layer == 1 ? 12 : 36;
   std::memset(g->sb_samples[0], 0, (size_t)nparts * 32 * sizeof(float));
@@ -1536,8 +1597,11 @@ restart:
       crc_read = (int32_t)((c1 << 8) | c2);
   }
   if (hdr.layer != 3) {
-    if (l12_enabled() && (hdr.layer == 1 || hdr.layer == 2))
-      return parse_frame_l12(g);
+    if (l12_enabled() && (hdr.layer == 1 || hdr.layer == 2)) {
+      r = parse_frame_l12(g, crc_read);
+      if (r == kCrcSkip) goto restart;  // corrupt body already consumed
+      return r;
+    }
     return PDMP3_ERR;
   }
   g->layer = 3;

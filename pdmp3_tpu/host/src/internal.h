@@ -96,6 +96,10 @@ inline int layout_id(int sfreq, int win_switch, int block_type, int mixed) {
 
 constexpr unsigned kInbufSize = 4 * 4096;
 constexpr uint32_t kEof = 0xFFFFFFFFu;
+// internal parse_frame_l12 -> parse_frame signal: CRC mismatch, frame
+// body already consumed — restart at the next header (never escapes
+// the parser; distinct from every PDMP3_* status)
+constexpr int kCrcSkip = -100;
 
 // ---- input ring buffer (semantics: pdmp3.c:1062-1086, 2391-2423) ----
 struct InRing {
@@ -356,8 +360,10 @@ struct FrameParser {
                   int16_t *const (*wire_dst)[2] = nullptr);
   // Layer I/II (PDMP3_PROFILE_L12): bit-parse + requantize one frame's
   // subband samples into g->sb_samples (beyond-reference; mirrors
-  // frontend._read_frame_l12 / _parse_l1 / _parse_l2 bitwise)
-  int parse_frame_l12(pdmp3_granules *g);
+  // frontend._read_frame_l12 / _parse_l1 / _parse_l2 bitwise).
+  // crc_read >= 0 (PDMP3_PROFILE_CRC): verify before parsing; kCrcSkip
+  // on mismatch (body consumed, caller restarts)
+  int parse_frame_l12(pdmp3_granules *g, int32_t crc_read = -1);
 };
 
 // Clear-text per-stage debug dumps for the NATIVE path (equivalent of

@@ -610,3 +610,58 @@ def crc16_mpeg(data: bytes, crc: int = 0xFFFF) -> int:
             crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) \
                 & 0xFFFF
     return crc
+
+
+def crc16_mpeg_bits(data: bytes, nbits: int, crc: int = 0xFFFF) -> int:
+    """crc16_mpeg over the first ``nbits`` bits of ``data`` (MSB-first).
+
+    Layer I/II protected regions (allocation + Layer II scfsi) are not
+    byte-aligned in general — the CRC runs over exact bits."""
+    nbytes, rem = nbits >> 3, nbits & 7
+    crc = crc16_mpeg(data[:nbytes], crc)
+    if rem:
+        b = data[nbytes]
+        for i in range(7, 7 - rem, -1):
+            bit = (b >> i) & 1
+            if ((crc >> 15) & 1) ^ bit:
+                crc = ((crc << 1) ^ 0x8005) & 0xFFFF
+            else:
+                crc = (crc << 1) & 0xFFFF
+    return crc
+
+
+def l12_protected_bits(layer: int, nch: int, bound: int,
+                       alloc_widths, body: bytes) -> int:
+    """Bit extent of the CRC-protected region of a Layer I/II frame
+    body (11172-3 §2.4.3.1).  Layer I: FIXED 128/256 bits (4·32·nch) —
+    for joint stereo that runs past the actual allocation into the
+    scalefactor bits, but it is what both the standard's fixed-length
+    definition and libavcodec's checker use (pinned empirically:
+    ffmpeg rejects the bound-aware 4·(bound·2+(32-bound)) extent).
+    Layer II: dynamic — bit allocation + scfsi, whose presence depends
+    on the allocation values, so those fields are pre-scanned here.
+    ``alloc_widths`` lists nbal per subband (len == sblimit)."""
+    if layer == 1:
+        return min(4 * 32 * nch, 8 * len(body))
+    pos = 0
+    nz = 0
+    end = 8 * len(body)
+
+    def get(n):
+        nonlocal pos
+        v = 0
+        for _ in range(n):
+            if pos < end:               # truncated body: read zeros
+                v = (v << 1) | ((body[pos >> 3] >> (7 - (pos & 7))) & 1)
+            else:
+                v <<= 1
+            pos += 1
+        return v
+
+    for sb, nbal in enumerate(alloc_widths):
+        if sb < bound:
+            for _ in range(nch):
+                nz += 1 if get(nbal) else 0
+        else:
+            nz += nch if get(nbal) else 0
+    return min(pos + 2 * nz, end)

@@ -706,8 +706,13 @@ def _l12_nsf(scfsi: int) -> int:
 def make_l12_frame(rng: random.Random, *, layer: int, bitrate_index: int,
                    sfreq: int, mode: int, mode_extension: int,
                    family: int = 0, padding: int = 0,
-                   alloc_bias: int = 2) -> bytes:
-    """Build one random-but-valid Layer I/II frame (no CRC).
+                   alloc_bias: int = 2, protection: bool = False) -> bytes:
+    """Build one random-but-valid Layer I/II frame.
+
+    protection=True inserts a valid ISO CRC-16 (bit-granular protected
+    region: Layer I = allocation, Layer II = allocation + scfsi —
+    11172-3 §2.4.3.1; law validated against libavcodec in
+    tests/test_crc.py).
 
     Allocations are drawn with a small-index bias then decremented at
     random until the frame's bit budget fits; the remainder is zero
@@ -732,7 +737,7 @@ def make_l12_frame(rng: random.Random, *, layer: int, bitrate_index: int,
         sblimit = len(table)
         bound = T.l12_bound(mode, mode_extension, sblimit)
         nbal_of = [t[0] for t in table]
-    budget = (frame_size - 4) * 8
+    budget = (frame_size - 4 - (2 if protection else 0)) * 8
 
     alloc = np.zeros((2, 32), np.int64)
     for sb in range(sblimit):
@@ -783,13 +788,18 @@ def make_l12_frame(rng: random.Random, *, layer: int, bitrate_index: int,
 
     bw = BitWriter()
     ver = (3, 2, 0)[family]
-    hdr = (0x7FF << 21) | (ver << 19) | ((4 - layer) << 17) | (1 << 16) \
+    hdr = (0x7FF << 21) | (ver << 19) | ((4 - layer) << 17) \
+        | ((0 if protection else 1) << 16) \
         | (bitrate_index << 12) | (sfreq << 10) | (padding << 9) \
         | (mode << 6) | (mode_extension << 4)
-    bw.put(hdr, 32)
+    hdr_bytes = hdr.to_bytes(4, "big")
     for sb in range(sblimit):
         for ch in range(nch if sb < bound else 1):
             bw.put(int(alloc[ch][sb]), nbal_of[sb])
+    # Layer I: FIXED 128/256-bit protected region (4*32*nch) — ISO's
+    # fixed-length definition and ffmpeg's checker, NOT the bound-aware
+    # allocation extent (tables.l12_protected_bits)
+    protected_nbits = 4 * 32 * nch
     if layer == 1:
         for sb in range(sblimit):
             for ch in range(nch):
@@ -808,6 +818,7 @@ def make_l12_frame(rng: random.Random, *, layer: int, bitrate_index: int,
             for ch in range(nch):
                 if alloc[ch][sb]:
                     bw.put(int(scfsi[ch][sb]), 2)
+        protected_nbits = bw.nbits()   # Layer II: allocation + scfsi
         for sb in range(sblimit):
             for ch in range(nch):
                 if alloc[ch][sb]:
@@ -827,14 +838,21 @@ def make_l12_frame(rng: random.Random, *, layer: int, bitrate_index: int,
                         for _ in range(3):
                             bw.put(rng.randrange(steps), cb)
     body = bw.to_bytes()
-    assert len(body) <= frame_size, (len(body), frame_size)
-    return bytes(body) + b"\x00" * (frame_size - len(body))
+    out = bytearray(hdr_bytes)
+    if protection:
+        pad_body = body + b"\x00" * (frame_size - 6 - len(body))
+        crc = T.crc16_mpeg_bits(pad_body, protected_nbits,
+                                T.crc16_mpeg(hdr_bytes[2:4]))
+        out += crc.to_bytes(2, "big")
+    out += body
+    assert len(out) <= frame_size, (len(out), frame_size)
+    return bytes(out) + b"\x00" * (frame_size - len(out))
 
 
 def make_l12_stream(*, layer: int = 2, n_frames: int = 12, seed: int = 0,
                     sfreq: int = 0, bitrate_index: int = 12, mode: int = 0,
                     mode_extension: int = 0, family: int = 0,
-                    alloc_bias: int = 2) -> bytes:
+                    alloc_bias: int = 2, protection: bool = False) -> bytes:
     """Concatenate independent Layer I/II frames (no reservoir exists
     in Layers I/II, so frames are self-contained)."""
     rng = random.Random(seed)
@@ -842,7 +860,7 @@ def make_l12_stream(*, layer: int = 2, n_frames: int = 12, seed: int = 0,
         make_l12_frame(rng, layer=layer, bitrate_index=bitrate_index,
                        sfreq=sfreq, mode=mode,
                        mode_extension=mode_extension, family=family,
-                       alloc_bias=alloc_bias)
+                       alloc_bias=alloc_bias, protection=protection)
         for _ in range(n_frames))
 
 

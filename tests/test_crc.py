@@ -174,3 +174,52 @@ def test_lsf_protected_stream(protected):
     py = decode_file(bad, lsf=True, crc_check=True)
     assert nat == py
     assert len(nat) < len(native_decode_file(bad, profile=PROFILE_LSF))
+
+
+# ---------------------------------------------------------------------------
+# Layer I/II (bit-granular protected regions)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(ensure_av_oracle() is None,
+                    reason="libavcodec unavailable")
+@pytest.mark.parametrize("layer,codec", [(1, "mp1"), (2, "mp2")])
+@pytest.mark.parametrize("kw", [dict(), dict(mode=3),
+                                dict(mode=1, mode_extension=1)],
+                         ids=["stereo", "mono", "joint"])
+def test_l12_writer_law_vs_libavcodec(layer, codec, kw):
+    """Layer I: FIXED 128/256-bit protected region (the bound-aware
+    extent is REJECTED by ffmpeg for joint stereo — this parametrization
+    pins that); Layer II: dynamic allocation + scfsi extent."""
+    s = mp3gen.make_l12_stream(layer=layer, n_frames=8, seed=53,
+                               protection=True, **kw)
+
+    def av_frames(stream):
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "a.bin")
+            open(p, "wb").write(stream)
+            r = subprocess.run(
+                [ensure_av_oracle(), p, os.path.join(d, "o"), codec,
+                 "crccheck"], capture_output=True, text=True, check=True)
+            return int(r.stdout.split()[-1])
+
+    assert av_frames(s) == 8
+    bad = bytearray(s)
+    bad[len(s) // 8 * 3 + 6] ^= 0x55     # an allocation byte of frame 3
+    assert av_frames(bytes(bad)) < 8
+
+
+@pytest.mark.parametrize("layer", [1, 2])
+def test_l12_crc_skip(layer):
+    from pdmp3_tpu.host import PROFILE_L12
+    s = mp3gen.make_l12_stream(layer=layer, n_frames=10, seed=54,
+                               protection=True, mode=1, mode_extension=1)
+    prof = PROFILE_L12 | PROFILE_CRC
+    assert native_decode_file(s, profile=prof) == \
+        native_decode_file(s, profile=PROFILE_L12)
+    fsz = len(s) // 10
+    bad = bytearray(s)
+    bad[4 * fsz + 7] ^= 0x55
+    bad = bytes(bad)
+    nat = native_decode_file(bad, profile=prof)
+    assert nat == decode_file(bad, layers12=True, crc_check=True)
+    assert len(nat) < len(native_decode_file(bad, profile=PROFILE_L12))
