@@ -617,12 +617,55 @@ class L12StreamDecoder:
 
 def decode_files_batched(files: list[bytes], n_slots: int | None = None,
                          exact: bool = False, chunk: int = 4096,
-                         family: int = 0, layer: int = 3) -> list[bytes]:
+                         family: int = 0, layer: int = 3,
+                         gapless: bool = False,
+                         window: tuple | None = None) -> list[bytes]:
     """Offline batched decode (BASELINE.json configs[3]): round-robin the
     files over slots, stepping all streams in lockstep on the TPU.
     family 1/2 decodes an MPEG-2 / MPEG-2.5 (LSF) corpus through the
     per-family pool; layer 1/2 decodes a Layer I/II corpus through the
-    per-layer pool (beyond-reference)."""
+    per-layer pool (beyond-reference).
+
+    gapless=True applies each file's LAME delay/padding trim (exact
+    track length, metadata.decode_file_gapless semantics); window=
+    (start_s, duration_s) decodes only that window of every file,
+    bit-exact vs the same window of its full decode (metadata.plan_seek
+    preroll per file).  Both are Layer III options.
+    """
+    trims = None
+    if gapless or window is not None:
+        assert layer == 3, "gapless/window are Layer III options"
+        assert not (gapless and window), "pick one of gapless / window"
+        from ..metadata import (_primer_frames, build_frame_index,
+                                gapless_bounds, parse_header, plan_seek)
+        trims, payloads = [], []
+        for data in files:
+            idx = build_frame_index(bytes(data))
+            info = idx.info
+            if window is not None:
+                plan = plan_seek(bytes(data), window[0],
+                                 None if len(window) < 2 else window[1],
+                                 index=idx)
+                if plan is None:
+                    payloads.append(b"")
+                    trims.append((0, 0, 2 * info.channels))
+                    continue
+                payloads.append(plan.payload)
+                trims.append((plan.drop_samples, plan.take_samples,
+                              2 * info.channels))
+            else:
+                skip, keep = gapless_bounds(info)
+                tail = b""
+                if keep is not None:
+                    h0 = parse_header(bytes(data), info.first_audio_offset)
+                    if h0 is not None:
+                        tail = _primer_frames(h0)[0]
+                        while len(tail) < 2 * 1152:
+                            tail += tail
+                payloads.append(bytes(data[info.first_audio_offset:])
+                                + tail)
+                trims.append((skip, keep, 2 * info.channels))
+        files = payloads
     n = n_slots or len(files)
     out: list[list[bytes]] = [[] for _ in files]
     for base in range(0, len(files), n):
@@ -654,4 +697,11 @@ def decode_files_batched(files: list[bytes], n_slots: int | None = None,
                         out[base + s].append(p[:, 0].tobytes())
                     else:
                         out[base + s].append(p.tobytes())
-    return [b"".join(chunks) for chunks in out]
+    pcms = [b"".join(chunks) for chunks in out]
+    if trims is not None:
+        for i, (drop, take, fb) in enumerate(trims):
+            pcm = pcms[i][drop * fb:]
+            if take is not None:
+                pcm = pcm[:take * fb]
+            pcms[i] = pcm
+    return pcms

@@ -309,3 +309,28 @@ def test_cli_gapless(tmp_path):
     assert main(["--gapless", "-o", str(out), str(p)]) == 0
     want = (n * 1152 - 576 - 1152) * 4
     assert out.stat().st_size == want
+
+
+def test_parser_mutation_robustness():
+    """parse_stream_info / build_frame_index / plan_seek never raise on
+    mutated tag frames or truncations — they degrade to defaults (the
+    metadata plane must survive hostile files; 400 seeded mutations)."""
+    import random
+    rng = random.Random(99)
+    base, _ = mp3gen.make_tagged_stream(n_frames=10, seed=22,
+                                        id3_bytes=64)
+    vbri, _ = mp3gen.make_tagged_stream(n_frames=8, seed=23, tag="vbri")
+    for src in (base, vbri):
+        for _ in range(200):
+            b = bytearray(src)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            cut = rng.randrange(len(b) + 1)
+            data = bytes(b[:cut])
+            info = M.parse_stream_info(data)
+            if info is None:
+                continue
+            idx = M.build_frame_index(data, info)
+            idx.toc_byte_for_time(1.0, len(data))
+            if idx.n_frames:
+                M.plan_seek(data, 0.05, 0.1, index=idx)

@@ -251,3 +251,26 @@ def test_pool_join_family_mismatch_asserts():
     dec = StreamDecoder(1, exact=True)
     with pytest.raises(AssertionError):
         dec.join(0, s, 0.0)
+
+
+def test_batched_gapless_and_window():
+    """decode_files_batched(gapless=) / (window=): each file trimmed /
+    windowed bit-exact vs its single-file metadata decode."""
+    from pdmp3_tpu import metadata as M
+    tagged = [mp3gen.make_tagged_stream(n_frames=10, seed=s,
+                                        encoder_delay=576,
+                                        encoder_padding=1152)[0]
+              for s in (86, 87)]
+    plain = mp3gen.make_stream(n_frames=12, seed=88, use_reservoir=True)
+    files = tagged + [plain]
+
+    from pdmp3_tpu.runtime import decode_files_batched
+    got = decode_files_batched(files, exact=True, gapless=True)
+    for i, f in enumerate(files):
+        want, _ = M.decode_file_gapless(f)
+        assert got[i] == want, f"gapless file {i}"
+
+    got = decode_files_batched(files, exact=True, window=(0.1, 0.08))
+    for i, f in enumerate(files):
+        want, _ = M.decode_file_seek(f, 0.1, 0.08)
+        assert got[i] == want, f"window file {i}"
