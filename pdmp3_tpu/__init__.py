@@ -14,14 +14,14 @@ Rebuild of the capabilities of technosaurus/PDMP3 designed TPU-first:
 from . import tables
 from .api import PDMP3, decode_file
 from .frontend import Frontend
-from .metadata import (FrameIndex, StreamInfo, build_frame_index,
+from .metadata import (FrameIndex, StreamInfo, TagInfo, build_frame_index,
                        decode_file_gapless, decode_file_seek,
-                       parse_stream_info)
+                       parse_stream_info, parse_tags)
 from .oracle import OracleDSP
 
 __version__ = "0.1.0"
 
 __all__ = ["tables", "PDMP3", "decode_file", "Frontend", "OracleDSP",
-           "StreamInfo", "FrameIndex", "parse_stream_info",
-           "build_frame_index", "decode_file_seek", "decode_file_gapless",
-           "__version__"]
+           "StreamInfo", "FrameIndex", "TagInfo", "parse_stream_info",
+           "parse_tags", "build_frame_index", "decode_file_seek",
+           "decode_file_gapless", "__version__"]

@@ -22,6 +22,11 @@ the parsed index it provides:
   encoder delay + the 529-sample decoder latency up front and the
   encoder padding at the tail, yielding exactly the track's original
   sample count.
+- :func:`parse_tags` — song metadata from every tag container a real
+  file carries (leading ID3v2.2/2.3/2.4 text frames, trailing
+  ID3v1/v1.1, APEv1/v2, Lyrics3 v1/v2), merged into one
+  :class:`TagInfo` with mpg123_id3()-style fields; trailing-tag bytes
+  are excluded from duration estimates and the frame index.
 
 Layer III only for the VBR headers (Xing/VBRI are Layer III
 conventions); the header walk and duration estimate also handle the
@@ -232,6 +237,10 @@ class StreamInfo:
     # VBRI specifics
     vbri_version: int | None = None
     vbri_delay: int | None = None
+    # container tags (:func:`parse_tags`): bytes of trailing
+    # ID3v1/APEv2/Lyrics3 stack, and the merged song metadata
+    trailing_tag_bytes: int = 0
+    tags: TagInfo | None = None
 
     @property
     def has_gapless_info(self) -> bool:
@@ -257,14 +266,15 @@ class StreamInfo:
         return n / self.sample_rate
 
     def estimate_duration(self, stream_bytes: int) -> float | None:
-        """CBR fallback when no VBR header is present: audio bytes over
-        the nominal byte rate."""
+        """CBR fallback when no VBR header is present: audio bytes
+        (container tags excluded) over the nominal byte rate."""
         if self.duration_seconds is not None:
             return self.duration_seconds
         if not self.nominal_bitrate:
             return None
-        audio = stream_bytes - self.first_audio_offset
-        return 8.0 * audio / self.nominal_bitrate
+        audio = (stream_bytes - self.first_audio_offset
+                 - self.trailing_tag_bytes)
+        return 8.0 * max(audio, 0) / self.nominal_bitrate
 
 
 def _parse_xing(data: bytes, off: int, h: MPEGHeader,
@@ -362,6 +372,7 @@ def parse_stream_info(data: bytes) -> StreamInfo | None:
         samples_per_frame=h.samples_per_frame,
         nominal_bitrate=h.bitrate,
     )
+    info.trailing_tag_bytes, info.tags = parse_tags(data)
     if h.layer == 3 and (_parse_xing(data, off, h, info)
                          or _parse_vbri(data, off, h, info)):
         info.first_audio_offset = off + h.frame_size()
@@ -438,7 +449,9 @@ def build_frame_index(data: bytes, info: StreamInfo | None = None) -> FrameIndex
             raise ValueError("no MPEG frame sync found")
     idx = FrameIndex(info=info)
     off = info.first_audio_offset
-    end = len(data)
+    # trailing container tags are not audio: keep a false sync inside a
+    # tag payload (APE values are arbitrary bytes) out of the index
+    end = len(data) - info.trailing_tag_bytes
     while off + 4 <= end:
         h = parse_header(data, off)
         if h is None or h.layer != info.layer or h.family != info.family \
@@ -647,3 +660,350 @@ def decode_file_gapless(data: bytes, *, decode=None,
     if keep_ is not None:
         pcm = pcm[:keep_ * frame_bytes]
     return pcm, info
+
+
+# ---------------------------------------------------------------------------
+# Container tags: ID3v1, ID3v2 text frames, APEv2, Lyrics3
+# ---------------------------------------------------------------------------
+# The reference decoder has no tag support at all: leading tags hit the
+# sync re-search (/root/reference/pdmp3.c:1322-1340) and trailing tags
+# sit in the ring buffer as junk at EOF.  The decode surfaces here keep
+# exactly that behavior (a tag byte region that happens to contain a
+# chaining false sync decodes the same way the reference would decode
+# it); tags are parsed only on this host-side control plane, like the
+# rest of this module.  The field mapping follows what libmpg123
+# exposes through mpg123_id3() so a reference-API user migrating for
+# metadata finds the same surface.
+
+#: ID3v1 genre names 0..79 (ID3v1 spec appendix A; indices >= 80 are
+#: Winamp extensions and render as "(nnn)").
+ID3V1_GENRES = (
+    "Blues", "Classic Rock", "Country", "Dance", "Disco", "Funk",
+    "Grunge", "Hip-Hop", "Jazz", "Metal", "New Age", "Oldies", "Other",
+    "Pop", "R&B", "Rap", "Reggae", "Rock", "Techno", "Industrial",
+    "Alternative", "Ska", "Death Metal", "Pranks", "Soundtrack",
+    "Euro-Techno", "Ambient", "Trip-Hop", "Vocal", "Jazz+Funk",
+    "Fusion", "Trance", "Classical", "Instrumental", "Acid", "House",
+    "Game", "Sound Clip", "Gospel", "Noise", "AlternRock", "Bass",
+    "Soul", "Punk", "Space", "Meditative", "Instrumental Pop",
+    "Instrumental Rock", "Ethnic", "Gothic", "Darkwave",
+    "Techno-Industrial", "Electronic", "Pop-Folk", "Eurodance",
+    "Dream", "Southern Rock", "Comedy", "Cult", "Gangsta", "Top 40",
+    "Christian Rap", "Pop/Funk", "Jungle", "Native American",
+    "Cabaret", "New Wave", "Psychadelic", "Rave", "Showtunes",
+    "Trailer", "Lo-Fi", "Tribal", "Acid Punk", "Acid Jazz", "Polka",
+    "Retro", "Musical", "Rock & Roll", "Hard Rock",
+)
+
+
+def genre_name(idx: int) -> str:
+    return ID3V1_GENRES[idx] if 0 <= idx < len(ID3V1_GENRES) \
+        else f"({idx})"
+
+
+@dataclass
+class TagInfo:
+    """Merged song metadata from every tag container on the stream.
+
+    Precedence when containers disagree (most expressive wins):
+    ID3v2 > APEv2 > ID3v1; ``sources`` records which were present in
+    the order they were merged (lowest precedence first).
+    """
+    title: str = ""
+    artist: str = ""
+    album: str = ""
+    year: str = ""
+    comment: str = ""
+    track: int | None = None
+    genre: str = ""
+    sources: tuple[str, ...] = ()
+    #: raw ID3v2 frames: id -> decoded text (text/COMM/TXXX frames only)
+    id3v2: dict = field(default_factory=dict)
+    #: raw APEv2 items: key -> UTF-8 text value
+    ape: dict = field(default_factory=dict)
+
+    def _merge_fields(self, **kw) -> None:
+        for k, v in kw.items():
+            if v not in ("", None):
+                setattr(self, k, v)
+
+
+def _latin1z(b: bytes) -> str:
+    return b.split(b"\x00", 1)[0].decode("latin-1").strip()
+
+
+def parse_id3v1(data: bytes) -> TagInfo | None:
+    """The 128-byte "TAG" block at end of file (ID3v1 / v1.1)."""
+    if len(data) < 128 or data[-128:-125] != b"TAG":
+        return None
+    t = data[-128:]
+    tag = TagInfo(sources=("id3v1",))
+    tag.title = _latin1z(t[3:33])
+    tag.artist = _latin1z(t[33:63])
+    tag.album = _latin1z(t[63:93])
+    tag.year = _latin1z(t[93:97])
+    if t[125] == 0 and t[126] != 0:          # ID3v1.1: track in byte 126
+        tag.comment = _latin1z(t[97:125])
+        tag.track = t[126]
+    else:
+        tag.comment = _latin1z(t[97:127])
+    if t[127] != 255:
+        tag.genre = genre_name(t[127])
+    return tag
+
+
+def _parse_apev2(data: bytes, end: int) -> tuple[int, TagInfo] | None:
+    """APEv2 tag ending at ``end``; returns (start_offset, tag).
+
+    Footer = 8B "APETAGEX", u32le version, u32le size (items + footer,
+    excl. header), u32le item count, u32le flags, 8B reserved.  Bit 31
+    of the footer flags says a matching 32-byte header precedes the
+    items.  Items: u32le value size, u32le flags, ASCII key, NUL,
+    value; only UTF-8 text items (flag bits 2:1 == 0) are collected.
+    """
+    f = end - 32
+    if f < 0 or data[f:f + 8] != b"APETAGEX":
+        return None
+    version, size, count, flags = struct.unpack_from("<IIII", data, f + 8)
+    if version not in (1000, 2000) or size < 32 or size > end:
+        return None
+    start = end - size
+    if flags & 0x80000000:                    # header present
+        if start < 32 or data[start - 32:start - 24] != b"APETAGEX":
+            return None
+        start -= 32
+    if start < 0:
+        return None
+    tag = TagInfo(sources=("ape",))
+    pos = end - size                          # first item
+    for _ in range(min(count, 1024)):
+        if pos + 8 > f:
+            break
+        vsize, iflags = struct.unpack_from("<II", data, pos)
+        pos += 8
+        knul = data.find(b"\x00", pos, f)
+        if knul < 0 or knul + 1 + vsize > f:
+            break
+        key = data[pos:knul].decode("latin-1")
+        if (iflags >> 1) & 3 == 0:            # UTF-8 text item
+            try:
+                tag.ape[key] = data[knul + 1:knul + 1 + vsize].decode(
+                    "utf-8").strip("\x00").strip()
+            except UnicodeDecodeError:
+                pass
+        pos = knul + 1 + vsize
+    low = {k.lower(): v for k, v in tag.ape.items()}
+    trk = low.get("track", "").split("/", 1)[0]
+    tag._merge_fields(
+        title=low.get("title", ""), artist=low.get("artist", ""),
+        album=low.get("album", ""), year=low.get("year", ""),
+        comment=low.get("comment", ""), genre=low.get("genre", ""),
+        track=int(trk) if trk.isdigit() else None)
+    return start, tag
+
+
+def _parse_lyrics3(data: bytes, end: int) -> int | None:
+    """Lyrics3 v1/v2 block ending at ``end``; returns its start offset."""
+    sig = data[end - 9:end]
+    if sig == b"LYRICS200":                   # v2: 6-digit size precedes
+        if end < 15:
+            return None
+        szs = data[end - 15:end - 9]
+        if not szs.isdigit():
+            return None
+        start = end - 15 - int(szs)
+        if start < 0 or data[start:start + 11] != b"LYRICSBEGIN":
+            return None
+        return start
+    if sig == b"LYRICSEND":                   # v1: scan back (max 5100)
+        lo = max(end - 9 - 5100, 0)
+        idx = data.rfind(b"LYRICSBEGIN", lo, end - 9)
+        return idx if idx >= 0 else None
+    return None
+
+
+def trailing_tags(data: bytes) -> tuple[int, TagInfo | None]:
+    """Strip every trailing tag stack (APEv2 / Lyrics3 / ID3v1, in any
+    of the layouts taggers emit) off the end of ``data``.
+
+    Returns (tag_bytes, merged TagInfo or None).  ID3v1 merges first
+    (lowest precedence), then APEv2 on top.
+    """
+    end = len(data)
+    id3v1 = ape = None
+    while True:
+        if end >= 128 and data[end - 128:end - 125] == b"TAG":
+            got = parse_id3v1(data[:end])
+            if got is not None:
+                id3v1, end = got, end - 128
+                continue
+        hit = _parse_apev2(data, end)
+        if hit is not None:
+            start, ape_tag = hit
+            ape, end = ape_tag, start
+            continue
+        lyr = _parse_lyrics3(data, end)
+        if lyr is not None:
+            end = lyr
+            continue
+        break
+    tags = None
+    for t in (id3v1, ape):
+        if t is None:
+            continue
+        if tags is None:
+            tags = t
+        else:
+            tags._merge_fields(title=t.title, artist=t.artist,
+                               album=t.album, year=t.year,
+                               comment=t.comment, track=t.track,
+                               genre=t.genre)
+            tags.ape.update(t.ape)
+            tags.sources = tags.sources + t.sources
+    return len(data) - end, tags
+
+
+_ID3V2_TEXT_MAP = {                          # v2.3/v2.4 ids -> TagInfo field
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TYER": "year", "TDRC": "year", "TRCK": "track", "TCON": "genre",
+}
+_ID3V22_IDS = {                              # v2.2 3-char -> v2.3 4-char
+    "TT2": "TIT2", "TP1": "TPE1", "TAL": "TALB", "TYE": "TYER",
+    "TRK": "TRCK", "TCO": "TCON", "COM": "COMM", "TXX": "TXXX",
+}
+_ID3V2_ENCODINGS = ("latin-1", "utf-16", "utf-16-be", "utf-8")
+
+
+def _id3v2_text(payload: bytes) -> str:
+    """Decode an encoding-prefixed ID3v2 text payload."""
+    if not payload:
+        return ""
+    enc = _ID3V2_ENCODINGS[payload[0]] if payload[0] < 4 else "latin-1"
+    try:
+        txt = payload[1:].decode(enc)
+    except UnicodeDecodeError:
+        return ""
+    return txt.split("\x00", 1)[0].strip()
+
+
+def _deunsync(b: bytes) -> bytes:
+    return b.replace(b"\xff\x00", b"\xff")
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def parse_id3v2_frames(data: bytes, off: int = 0) -> TagInfo | None:
+    """Parse the text frames of an ID3v2.2/2.3/2.4 tag at ``off``.
+
+    Only text-bearing frames are collected (T*** text-information
+    frames and COMM comments) — binary frames (APIC art, GEOB, ...) and
+    TXXX user text are skipped structurally.  Unknown flags/compression
+    on a frame skip that frame, never the tag.
+    """
+    if data[off:off + 3] != b"ID3" or off + 10 > len(data):
+        return None
+    major = data[off + 3]
+    if major not in (2, 3, 4) or data[off + 4] == 0xFF:
+        return None
+    flags = data[off + 5]
+    size = _syncsafe(data[off + 6:off + 10])
+    body = bytes(data[off + 10:off + 10 + size])
+    if off + 10 + size > len(data):
+        return None
+    if flags & 0x80 and major < 4:            # whole-tag unsync (2.2/2.3)
+        body = _deunsync(body)
+    if flags & 0x40:                          # extended header
+        if major == 4:
+            ehs = _syncsafe(body[:4]) if len(body) >= 4 else size
+        else:
+            ehs = 4 + struct.unpack_from(">I", body, 0)[0] \
+                if len(body) >= 4 else size
+        body = body[ehs:]
+    tag = TagInfo(sources=(f"id3v2.{major}",))
+    idlen, szlen, fllen = (3, 3, 0) if major == 2 else (4, 4, 2)
+    pos = 0
+    while pos + idlen + szlen + fllen <= len(body):
+        fid = body[pos:pos + idlen]
+        if not fid.strip(b"\x00"):            # padding reached
+            break
+        try:
+            name = fid.decode("latin-1")
+        except UnicodeDecodeError:
+            break
+        if major == 2:
+            fsz = (body[pos + 3] << 16) | (body[pos + 4] << 8) | body[pos + 5]
+            fflags = 0
+            name = _ID3V22_IDS.get(name, name)
+        else:
+            raw = body[pos + 4:pos + 8]
+            fsz = _syncsafe(raw) if major == 4 else \
+                struct.unpack_from(">I", raw)[0]
+            fflags = struct.unpack_from(">H", body, pos + 8)[0]
+        pos += idlen + szlen + fllen
+        payload = body[pos:pos + fsz]
+        pos += fsz
+        if len(payload) < fsz:
+            break
+        if major == 4 and fflags & 0x02:      # per-frame unsync
+            payload = _deunsync(payload)
+        if fflags & (0x00C0 if major == 4 else 0x00C0 << 2):
+            continue                          # compressed/encrypted: skip
+        if name == "COMM" and len(payload) >= 4:
+            # enc byte + 3-char language + description NUL(s) + text;
+            # skip the description honoring the encoding's NUL width
+            enc, rest = payload[0], payload[4:]
+            if enc in (1, 2):                 # UTF-16: 2-byte NUL, even
+                cut = rest.find(b"\x00\x00")  # offsets only
+                while cut > 0 and cut % 2:
+                    cut = rest.find(b"\x00\x00", cut + 1)
+                text = rest[cut + 2:] if cut >= 0 else b""
+            else:
+                cut = rest.find(b"\x00")
+                text = rest[cut + 1:] if cut >= 0 else b""
+            txt = _id3v2_text(bytes([enc]) + text) if cut >= 0 else ""
+            if txt:
+                tag.id3v2.setdefault("COMM", txt)
+                tag.comment = tag.comment or txt
+        elif name.startswith("T") and name != "TXXX":
+            txt = _id3v2_text(payload)
+            if txt:
+                tag.id3v2[name] = txt
+                fieldname = _ID3V2_TEXT_MAP.get(name)
+                if fieldname == "track":
+                    head = txt.split("/", 1)[0]
+                    if head.isdigit():
+                        tag.track = int(head)
+                elif fieldname == "genre":
+                    g = txt
+                    if g.startswith("(") and g.rstrip(")").lstrip(
+                            "(").isdigit():
+                        g = genre_name(int(g.strip("()")))
+                    elif g.isdigit():         # v2.4 numeric-string form
+                        g = genre_name(int(g))
+                    tag.genre = g
+                elif fieldname:
+                    setattr(tag, fieldname, txt)
+    return tag
+
+
+def parse_tags(data: bytes) -> tuple[int, TagInfo | None]:
+    """All tags on a stream: leading ID3v2 + the trailing stack.
+
+    Returns (trailing_tag_bytes, merged TagInfo or None); precedence
+    ID3v2 > APEv2 > ID3v1 per field.
+    """
+    trailing, tags = trailing_tags(data)
+    v2 = parse_id3v2_frames(data) if data[:3] == b"ID3" else None
+    if v2 is not None:
+        if tags is None:
+            tags = v2
+        else:
+            tags._merge_fields(title=v2.title, artist=v2.artist,
+                               album=v2.album, year=v2.year,
+                               comment=v2.comment, track=v2.track,
+                               genre=v2.genre)
+            tags.id3v2.update(v2.id3v2)
+            tags.sources = tags.sources + v2.sources
+    return trailing, tags

@@ -132,18 +132,31 @@ def ensure_av_remux() -> str | None:
     return _MUX_BIN
 
 
-def av_remux(stream: bytes) -> bytes:
+def av_remux(stream: bytes, *, id3v2: int = 0, id3v1: bool = False,
+             metadata: dict | None = None) -> bytes:
     """Remux an MP3 elementary stream through libavformat's mp3 muxer,
     which prepends a production Xing/Info metadata frame — an external
-    tag-*writer* oracle for pdmp3_tpu.metadata's parser."""
+    tag-*writer* oracle for pdmp3_tpu.metadata's parser.
+
+    ``metadata`` key/value pairs are written by libavformat's tag
+    writer as ID3v2.{3,4} text frames (``id3v2``) and/or an ID3v1
+    trailer (``id3v1``) — the anchor for the ID3 field parsers."""
     binpath = ensure_av_remux()
     if binpath is None:
         raise RuntimeError("libavformat unavailable")
+    args = []
+    if id3v2:
+        args += ["--id3v2", str(id3v2)]
+    if id3v1:
+        args += ["--id3v1"]
+    for k, v in (metadata or {}).items():
+        args.append(f"{k}={v}")
     with tempfile.TemporaryDirectory() as d:
         src = os.path.join(d, "in.mp3")
         dst = os.path.join(d, "out.mp3")
         with open(src, "wb") as f:
             f.write(stream)
-        subprocess.run([binpath, src, dst], check=True, capture_output=True)
+        subprocess.run([binpath, src, dst, *args], check=True,
+                       capture_output=True)
         with open(dst, "rb") as f:
             return f.read()
