@@ -203,6 +203,28 @@ def test_frame_index_bounded_by_trailing_tags():
     assert idx.n_frames == 10
 
 
+def test_gapless_and_seek_with_big_trailing_tag():
+    # a >1152-byte tag stack after the last frame must not disturb the
+    # gapless length or the seek contract (tag bytes flush the decoder's
+    # read-gate holdback instead of starving it — both the plain and the
+    # tagged stream stay consistent with their own full decodes)
+    s, _ = mp3gen.make_tagged_stream(n_frames=12, seed=40,
+                                     encoder_delay=576,
+                                     encoder_padding=1152)
+    tail = apev2({"Comment": "x" * 4000}) + id3v1(title=b"t")
+    pcm0, info0 = M.decode_file_gapless(s)
+    pcm1, _ = M.decode_file_gapless(s + tail)
+    assert pcm1 == pcm0
+    assert len(pcm0) == info0.total_samples * 2 * info0.channels
+    info = M.parse_stream_info(s + tail)
+    full = native_decode_file(bytes(s + tail)[info.first_audio_offset:])
+    fb = 2 * info.channels
+    for t0 in (0.1, 0.2):
+        win, _ = M.decode_file_seek(s + tail, t0)
+        a = int(round(t0 * info.sample_rate)) * fb
+        assert full[a:a + len(win)] == win and win
+
+
 def test_trailing_tags_change_no_pcm_byte():
     s = mp3gen.make_stream(n_frames=8, seed=24)
     tail = lyrics3v2() + apev2({"Title": "x"}) + id3v1(title=b"y")
