@@ -948,7 +948,11 @@ def parse_id3v2_frames(data: bytes, off: int = 0) -> TagInfo | None:
             break
         if major == 4 and fflags & 0x02:      # per-frame unsync
             payload = _deunsync(payload)
-        if fflags & (0x00C0 if major == 4 else 0x00C0 << 2):
+        if major == 4 and fflags & 0x01:      # data-length indicator
+            payload = payload[4:]
+        # compression/encryption format flags: v2.4 0x0008|0x0004,
+        # v2.3 0x0080|0x0040 (second flag byte)
+        if fflags & (0x000C if major == 4 else 0x00C0):
             continue                          # compressed/encrypted: skip
         if name == "COMM" and len(payload) >= 4:
             # enc byte + 3-char language + description NUL(s) + text;

@@ -158,6 +158,27 @@ def test_id3v2_unknown_and_binary_frames_skipped():
     assert "APIC" not in t.id3v2
 
 
+def test_id3v2_frame_format_flags():
+    # v2.3 compressed frame (format flag 0x80) skipped, plain one kept
+    fr = (b"TIT2" + struct.pack(">I", 6) + b"\x00\x80" + b"\x00zlib?"
+          + b"TALB" + struct.pack(">I", 3) + b"\x00\x00" + b"\x00LP")
+    body = fr + b"\x00" * 8
+    n = len(body)
+    tag = (b"ID3\x03\x00\x00" + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                                       (n >> 7) & 0x7F, n & 0x7F]) + body)
+    t = M.parse_id3v2_frames(tag)
+    assert "TIT2" not in t.id3v2 and t.album == "LP"
+    # v2.4 data-length indicator (format flag 0x01): 4-byte prefix skipped
+    payload = b"\x00\x00\x00\x05" + b"\x00Len5"
+    fr = b"TIT2" + bytes([0, 0, 0, len(payload)]) + b"\x00\x01" + payload
+    body = fr + b"\x00" * 8
+    n = len(body)
+    tag = (b"ID3\x04\x00\x00" + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                                       (n >> 7) & 0x7F, n & 0x7F]) + body)
+    t = M.parse_id3v2_frames(tag)
+    assert t.title == "Len5"
+
+
 def test_id3v2_truncated_never_raises():
     tag = id3v2([(b"TIT2", b"\x00Full Title")], major=3)
     for cut in range(len(tag)):
