@@ -252,6 +252,32 @@ def test_trailing_tags_change_no_pcm_byte():
     assert native_decode_file(s + tail) == native_decode_file(s)
 
 
+def test_tag_parser_mutation_robustness():
+    """parse_tags never raises on bit-flipped or truncated tag stacks
+    (every container present; 600 seeded mutations) — hostile files
+    degrade to partial/empty tags, like the Xing sweep in
+    test_metadata.py::test_parser_mutation_robustness."""
+    import random
+    rng = random.Random(7)
+    audio = mp3gen.make_stream(n_frames=4, seed=27)
+    src = (id3v2([(b"TIT2", b"\x00T"), (b"TPE1", b"\x01" +
+                                        "P".encode("utf-16")),
+                  (b"COMM", b"\x00engd\x00c")], major=3)
+           + audio + lyrics3v2() + apev2({"Title": "x", "B": b"\xff\x00"})
+           + id3v1(title=b"t", track=3))
+    for _ in range(600):
+        b = bytearray(src)
+        for _ in range(rng.randrange(1, 8)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        cut = rng.randrange(len(b) + 1)
+        data = bytes(b[:cut])
+        n, _tags = M.parse_tags(data)
+        assert 0 <= n <= len(data)
+        info = M.parse_stream_info(data)
+        if info is not None:
+            M.build_frame_index(data, info)
+
+
 # ---------------------------------------------------------------------------
 # external writer oracle (libavformat)
 # ---------------------------------------------------------------------------
