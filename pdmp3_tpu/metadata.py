@@ -717,7 +717,7 @@ class TagInfo:
     track: int | None = None
     genre: str = ""
     sources: tuple[str, ...] = ()
-    #: raw ID3v2 frames: id -> decoded text (text/COMM/TXXX frames only)
+    #: raw ID3v2 frames: id -> decoded text (text/COMM frames only)
     id3v2: dict = field(default_factory=dict)
     #: raw APEv2 items: key -> UTF-8 text value
     ape: dict = field(default_factory=dict)
