@@ -830,7 +830,7 @@ def trailing_tags(data: bytes) -> tuple[int, TagInfo | None]:
     (lowest precedence), then APEv2 on top.
     """
     end = len(data)
-    id3v1 = ape = None
+    id3v1 = ape = v2app = None
     while True:
         if end >= 128 and data[end - 128:end - 125] == b"TAG":
             got = parse_id3v1(data[:end])
@@ -846,9 +846,20 @@ def trailing_tags(data: bytes) -> tuple[int, TagInfo | None]:
         if lyr is not None:
             end = lyr
             continue
+        # ID3v2.4 appended tag: footer "3DI" mirrors the header, so the
+        # tag spans [end - 20 - size, end)
+        if end >= 20 and data[end - 10:end - 7] == b"3DI" \
+                and data[end - 7] == 4:
+            size = _syncsafe(data[end - 4:end])
+            start = end - 20 - size
+            if start >= 0 and data[start:start + 3] == b"ID3":
+                got = parse_id3v2_frames(data, start)
+                if got is not None:
+                    v2app, end = got, start
+                    continue
         break
     tags = None
-    for t in (id3v1, ape):
+    for t in (id3v1, ape, v2app):
         if t is None:
             continue
         if tags is None:
@@ -859,6 +870,7 @@ def trailing_tags(data: bytes) -> tuple[int, TagInfo | None]:
                                comment=t.comment, track=t.track,
                                genre=t.genre)
             tags.ape.update(t.ape)
+            tags.id3v2.update(t.id3v2)
             tags.sources = tags.sources + t.sources
     return len(data) - end, tags
 

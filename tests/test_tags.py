@@ -252,6 +252,21 @@ def test_trailing_tags_change_no_pcm_byte():
     assert native_decode_file(s + tail) == native_decode_file(s)
 
 
+def test_id3v2_4_appended_tag():
+    # v2.4 appended form: header at tag start, "3DI" footer at EOF
+    frames = _frame(b"TIT2", b"\x03Appended", 4)
+    n = len(frames)
+    sz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F,
+                n & 0x7F])
+    tag = (b"ID3\x04\x00\x10" + sz + frames           # flag 0x10: footer
+           + b"3DI\x04\x00\x10" + sz)
+    audio = mp3gen.make_stream(n_frames=4, seed=28)
+    nbytes, t = M.trailing_tags(audio + tag + id3v1(artist=b"V1"))
+    assert nbytes == len(tag) + 128
+    assert t.title == "Appended" and t.artist == "V1"
+    assert "id3v2.4" in t.sources and "TIT2" in t.id3v2
+
+
 def test_tag_parser_mutation_robustness():
     """parse_tags never raises on bit-flipped or truncated tag stacks
     (every container present; 600 seeded mutations) — hostile files
