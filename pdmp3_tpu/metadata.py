@@ -14,10 +14,17 @@ the parsed index it provides:
 - :class:`FrameIndex` — exact per-frame byte offsets by header walk,
   with reservoir-aware preroll for seeking.
 - :func:`decode_file_seek` — decode an arbitrary ``[t0, t1)`` window
-  bit-exactly equal to the same window of a full-file decode (the
-  preroll covers the bit reservoir's 511-byte reach plus one frame of
-  IMDCT-overlap/synthesis-ring warm-up; both converge exactly, see
-  tests/test_metadata.py::test_seek_bit_exact).
+  bit-exactly equal to the same window of a full-file decode.  Three
+  mechanisms make a mid-stream join exact against ANY conforming
+  decoder (including the reference binary): (1) two injection frames
+  that *transmit* the historical persistent-scalefactor arrays (the
+  reference keeps ``g_main_data.scalefac_*`` for the handle's life;
+  silent granules and the sfb21/short-band-12 requantizer overreads
+  read values that can originate arbitrarily far back — found by
+  seeking real LAME VBR streams, tests/test_real_encoder.py); (2) a
+  reservoir primer whose payload ends with the REAL trailing main-data
+  bytes before the join, so every joined frame decodes its true bits;
+  (3) a frame of IMDCT-overlap/synthesis-ring warm-up.
 - :func:`decode_file_gapless` — LAME delay/padding trim: drops the
   encoder delay + the 529-sample decoder latency up front and the
   encoder padding at the tail, yielding exactly the track's original
@@ -473,7 +480,7 @@ def build_frame_index(data: bytes, info: StreamInfo | None = None) -> FrameIndex
     return idx
 
 
-def _primer_frames(h: MPEGHeader) -> tuple[bytes, int]:
+def _primer_frames(h: MPEGHeader, tail: bytes = b"") -> tuple[bytes, int]:
     """Silent Layer III frames that prime the bit reservoir for a
     mid-stream join.
 
@@ -484,8 +491,14 @@ def _primer_frames(h: MPEGHeader) -> tuple[bytes, int]:
     main_data_begin == 0).  Prepending high-bitrate frames with zeroed
     side info (every part2_3_length == 0 → they decode as silence)
     fills main_data_top past the reservoir's maximum reach so every
-    following frame decodes; the preroll then guarantees the *target*
-    frame's reservoir window contains only real stream bytes.
+    following frame decodes.
+
+    ``tail`` places real stream bytes at the END of the last primer's
+    main-data region — exactly where the next frame's
+    ``main_data_begin`` window looks — so a join at frame ``g`` can
+    hand the decoder the true reservoir contents (the trailing
+    main-data bytes of the frames before ``g``) and every frame from
+    ``g`` on decodes its real bits, not zero-padded garbage.
 
     Returns (frames, count) — each primer emits one frame of PCM that
     the caller must drop.
@@ -506,10 +519,182 @@ def _primer_frames(h: MPEGHeader) -> tuple[bytes, int]:
     bi, size = next((i, s) for i, s in sizes.items() if s <= 1152)
     hdr = ((0x7FF << 21) | (ver << 19) | (1 << 17) | (1 << 16)
            | (bi << 12) | (h.sampling_frequency << 10) | (h.mode << 6))
-    frame = hdr.to_bytes(4, "big") + b"\x00" * (size - 4)
     capacity = size - 4 - h.side_info_size
+    tail = tail[-capacity:]
+    frame = hdr.to_bytes(4, "big") + b"\x00" * (size - 4)
     count = -(-need // capacity)
-    return frame * count, count
+    if not tail:
+        return frame * count, count
+    last = (hdr.to_bytes(4, "big") + b"\x00" * h.side_info_size
+            + b"\x00" * (capacity - len(tail)) + tail)
+    return frame * (count - 1) + last, count
+
+
+def _reservoir_tail_bytes(data: bytes, index: FrameIndex, g: int) -> bytes:
+    """The trailing main-data bytes preceding frame ``g`` — the exact
+    contents the bit reservoir holds when a full decode reaches ``g``
+    (up to the 511/255-byte ``main_data_begin`` reach).  Concatenates
+    each prior frame's payload after header/CRC/side info, newest
+    last."""
+    need = 511 if index.info.family == 0 else 255
+    chunks = []
+    total = 0
+    i = g - 1
+    while i >= 0 and total < need:
+        off = index.offsets[i]
+        h = parse_header(data, off)
+        if h is None:
+            break
+        start = off + 4 + (2 if h.protection_bit == 0 else 0) \
+            + h.side_info_size
+        end = off + h.frame_size()
+        chunk = bytes(data[start:end])
+        chunks.append(chunk)
+        total += len(chunk)
+        i -= 1
+    chunks.reverse()
+    b = b"".join(chunks)
+    return b[-need:]
+
+
+class _Bits:
+    """MSB-first bit packer for the injection-frame writer."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, nb: int) -> None:
+        self.acc = (self.acc << nb) | (int(v) & ((1 << nb) - 1))
+        self.n += nb
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+
+    def pad_to(self, nbytes: int) -> bytes:
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+            self.n = 0
+        self.buf.extend(b"\x00" * (nbytes - len(self.buf)))
+        return bytes(self.buf)
+
+
+def _scalefac_state_at(data: bytes, index: FrameIndex,
+                       upto: int) -> tuple | None:
+    """The decoder's persistent scalefactor arrays after parsing frames
+    ``0..upto-1``.
+
+    The reference keeps ``g_main_data.scalefac_{l,s}`` for the life of
+    the handle (pdmp3.c:96-101); granules with ``part2_3_length == 0``
+    leave them stale, and the sfb21 / short-band-12 requantizer
+    overreads alias them across granule-channels (pdmp3.c:1896-1902) —
+    so the values that requantize a mid-stream frame can originate
+    arbitrarily far back (e.g. the last short-block frame).  Seeking
+    bit-exactly therefore needs the *state*, not just a byte preroll;
+    this walks it with the pure-Python frontend (side info + scalefactor
+    + Huffman cursor only — no DSP)."""
+    from . import tables as TT
+    from .frontend import Frontend
+    fe = Frontend()
+    if upto <= 0 or index.n_frames == 0:
+        # state before any frame = the fresh handle's zero arrays —
+        # still worth injecting: a serving slot re-used for a new
+        # stream keeps its PREVIOUS stream's arrays across open_feed
+        # (reference parity, pdmp3.c:2369-2384)
+        return fe.scalefac_l.copy(), fe.scalefac_s.copy()
+    end = index.offsets[upto - 1] + (
+        index.offsets[upto] - index.offsets[upto - 1]
+        if upto < index.n_frames else len(data) - index.offsets[upto - 1])
+    pos = index.info.first_audio_offset
+    done = 0
+    while done < upto:
+        # never feed the full free count: an exact fill parks
+        # iend == istart, which the ring convention reads as EMPTY —
+        # silent loss of the whole buffer (reference parity,
+        # Get_Inbuf_Free pdmp3.c:1066-1068; same defect family as the
+        # ghost-full livelock, DESIGN.md §6)
+        if fe.inbuf_free() > 1 and pos < end:
+            n = min(fe.inbuf_free() - 1, end - pos)
+            fe.feed(bytes(data[pos:pos + n]))
+            pos += n
+        mark = (fe.processed, fe.istart)
+        res, _ = fe.read_frame()
+        if res == TT.OK:
+            done += 1
+            continue
+        fe.processed, fe.istart = mark
+        if pos >= end:
+            break
+    return fe.scalefac_l.copy(), fe.scalefac_s.copy()
+
+
+def _state_inject_frames(h: MPEGHeader, sf_l, sf_s) -> bytes:
+    """Two silent MPEG-1 Layer III frames that *transmit* the given
+    scalefactor arrays, reconstructing the decoder's persistent
+    scalefactor state in ANY conforming decoder (including the
+    reference binary) at a mid-stream join.
+
+    Frame 1 is all-short granules carrying ``sf_s`` (12 sfb × 3
+    windows, scalefac_compress 15 → slen 4/3 — the widest fields, so
+    every historically-readable value is representable); frame 2 is
+    all-long carrying ``sf_l`` (21 sfb).  Each granule's
+    part2_3_length covers exactly the scalefactor bits: big_values is
+    0 and the bit cursor lands on part2_3 end, so the Huffman stage
+    reads nothing, count1 comes out 0, and the granule decodes as
+    silence — only the array writes remain.  MPEG-1 only (the LSF path
+    re-reads its arrays fresh every frame, frontend.py _read_main)."""
+    nch = h.nch
+    ver = 3
+    sizes = {i: 144 * int(T.BITRATES[2][i]) // h.sample_rate
+             for i in range(14, 0, -1)}
+    bi, size = next((i, s) for i, s in sizes.items() if s <= 1152)
+    hdr = ((0x7FF << 21) | (ver << 19) | (1 << 17) | (1 << 16)
+           | (bi << 12) | (h.sampling_frequency << 10) | (h.mode << 6))
+    hdr_bytes = hdr.to_bytes(4, "big")
+    main_size = size - 4 - (17 if nch == 1 else 32)
+
+    def frame(short: bool) -> bytes:
+        p23 = 126 if short else 74      # 3*(6*4+6*3) / (11*4+10*3)
+        side = _Bits()
+        side.put(0, 9)                  # main_data_begin = 0
+        side.put(0, 5 if nch == 1 else 3)
+        for _ in range(nch):
+            side.put(0, 4)              # scfsi: transmit everything
+        for _gr in range(2):
+            for _ch in range(nch):
+                side.put(p23, 12)
+                side.put(0, 9)          # big_values
+                side.put(0, 8)          # global_gain
+                side.put(15, 4)         # scalefac_compress → slen (4,3)
+                if short:
+                    side.put(1, 1)      # window_switching
+                    side.put(2, 2)      # block_type = short
+                    side.put(0, 1)      # not mixed
+                    side.put(0, 10)     # table_select ×2
+                    side.put(0, 9)      # subblock_gain ×3
+                else:
+                    side.put(0, 1)
+                    side.put(0, 15)     # table_select ×3
+                    side.put(0, 4)      # region0_count
+                    side.put(0, 3)      # region1_count
+                side.put(0, 3)          # preflag, scalefac_scale, c1ts
+        main = _Bits()
+        for gr in range(2):
+            for ch in range(nch):
+                if short:
+                    for sfb in range(12):
+                        for w in range(3):
+                            main.put(int(sf_s[gr][ch][sfb][w]),
+                                     4 if sfb < 6 else 3)
+                else:
+                    for sfb in range(21):
+                        main.put(int(sf_l[gr][ch][sfb]),
+                                 4 if sfb < 11 else 3)
+        return (hdr_bytes + side.pad_to(17 if nch == 1 else 32)
+                + main.pad_to(main_size))
+
+    return frame(short=True) + frame(short=False)
 
 
 def _default_decode(data: bytes, lsf: bool = False) -> bytes:
@@ -571,7 +756,29 @@ def plan_seek(data: bytes, start_s: float,
     if info.layer == 3:
         h0 = parse_header(data, lo)
         if h0 is not None:
-            lead, primers = _primer_frames(h0)
+            # persistent-scalefactor state injection (MPEG-1 only; the
+            # LSF frontend re-reads its arrays fresh every frame): the
+            # requantizer's sfb21/short-band-12 policy slots and silent
+            # granules read values that can originate arbitrarily far
+            # before the preroll window — replay them via two silent
+            # frames that transmit the historical arrays
+            if info.family == 0:
+                # unconditional (zeros when g == 0): a serving slot
+                # re-used for a new stream keeps the previous stream's
+                # arrays across open_feed, so a join must always set
+                # the state explicitly
+                st = _scalefac_state_at(data, index, g)
+                if st is not None:
+                    lead = _state_inject_frames(h0, *st)
+                    primers = 2
+            # reservoir priming with the REAL trailing main-data bytes
+            # before frame g (not zeros): every frame from g on then
+            # reads its true bits, so warm-up frames can't write
+            # garbage back into the scalefactor state
+            tail = _reservoir_tail_bytes(data, index, g) if g > 0 else b""
+            pf, pc = _primer_frames(h0, tail=tail)
+            lead += pf
+            primers += pc
     return SeekPlan(
         info=info,
         payload=lead + bytes(data[lo:hi]),
@@ -767,6 +974,12 @@ def _parse_apev2(data: bytes, end: int) -> tuple[int, TagInfo] | None:
     version, size, count, flags = struct.unpack_from("<IIII", data, f + 8)
     if version not in (1000, 2000) or size < 32 or size > end:
         return None
+    if flags & 0x20000000:
+        # flag bit 29 set: the 32 bytes at ``end`` claim to be a tag
+        # HEADER, not a footer — a stray header block (e.g. a tag
+        # truncated right after its header) must not strip ``size``
+        # bytes of audio from the accounting
+        return None
     start = end - size
     if flags & 0x80000000:                    # header present
         if start < 32 or data[start - 32:start - 24] != b"APETAGEX":
@@ -926,6 +1139,11 @@ def parse_id3v2_frames(data: bytes, off: int = 0) -> TagInfo | None:
         return None
     if flags & 0x80 and major < 4:            # whole-tag unsync (2.2/2.3)
         body = _deunsync(body)
+    if major == 2 and flags & 0x40:
+        # ID3v2.2 bit 6 means "compression" with no defined scheme —
+        # the spec says a parser encountering it must ignore the whole
+        # tag (it is NOT a v2.3-style extended-header bit)
+        return None
     if flags & 0x40:                          # extended header
         if major == 4:
             ehs = _syncsafe(body[:4]) if len(body) >= 4 else size
@@ -962,6 +1180,10 @@ def parse_id3v2_frames(data: bytes, off: int = 0) -> TagInfo | None:
             payload = _deunsync(payload)
         if major == 4 and fflags & 0x01:      # data-length indicator
             payload = payload[4:]
+        # grouping identity: a 1-byte group ID precedes the payload
+        # (v2.4 format-flag 0x40, v2.3 second-flag-byte 0x20)
+        if fflags & (0x0040 if major == 4 else 0x0020):
+            payload = payload[1:]
         # compression/encryption format flags: v2.4 0x0008|0x0004,
         # v2.3 0x0080|0x0040 (second flag byte)
         if fflags & (0x000C if major == 4 else 0x00C0):
@@ -996,6 +1218,12 @@ def parse_id3v2_frames(data: bytes, off: int = 0) -> TagInfo | None:
                     if g.startswith("(") and g.rstrip(")").lstrip(
                             "(").isdigit():
                         g = genre_name(int(g.strip("()")))
+                    elif g.startswith("(") and ")" in g \
+                            and g[1:g.index(")")].isdigit():
+                        # v2.3 refinement form "(nn)Custom": the text
+                        # refines the numeric genre (mpg123 mapping)
+                        num, _, refine = g[1:].partition(")")
+                        g = refine or genre_name(int(num))
                     elif g.isdigit():         # v2.4 numeric-string form
                         g = genre_name(int(g))
                     tag.genre = g

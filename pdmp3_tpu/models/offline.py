@@ -37,8 +37,15 @@ def parse_corpus(files: list[bytes], chunk: int = 8192):
                    C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
     per_file = []
     nch = np.ones(B, np.int32)
-    h = NativePDMP3()
     for b, data in enumerate(files):
+        # fresh handle per file: open_feed keeps the persistent
+        # scalefactor arrays (reference parity, pdmp3.c:2369-2384 never
+        # clears g_main_data), so a reused handle would leak file b-1's
+        # stale scalefactors into file b's silent granules and
+        # sfb21-overread slots — each file must decode exactly as the
+        # reference binary decodes it alone (caught by real libshine/
+        # LAME corpora, tests/test_real_encoder.py)
+        h = NativePDMP3()
         # one native call parses the entire stream (pdmp3_parse_stream).
         # Tight frame bound: the smallest MPEG-1 Layer III frame is
         # 144*32000/48000 = 96 bytes (bitrate index 1 @ 48 kHz, no padding),

@@ -70,10 +70,12 @@ def ensure_av_encode() -> str | None:
 
 
 def av_encode(pcm: np.ndarray, codec: str, rate: int, channels: int,
-              bitrate: int) -> bytes:
-    """Encode interleaved float32 PCM with a libavcodec encoder (mp2) —
-    ground-truth bitstreams from a production encoder, independent of
-    our own generator's table choices."""
+              bitrate: int, mode: str = "cbr") -> bytes:
+    """Encode interleaved float32 PCM with a libavcodec encoder (mp2,
+    libshine, libmp3lame) — ground-truth bitstreams from production
+    encoders, independent of our own generator's table choices.
+
+    ``mode``: "cbr" (default), "abr", or "vbr:<q>" (libmp3lame)."""
     binpath = ensure_av_encode()
     if binpath is None:
         raise RuntimeError("libavcodec unavailable")
@@ -82,7 +84,7 @@ def av_encode(pcm: np.ndarray, codec: str, rate: int, channels: int,
         dst = os.path.join(d, "out.bin")
         np.asarray(pcm, np.float32).tofile(src)
         subprocess.run([binpath, src, dst, codec, str(rate), str(channels),
-                        str(bitrate)], check=True, capture_output=True)
+                        str(bitrate), mode], check=True, capture_output=True)
         with open(dst, "rb") as f:
             return f.read()
 
@@ -110,6 +112,45 @@ def av_decode(stream: bytes, codec: str = "mp3",
     if clip:
         pcm = np.clip(pcm, -32767.0 / 32768.0, 32767.0 / 32768.0)
     return pcm
+
+
+_ENCMUX_SRC = os.path.join(_REPO, "tools", "av_encmux.c")
+_ENCMUX_BIN = os.path.join(_REPO, "build", "host", "av_encmux")
+
+
+def ensure_av_encmux() -> str | None:
+    """Build av_encmux on demand; None when libavformat is unavailable."""
+    if os.path.exists(_ENCMUX_BIN) \
+            and os.path.getmtime(_ENCMUX_BIN) >= os.path.getmtime(_ENCMUX_SRC):
+        return _ENCMUX_BIN
+    os.makedirs(os.path.dirname(_ENCMUX_BIN), exist_ok=True)
+    try:
+        subprocess.run(
+            ["gcc", "-O2", "-o", _ENCMUX_BIN, _ENCMUX_SRC,
+             "-lavformat", "-lavcodec", "-lavutil"],
+            check=True, capture_output=True, cwd=_REPO)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return _ENCMUX_BIN
+
+
+def av_encmux(pcm: np.ndarray, rate: int, channels: int, bitrate: int,
+              mode: str = "cbr") -> bytes:
+    """Encode f32 PCM with libmp3lame THROUGH libavformat's mp3 muxer —
+    the muxer sees the live encoder, so the Xing/LAME tag carries the
+    real encoder delay/padding (the gapless anchor av_remux can't
+    produce from an elementary stream)."""
+    binpath = ensure_av_encmux()
+    if binpath is None:
+        raise RuntimeError("libavformat unavailable")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in.f32")
+        dst = os.path.join(d, "out.mp3")
+        np.asarray(pcm, np.float32).tofile(src)
+        subprocess.run([binpath, src, dst, str(rate), str(channels),
+                        str(bitrate), mode], check=True, capture_output=True)
+        with open(dst, "rb") as f:
+            return f.read()
 
 
 _MUX_SRC = os.path.join(_REPO, "tools", "av_remux.c")

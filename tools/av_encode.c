@@ -1,13 +1,15 @@
 /* Test-tooling companion to av_oracle.c: encode raw PCM to MPEG audio
  * via the system libavcodec's native encoders (mp2).
  *
- * Usage: av_encode <in.f32raw> <out.bin> <codec> <rate> <channels> <bitrate>
+ * Usage: av_encode <in.f32raw> <out.bin> <codec> <rate> <channels>
+ *                  <bitrate> [mode]
  *
- * Exists to produce ground-truth Layer II streams (incl. MPEG-2 LSF
- * rates) from a production encoder, so the beyond-reference Layer I/II
- * decode extension can be validated against real encoder output, not
- * just our own generator (which shares tables with our decoder and
- * would hide table mistakes).
+ * mode: "cbr" (default), "abr", or "vbr:<q>" (libmp3lame quality 0-9).
+ *
+ * Exists to produce ground-truth streams from production encoders
+ * (mp2, libshine, libmp3lame), so the decoder is validated against
+ * real encoder output, not just our own generator (which shares table
+ * provenance with our decoder and would hide shared misreadings).
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -34,9 +36,28 @@ int main(int argc, char **argv) {
   if (!ctx) die("alloc failed");
   ctx->sample_rate = rate;
   ctx->bit_rate = bitrate;
+  if (argc > 7 && strncmp(argv[7], "vbr", 3) == 0) {
+    /* libmp3lame true VBR: quality via AV_CODEC_FLAG_QSCALE. */
+    int q = (argv[7][3] == ':') ? atoi(argv[7] + 4) : 4;
+    ctx->flags |= AV_CODEC_FLAG_QSCALE;
+    ctx->global_quality = q * FF_QP2LAMBDA;
+  } else if (argc > 7 && strcmp(argv[7], "abr") == 0) {
+    av_opt_set(ctx->priv_data, "abr", "1", 0);
+  }
   av_channel_layout_default(&ctx->ch_layout, channels);
-  ctx->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
-                                       : AV_SAMPLE_FMT_S16;
+  /* Prefer float planar when the encoder offers it (libmp3lame lists
+   * s32p first, whose extra headroom we don't need); else take the
+   * encoder's first choice. */
+  ctx->sample_fmt = AV_SAMPLE_FMT_NONE;
+  if (codec->sample_fmts) {
+    for (const enum AVSampleFormat *f = codec->sample_fmts;
+         *f != AV_SAMPLE_FMT_NONE; f++)
+      if (*f == AV_SAMPLE_FMT_FLTP) ctx->sample_fmt = *f;
+    if (ctx->sample_fmt == AV_SAMPLE_FMT_NONE)
+      ctx->sample_fmt = codec->sample_fmts[0];
+  } else {
+    ctx->sample_fmt = AV_SAMPLE_FMT_S16;
+  }
   if (avcodec_open2(ctx, codec, NULL) < 0) die("open failed");
 
   FILE *fin = fopen(argv[1], "rb");
@@ -75,6 +96,11 @@ int main(int argc, char **argv) {
           if (s > 32767) s = 32767;
           if (s < -32768) s = -32768;
           ((int16_t *)frame->extended_data[c])[i] = (int16_t)s;
+        } else if (frame->format == AV_SAMPLE_FMT_S32P) {
+          double s = (double)v * 2147483647.0;
+          if (s > 2147483647.0) s = 2147483647.0;
+          if (s < -2147483648.0) s = -2147483648.0;
+          ((int32_t *)frame->extended_data[c])[i] = (int32_t)s;
         } else if (frame->format == AV_SAMPLE_FMT_FLTP) {
           ((float *)frame->extended_data[c])[i] = v;
         } else if (frame->format == AV_SAMPLE_FMT_FLT) {
