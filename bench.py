@@ -420,13 +420,19 @@ def _bench_e2e_ab(streams, B: int = 4096, trials: int = 3,
     }
 
 
-def _bench_drain_ab(streams, B: int = 2048, trials: int = 3,
-                    seconds: float = 3.0) -> dict:
+def _bench_drain_ab(streams, B: int = 2048, trials: int = 9,
+                    seconds: float = 5.0) -> dict:
     """Drain-inclusive serving: synchronous PCM fetch per step vs the
     async pipelined drain (decode_step_pipelined), interleaved A/B.  On
     this harness D2H rides the ~0.04 GB/s tunnel, so both numbers are
     drain-bound 2-3 orders below PCIe; the async/sync RATIO is the
     meaningful result (the parse + H2D + compute hidden under the copy).
+
+    Statistical gate (round-3 VERDICT #4: a 3x2s A/B flipped sign
+    between runs on the shared chip): 9 interleaved trials x 5 s,
+    median + IQR reported, and ``decisive`` is True only when the two
+    IQRs do not overlap — the async>sync headline claim must cite this
+    flag.
     """
     from pdmp3_tpu.runtime import LoopFeeder, StreamDecoder
 
@@ -456,7 +462,84 @@ def _bench_drain_ab(streams, B: int = 2048, trials: int = 3,
                 dec.drain_pending()
             el = time.perf_counter() - t0
             results[k].append(granules * 576 / 44100.0 / el)
-    return {k: float(np.median(v)) for k, v in results.items()}
+    out = {}
+    for k, v in results.items():
+        q1, med, q3 = (float(np.percentile(v, p)) for p in (25, 50, 75))
+        out[k] = med
+        out[f"{k}_iqr"] = [round(q1, 1), round(q3, 1)]
+    out["decisive"] = bool(out["async_iqr"][0] > out["sync_iqr"][1]
+                           or out["sync_iqr"][0] > out["async_iqr"][1])
+    return out
+
+
+def _bench_serving_at_size(B: int = 4096, steps: int = 24) -> dict:
+    """Serving-stack overhead at real batch size with distinct streams
+    == B (round-3 VERDICT #5; previously only ever demonstrated at 128
+    distinct streams).
+
+    Two separated measurements, because the tunnel would otherwise
+    swamp everything: (a) the HOST side — feeder + native parse cost
+    per step at size, single core, no device involved — reported as
+    streams-per-host-core at realtime; (b) the DEVICE side — a
+    device-feed-only replay where the wire for a few steps is parsed
+    once, recorded, and re-dispatched, so scheduler/dispatch/H2D cost
+    at size is visible without re-parsing (the absolute number is
+    tunnel-bound on this harness; the step breakdown is the result).
+    """
+    from pdmp3_tpu.runtime import LoopFeeder, StreamDecoder
+    from pdmp3_tpu.testing import mp3gen
+
+    streams = []
+    i = 0
+    while len(streams) < B:          # B DISTINCT streams, short ones
+        try:
+            streams.append(mp3gen.make_stream(
+                n_frames=12, seed=7000 + i,
+                blocks=["long", "varied", "short", "mixed"][i % 4],
+                mode=[0, 1, 1, 3][i % 4],
+                bitrate_index=[9, 11, 14, 7][(i // 4) % 4],
+                sfreq=i % 3, use_reservoir=i % 5 == 0))
+        except AssertionError:
+            pass
+        i += 1
+    dec = StreamDecoder(B, exact=False, kernel="pallas")
+    feeder = LoopFeeder(dec, streams)
+    feeder.step()
+    dec.parse_step()
+    np.asarray(dec.decode_step())    # warm compile
+    t_feed, t_parse, recorded = [], [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        feeder.step()
+        t_feed.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        dec.parse_step()
+        t_parse.append(time.perf_counter() - t0)
+        recorded.append((dec.wire.copy(), dec.active.copy(),
+                         dec.meta.copy()))
+        dec.decode_step(fetch=False)  # advance the wire double buffer
+    pcm = None
+    t0 = time.perf_counter()
+    for k in range(steps):
+        w, a, m = recorded[k % len(recorded)]
+        dec.wire[...] = w
+        dec.active[:] = a
+        dec.meta[:] = m
+        pcm = dec.decode_step(fetch=False)
+    jax.block_until_ready(pcm)
+    dev_step_s = (time.perf_counter() - t0) / steps
+    feed_s = float(np.median(t_feed))
+    parse_s = float(np.median(t_parse))
+    frame_period = 1152 / 44100.0
+    return {
+        "distinct_streams": B,
+        "feed_ms_per_step": round(feed_s * 1e3, 2),
+        "parse_ms_per_step": round(parse_s * 1e3, 2),
+        "host_streams_per_core_realtime":
+            round(B * frame_period / (feed_s + parse_s), 1),
+        "device_step_ms_tunnel": round(dev_step_s * 1e3, 2),
+        "device_feed_only_rtf": round(B * frame_period / dev_step_s, 1),
+    }
 
 
 def _bench_single_core(seconds: float = 3.0):
@@ -573,6 +656,10 @@ def main() -> None:
     e2e_rtf_flagship = ab["sparse_pallas"]
     drain_ab = _bench_drain_ab(e2e_streams)
 
+    # serving overhead at real batch size: distinct streams == slots
+    # (round-3 VERDICT #5); reuse the sweep's compiled shape
+    at_size = _bench_serving_at_size(B=B)
+
     # single-core comparison: native scalar decoder vs the reference binary
     native_fps, ref_fps = _bench_single_core()
     parse_fps = _bench_parse()
@@ -615,11 +702,17 @@ def main() -> None:
         "e2e_serving_rtf_sparse_pallas": round(e2e_rtf_flagship, 1),
         "e2e_rtf_drain_sync": round(drain_ab["sync"], 1),
         "e2e_rtf_drain_async": round(drain_ab["async"], 1),
+        "e2e_drain_sync_iqr": drain_ab["sync_iqr"],
+        "e2e_drain_async_iqr": drain_ab["async_iqr"],
+        "e2e_drain_ab_decisive": drain_ab["decisive"],
+        "e2e_drain_ab_method": "9 interleaved trials x 5 s; decisive = "
+                               "non-overlapping IQRs",
         "e2e_serving_rtf_dense_pallas": round(ab["dense_pallas"], 1),
         "e2e_method": "interleaved A/B medians (3 trials/config)",
         "wire_bytes_per_granule_dense": round(dense_bpg, 1),
         "wire_bytes_per_granule_sparse": round(sparse_bpg, 1),
         "e2e_distinct_streams": 128,
+        "serving_at_size": at_size,
         "lsf_rtf_pallas_22k05": round(lsf_rtf, 1),
         "e2e_lsf_sparse_pallas_rtf_22k05": round(lsf_e2e, 1),
         "l12_rtf_layer2_44k1": round(l12_rtf, 1),

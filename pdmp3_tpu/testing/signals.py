@@ -1,0 +1,40 @@
+"""Program-material generators for real-encoder conformance testing.
+
+Signal classes chosen to steer a psychoacoustic encoder's block-switch
+decisions: ``transient`` (clicks + gated noise bursts over a chirp)
+forces short/mixed blocks; ``tonal`` (stationary sines) keeps long
+blocks with heavy scalefactor reuse; ``sweep`` (full-band chirp)
+exercises every scalefactor band.  Used by tests/test_real_encoder.py
+and tools/soak.py --real-encoder.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_pcm(kind: str, rate: int, channels: int, seconds: float = 1.5,
+             seed: int = 0) -> np.ndarray:
+    """Interleaved f32 program material (see module docstring)."""
+    rng = np.random.default_rng(seed)
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    if kind == "tonal":
+        sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+               + 0.25 * np.sin(2 * np.pi * 1873 * t + 0.3)
+               + 0.1 * np.sin(2 * np.pi * 0.21 * rate * t))
+    elif kind == "sweep":
+        f0, f1 = 30.0, 0.45 * rate
+        phase = 2 * np.pi * (f0 * t + (f1 - f0) * t * t / (2 * seconds))
+        sig = 0.6 * np.sin(phase)
+    elif kind == "transient":
+        sig = 0.35 * np.sin(2 * np.pi * (200 + 3000 * t) * t)
+        sig[:: rate // 11] = 0.95                     # hard clicks
+        gate = np.sin(2 * np.pi * 4 * t) > 0.85       # noise bursts
+        sig = sig + 0.4 * rng.standard_normal(n) * gate
+    else:
+        raise ValueError(kind)
+    sig = sig.astype(np.float32)
+    if channels == 1:
+        return sig
+    other = np.roll(sig, rate // 50) * 0.8 + 0.05 * rng.standard_normal(n)
+    return np.stack([sig, other.astype(np.float32)], -1).reshape(-1)

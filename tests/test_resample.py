@@ -19,25 +19,45 @@ def _run(from_rate, to_rate, blocks, B=1, C=1, dtype=jnp.float32):
                          [(44100, 48000), (48000, 44100), (32000, 48000),
                           (22050, 48000), (16000, 48000), (8000, 48000)])
 def test_sine_snr_and_rate(from_rate, to_rate):
-    """1 kHz sine through the resampler: >60 dB SNR against the ideal
-    delayed sine, and the output length matches the rate ratio."""
-    n_blk, blk = 20, 1152
-    t = np.arange(n_blk * blk) / from_rate
-    s = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
-    x = s[None, :, None]
-    y = _run(from_rate, to_rate,
-             [x[:, i * blk:(i + 1) * blk] for i in range(n_blk)])[0, :, 0]
-    assert abs(len(y) / len(s) - to_rate / from_rate) < 1e-3
+    """Sine through the resampler: >=85 dB SNR against the ideal
+    delayed sine at BOTH a 1 kHz probe and a high probe near the
+    passband edge (0.35 x the narrower Nyquist) — the bar the β=9
+    Kaiser / 24-taps-per-phase design supports (measured headroom
+    >= 87 dB over the full rate matrix, RESAMPLE_SWEEP_r04.json);
+    output length matches the rate ratio."""
     import math
+    n_blk, blk = 20, 1152
     up = to_rate // math.gcd(from_rate, to_rate)
     ntaps = up * 24
     delay = (ntaps - 1) / (2 * up * from_rate)  # prototype group delay
-    t2 = np.arange(len(y)) / to_rate
-    ref = np.sin(2 * np.pi * 1000.0 * (t2 - delay))
-    seg = slice(1000, len(y) - 1000)
-    err = y[seg] - ref[seg]
-    snr = 10 * np.log10(np.mean(ref[seg] ** 2) / np.mean(err ** 2))
-    assert snr > 60, (from_rate, to_rate, snr)
+    for freq in (1000.0, 0.35 * min(from_rate, to_rate)):
+        t = np.arange(n_blk * blk) / from_rate
+        s = np.sin(2 * np.pi * freq * t).astype(np.float32)
+        x = s[None, :, None]
+        y = _run(from_rate, to_rate,
+                 [x[:, i * blk:(i + 1) * blk] for i in range(n_blk)])[0, :, 0]
+        assert abs(len(y) / len(s) - to_rate / from_rate) < 1e-3
+        t2 = np.arange(len(y)) / to_rate
+        ref = np.sin(2 * np.pi * freq * (t2 - delay))
+        seg = slice(1000, len(y) - 1000)
+        err = y[seg] - ref[seg]
+        snr = 10 * np.log10(np.mean(ref[seg] ** 2) / np.mean(err ** 2))
+        assert snr > 85, (from_rate, to_rate, freq, snr)
+
+
+def test_passband_ripple():
+    """Per-tone RMS gain across the passband stays within 0.02 dB —
+    unit-DC phase normalization plus the β=9 prototype keep the comb
+    flat (sweep artifact: worst measured ripple well below this)."""
+    gains = []
+    for frac in (0.05, 0.15, 0.25, 0.35):
+        freq = frac * 44100
+        t = np.arange(1152 * 16) / 44100
+        x = np.sin(2 * np.pi * freq * t).astype(np.float32)[None, :, None]
+        y = _run(44100, 48000, [x])[0, 2000:-2000, 0]
+        gains.append(np.sqrt(2.0) * np.sqrt(np.mean(y ** 2)))
+    dev_db = np.abs(20 * np.log10(np.asarray(gains)))
+    assert dev_db.max() < 0.02, gains
 
 
 def test_gapless_streaming_equals_one_shot():

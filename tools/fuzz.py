@@ -5,7 +5,8 @@ Builds the mini-AFL driver (host/src/fuzz_main.cc: GCC trace-pc edge
 coverage + ASan/UBSan over the library TUs), seeds it with mp3gen
 streams spanning the format matrix plus hostile variants, runs the
 requested number of iterations, and merges the stats into the cumulative
-artifact (default FUZZ_r02.json).  A sanitizer abort exits nonzero; the
+artifact (default FUZZ_r04.json, carried forward from the r03 totals).
+A sanitizer abort exits nonzero; the
 offending input is saved under tools/fuzz_crashes/ with its RNG seed for
 reproduction:
 
@@ -72,6 +73,28 @@ def make_seeds(d: str) -> int:
                           (tag_size >> 7) & 0x7F, tag_size & 0x7F])
     extra_raw.append(hdr + bytes((i * 37) % 251 for i in range(tag_size))
                      + mp3gen.make_stream(n_frames=4, seed=909, mode=0))
+    # real-encoder seeds: libshine/libmp3lame output carries structure
+    # mp3gen never emits (real psychoacoustic block switching, LAME VBR
+    # reservoir, ancillary bytes) — fresh mutation territory; a
+    # muxer-written Xing/LAME tag seed drives the tag-frame path
+    try:
+        from pdmp3_tpu.testing.avref import (av_encmux, av_encode,
+                                             ensure_av_encmux,
+                                             ensure_av_encode)
+        from pdmp3_tpu.testing.signals import make_pcm
+        if ensure_av_encode() is not None:
+            pcm = make_pcm("transient", 44100, 2, seconds=0.35, seed=913)
+            extra_raw.append(av_encode(pcm, "libmp3lame", 44100, 2,
+                                       128000, "vbr:4"))
+            extra_raw.append(av_encode(
+                make_pcm("tonal", 32000, 1, seconds=0.3, seed=914),
+                "libshine", 32000, 1, 64000))
+        if ensure_av_encmux() is not None:
+            extra_raw.append(av_encmux(
+                make_pcm("sweep", 48000, 2, seconds=0.3, seed=915),
+                48000, 2, 128000, "vbr:5"))
+    except Exception:
+        pass                     # libav unavailable: mp3gen seeds only
     n = 0
     for j, raw in enumerate(extra_raw):
         with open(os.path.join(d, f"r{j}.mp3"), "wb") as fh:
@@ -98,7 +121,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--iters", type=int, default=200_000)
     ap.add_argument("--rng-seed", type=int, default=1)
-    ap.add_argument("--out", default=os.path.join(REPO, "FUZZ_r02.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "FUZZ_r04.json"))
     args = ap.parse_args()
 
     from pdmp3_tpu.host.build import fuzzer_bin

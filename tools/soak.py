@@ -134,6 +134,83 @@ def soak_one_lsf(i: int, jax_every: int) -> str:
             f"{cfg}")
 
 
+REAL_SEED_OFF = 800000
+
+
+def random_real_config(rng: random.Random) -> dict:
+    """Real-encoder sampler: production codecs over randomized program
+    material (no mp3gen anywhere — independent table provenance)."""
+    codec = rng.choice(["libshine", "libmp3lame", "libmp3lame"])
+    mode = "cbr"
+    if codec == "libmp3lame":
+        mode = rng.choice(["cbr", "abr", f"vbr:{rng.randrange(10)}"])
+    rate = rng.choice([32000, 44100, 48000])
+    channels = rng.choice([1, 2, 2])
+    return dict(
+        codec=codec, mode=mode, rate=rate, channels=channels,
+        bitrate=rng.choice([64000, 96000, 128000, 192000, 320000]),
+        material=rng.choice(["transient", "transient", "tonal", "sweep"]),
+        seconds=rng.uniform(0.4, 0.9),
+    )
+
+
+def soak_one_real(i: int, jax_every: int) -> str:
+    """Real-encoder differential soak: libshine/libmp3lame streams
+    (production encoders, independent table provenance) decoded by the
+    reference binary vs the native C++ decoder — strict bit-equality
+    (conformant encoder output never enters the reference's is[]-OOB
+    regime).  Every Nth stream also runs the Python oracle and the
+    batched JAX exact path."""
+    from pdmp3_tpu import decode_file
+    from pdmp3_tpu.host import native_decode_file
+    from pdmp3_tpu.testing.avref import av_encode, ensure_av_encode
+    from pdmp3_tpu.testing.golden import reference_decode
+    from pdmp3_tpu.testing.signals import make_pcm
+
+    if ensure_av_encode() is None:
+        return "infeasible"
+    rng = random.Random(CFG_BASE + REAL_SEED_OFF + i)
+    cfg = random_real_config(rng)
+    pcm = make_pcm(cfg["material"], cfg["rate"], cfg["channels"],
+                   seconds=cfg["seconds"], seed=STREAM_BASE + REAL_SEED_OFF + i)
+    try:
+        stream = av_encode(pcm, cfg["codec"], cfg["rate"], cfg["channels"],
+                           cfg["bitrate"], cfg["mode"])
+    except Exception:
+        return "infeasible"                # encoder rejected the config
+    if len(stream) < 400:
+        return "infeasible"
+    import subprocess
+    try:
+        # short timeout: the reference decodes these sub-second streams
+        # in milliseconds; a timeout means the binary hung in its
+        # ring-wrap ghost-full livelock (DESIGN.md §6 — cumulative
+        # 4096-byte CLI feeds hit the 16384 boundary exactly while VBR
+        # reservoir stalls park consumption; REACHED BY REAL LAME VBR
+        # STREAMS, first seen at seed 800819)
+        ref = reference_decode(stream, timeout=30.0)
+    except subprocess.TimeoutExpired:
+        # adjudicated divergence: a livelock has no output to be
+        # bit-compatible with; require our two host decoders to agree
+        # with each other instead
+        if native_decode_file(stream) == decode_file(stream):
+            return "ref_livelock"
+        dump = f"/tmp/soak_ref_hang_{REAL_SEED_OFF + i}.mp3"
+        with open(dump, "wb") as f:
+            f.write(stream)
+        return f"FAIL:ref-hang-and-internal-mismatch:dump={dump}:{cfg}"
+    outs = {"native": native_decode_file(stream)}
+    if jax_every and i % jax_every == 0:
+        from pdmp3_tpu.models.decoder import JaxDSP
+        outs["oracle"] = decode_file(stream)
+        outs["jax"] = decode_file(stream, dsp=JaxDSP(exact=True))
+    bad = [k for k, o in outs.items() if o != ref]
+    if not bad:
+        return "ok"
+    return (f"FAIL:real-mismatch:{','.join(bad)}:"
+            f"{_forensics(stream, ref, outs, bad, REAL_SEED_OFF + i)}:{cfg}")
+
+
 def soak_one(i: int, jax_every: int) -> str:
     """Returns one of: ok / oob_prefix_ok / infeasible / FAIL:<detail>."""
     from pdmp3_tpu import decode_file
@@ -213,13 +290,20 @@ def main() -> None:
                     help="soak the MPEG-2/2.5 LSF profile instead "
                          "(3-way in-tree differential; use a separate "
                          "--out artifact)")
+    ap.add_argument("--real-encoder", action="store_true",
+                    help="soak real libshine/libmp3lame streams instead "
+                         "of mp3gen output (breaks the generator/decoder "
+                         "table-provenance loop; separate --out artifact)")
     args = ap.parse_args()
 
-    tally = {"ok": 0, "oob_prefix_ok": 0, "infeasible": 0}
+    tally = {"ok": 0, "oob_prefix_ok": 0, "infeasible": 0,
+             "ref_livelock": 0}
     failures: list[dict] = []
     t0 = time.time()
     for k, i in enumerate(range(args.start, args.start + args.count)):
-        r = (soak_one_lsf if args.lsf else soak_one)(i, args.jax_every)
+        fn = (soak_one_real if args.real_encoder
+              else soak_one_lsf if args.lsf else soak_one)
+        r = fn(i, args.jax_every)
         if r.startswith("FAIL"):
             failures.append({"seed": i, "detail": r})
             print(f"seed {i}: {r}", flush=True)
@@ -231,7 +315,7 @@ def main() -> None:
                   f"({rate:.1f} streams/s)", flush=True)
 
     summary = {"ranges": [], "streams": 0, "ok": 0, "oob_prefix_ok": 0,
-               "infeasible": 0, "failures": [],
+               "infeasible": 0, "ref_livelock": 0, "failures": [],
                "seed_bases": {"config": CFG_BASE, "stream": STREAM_BASE}}
     if os.path.exists(args.out):
         with open(args.out) as f:
