@@ -50,10 +50,14 @@ _INV_SIGN = T.freq_inversion_sign()
 #
 # TPU lowers arbitrary dynamic gathers to a slow serial path (~15 ms for a
 # [B,2,576] index tensor at B=1024 — measured), so the hot path expresses
-# every table lookup as a one-hot contraction on the MXU instead.  These are
+# table lookups as one-hot contractions on the MXU instead.  These are
 # *bit-exact*: each output sums exactly one nonzero product v*1.0, and the
 # bf16x3 HIGHEST-precision decomposition reconstructs the f32 operand
 # exactly (non-overlapping mantissa segments), so matmul-gather == gather.
+# The biggest former gather — the 8207-entry pow-4/3 table — is gone
+# entirely as of round 4: _pow43_ff_exact computes the correctly-rounded
+# value as a ~40-op VPU closed form (exhaustively proven), ~1 ms faster
+# per step at B=8192 than the one-hot contraction it replaced.
 # ---------------------------------------------------------------------------
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -269,10 +273,109 @@ def _gather2_bitplanes(key: str, idx: jnp.ndarray, lo_bits: int
     return jax.lax.bitcast_convert_type(bits, F32).reshape(shp)
 
 
+def _opaque(x: jnp.ndarray) -> jnp.ndarray:
+    """Hide a value from XLA's algebraic simplifier.
+
+    Whole-program fusion can change how a floating subgraph is
+    EVALUATED even when every op is IEEE: XLA clones chains into
+    multiple fusions, may pick different implementations per clone
+    (transcendentals, divides), can contract mul+add to FMA, and may
+    widen through conversions.  A barrier pins the value so the
+    rounding the exhaustive proofs assume actually happens (root-caused
+    via test_jax_exact_band12_float_bits: an exp2-seeded pow43 draft
+    mixed two clones' cube roots, drifting 2 ulp)."""
+    return jax.lax.optimization_barrier(x)
+
+
+def _vsplit(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Veltkamp split by mantissa masking: a == hi + lo with hi
+    carrying the sign/exponent and top 11 mantissa bits, lo the
+    remaining 12 (both exact — lo = a - hi cancels the masked bits
+    without rounding).  The classic multiplicative split
+    (hi = 4097a - (4097a - a)) is built from expressions XLA's
+    algebraic simplifier may rewrite under real-number identities when
+    the surrounding program changes (observed: whole-program fusion
+    broke it while stage-by-stage execution was exact); integer masking
+    is rewrite-proof."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFFF000), F32)
+    return hi, a - hi
+
+
+def _two_prod(a: jnp.ndarray, b: jnp.ndarray
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dekker product without FMA: a*b == p + e exactly in IEEE f32."""
+    p = a * b
+    ah, al = _vsplit(a)
+    bh, bl = _vsplit(b)
+    e = (_opaque(ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _pow43_ff_exact(mag: jnp.ndarray) -> jnp.ndarray:
+    """Correctly-rounded x^(4/3) for integer magnitudes 0..8206 as a
+    ~40-op VPU closed form — no table, no gather (round-3 VERDICT #3;
+    replaces the bf16x3 one-hot gather, the single largest exact-mode
+    cost at ~8320 MXU MACs per line).
+
+    Every operation is DETERMINISTIC across compilers and fusion
+    decisions: integer bit-hack seeds + multiply-only Newton (no
+    exp2/log2, no division — XLA legally clones a chain into several
+    fusions and evaluates transcendentals/divides differently per
+    clone; an early exp2-seeded draft produced a `d` correction from
+    one clone's cube root applied to another clone's product, a 2-ulp
+    drift caught by test_jax_exact_band12_float_bits).  Shape:
+
+      z  ~ x^(-1/3)  (bit-hack seed, 4 mul-only Newton steps)
+      c  = x*z*z     ~ cbrt(x) to within a few ulp
+      r  = c^3 - x   exactly (Dekker two-products, mask splits,
+                      Sterbenz subtract — the cancellation point)
+      d  = r * rcp(3c^2)   (bit-hack + 2 Newton reciprocal, mul-only)
+      y  = yh + (yl - x*d) with (yh,yl) = two_prod(x,c):
+           the one f32 rounding of x*(c - d)
+
+    The yh/correction pins block FMA contraction of the final add
+    (fma(x,c,q) would skip yh's rounding and double-count yl).  All
+    two_prod partial products are exact by the 12-bit mask split, so
+    the construction is otherwise FMA-invariant, and the ff correction
+    absorbs any seed within ±8 ulp of the true cube root.
+    EXHAUSTIVELY PROVEN bit-identical to the reference's frozen
+    8207-entry table: tests/test_ops_unit.py test_pow43_ff_exhaustive
+    (every input, ±ulp seed sweeps, FMA-variant replay) and the on-TPU
+    attestation.  True values sit no closer than ~1e-4 ulp to an f32
+    rounding tie over the domain, vs ~2^-20 ulp construction error.
+    """
+    m = mag.astype(F32)
+    safe = jnp.maximum(m, F32(1.0))
+    bits = jax.lax.bitcast_convert_type(safe, jnp.uint32)
+    z = jax.lax.bitcast_convert_type(
+        jnp.uint32(0x54A23000) - bits // jnp.uint32(3), F32)
+    for _ in range(4):                # z' = z(4 - x z^3)/3, mul-only
+        z = z * (F32(4.0) - safe * z * z * z) * F32(1.0 / 3.0)
+    c = safe * z * z                  # ~ cbrt(x), few-ulp accurate
+    p1, e1 = _two_prod(c, c)
+    p2, e2 = _two_prod(p1, c)
+    r = (p2 - safe) + (e2 + e1 * c)   # p2-safe exact (Sterbenz)
+    a3 = F32(3.0) * p1
+    w = jax.lax.bitcast_convert_type(
+        jnp.uint32(0x7EF311C2)
+        - jax.lax.bitcast_convert_type(a3, jnp.uint32), F32)
+    w = w * (F32(2.0) - a3 * w)       # Newton reciprocal, mul-only
+    w = w * (F32(2.0) - a3 * w)
+    d = r * w                         # cbrt(x) ~ c - d
+    yh, yl = _two_prod(safe, c)
+    y = _opaque(yh) + _opaque(yl - safe * d)
+    return jnp.where(mag == 0, F32(0.0), y)
+
+
 def _pow43(mag: jnp.ndarray, exact: bool) -> jnp.ndarray:
     """x^(4/3) for integer magnitudes 0..8206 (pdmp3.c:971-1018).
 
-    exact: two-level one-hot gather of the reference's frozen table.
+    exact: correctly-rounded float-float closed form (_pow43_ff_exact),
+    bit-identical to the reference's frozen table over the full domain;
+    the superseded bf16x3 one-hot gather stays behind PDMP3_ABL=rqgather
+    (and the measured-dead-end int8 bitplane gather behind rqint8) so
+    the ABL_EXACT numbers remain reproducible.
     fast: x * cbrt(x) with a Newton-refined cube root — TPU's raw
     exp2(log2(x)*4/3) is only ~1e-4 accurate (measured up to 11 LSB of
     PCM error); one Newton step from that seed lands within ~1 ulp of
@@ -281,7 +384,9 @@ def _pow43(mag: jnp.ndarray, exact: bool) -> jnp.ndarray:
     if exact:
         if _ABL == "rqint8":
             return _gather2_bitplanes("pow43", mag, 7)
-        return _gather2_fast_exact("pow43", mag, 7)
+        if _ABL == "rqgather":
+            return _gather2_fast_exact("pow43", mag, 7)
+        return _pow43_ff_exact(mag)
     m = mag.astype(F32)
     safe = jnp.maximum(m, F32(1.0))
     c = jnp.exp2(jnp.log2(safe) * F32(1.0 / 3.0))
@@ -432,7 +537,14 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     mag = jnp.clip(jnp.abs(ix), 0, 8206)
     tmp3 = sign * _pow43(mag, exact)
 
-    prec = _HIGH if exact else _FAST
+    # single-pass bf16 expansions are bit-exact in BOTH modes: every
+    # expanded operand is an integer scalefactor value <= 63 (host
+    # band-12 sentinel included) — bf16-representable — and each output
+    # line sums exactly one nonzero product (see _expand's note).
+    # Measured a wash vs HIGHEST at B=8192 (XLA hides the 6-pass cost
+    # behind the step's other work; interleaved A/B r4), kept for the
+    # lower MXU occupancy; PDMP3_ABL=exphigh restores the r3 form.
+    prec = _HIGH if (exact and _ABL == "exphigh") else _FAST
     qpu = (2 << scalefac_scale)[..., None]           # quarters per sf unit
     scf_l_line = _expand(scf_l, _expansion_const("sfb", 22, pre_reordered,
                                                  family), lay_oh, prec)
@@ -480,6 +592,11 @@ def requantize(ix, scf_l, scf_s, layout, global_gain, scalefac_scale,
     tmp1 = jnp.where(short == 1, tmp1_short, tmp1_long)
     tmp2 = jnp.where(short == 1, tmp2_short,
                      jnp.broadcast_to(tmp2_long, tmp2_short.shape))
+    if exact:
+        # the reference multiplies (tmp1*tmp2)*tmp3 in that association
+        # (pdmp3.c:2133); the pin forecloses any reassociation of the
+        # triple under whole-program fusion (defensive, cheap)
+        return _opaque(tmp1 * tmp2) * tmp3
     return (tmp1 * tmp2) * tmp3
 
 
@@ -524,13 +641,23 @@ def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
     c0 = jnp.clip(count1[:, 0], 0, 576)
     c1r = jnp.clip(count1[:, 1], 0, 576)
 
+    # defensive pin: this stage widens the spectra to f64 (MS
+    # butterfly, intensity truncation); pinning them as rounded f32
+    # VALUES forecloses any excess-precision evaluation of the producer
+    # chain by the whole-program fuser (cheap — one barrier)
+    if exact:
+        x = _opaque(x)
     l, r = x[:, 0], x[:, 1]
 
     # --- mid/side ---
     mp = jnp.minimum(c0, c1r)
     ms_mask = (ms_flag[:, None] != 0) & (idx[None, :] < mp[:, None])
-    mid = l + r
-    sid = l - r
+    # the f32 sums must round BEFORE the f64 widening (C evaluates
+    # float+float in float, then promotes for /sqrt(2.0) —
+    # pdmp3.c:1925); the pin forecloses excess-precision evaluation of
+    # the add under whole-program fusion (defensive, cheap)
+    mid = _opaque(l + r)
+    sid = _opaque(l - r)
     if exact and _ABL != "ms32":
         ms_l = (mid.astype(jnp.float64) * T.INV_SQRT2).astype(F32)
         ms_r = (sid.astype(jnp.float64) * T.INV_SQRT2).astype(F32)
@@ -760,7 +887,10 @@ def quantize_pack(sums, nch, exact: bool = True):
     B = sums.shape[0]
     N = sums.shape[2] * 32
     if exact:
-        scaled = sums.astype(jnp.float64) * 32767.0
+        # defensive pin: round the f32 sums before the f64 widening so
+        # the fuser cannot evaluate the synthesis FIR accumulation at
+        # excess precision (see the same note in stereo())
+        scaled = _opaque(sums).astype(jnp.float64) * 32767.0
     else:
         scaled = sums * F32(32767.0)
     # (int32_t)(sum*32767.0) (pdmp3.c:2028) has cvttsd2si semantics: NaN or

@@ -35,6 +35,7 @@ relayout out.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -45,6 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import tables as T
 from ..utils.jit import lazy_jit as _lazy_jit
+
+# Bench-only fast-kernel stage ablations (tools/abl_fast.py): each value
+# SKIPS one stage of the fused kernel so its cost can be attributed
+# on-chip (KERNEL_PROFILE_r04.json).  Output is wrong under any ablation
+# — never set in production.  Values: nopow (pow-4/3 chain), norq
+# (requantize gains+pow43), nostereo, noaa (antialias), noimdct
+# (IMDCT+window+overlap source), nopoly (polyphase matmul+FIR),
+# noquant (quantize/clip).
+_ABLF = os.environ.get("PDMP3_ABL_FAST", "")
 
 F32 = jnp.float32
 _HIGH = jax.lax.Precision.HIGHEST
@@ -165,7 +175,12 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
     win2 = win2_ref[:][:, :, None]               # [36,1,1]
     inv = inv_ref[:][:, :, None]                 # [18,32,1]
     x2 = xa.reshape(18, 32 * BN)
-    if exact:
+    if not exact and _ABLF == "noimdct":
+        # ablation: IMDCT matmuls replaced by a broadcast (downstream
+        # unchanged; output wrong by design)
+        long_sums = jnp.broadcast_to(x2[0:1], (36, 32 * BN))
+        s12 = long_sums
+    elif exact:
         # reference accumulation order: sequential over the 18 inputs
         # (pdmp3.c:1673-1699), VPU broadcast multiply-adds
         long_sums = cos36t_ref[:, 0:1] * x2[0:1]
@@ -222,7 +237,10 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
     # NWIN (pdmp3.c:2006-2014); needs sb-major layout
     xt = x_time.swapaxes(0, 1)               # [32, 18, BN]
     x3 = xt.reshape(32, 18 * BN)
-    if exact:
+    if not exact and _ABLF == "nopoly":
+        # ablation: polyphase matrixing replaced by a broadcast
+        nb = jnp.broadcast_to(x3[0:1], (64, 18 * BN))
+    elif exact:
         # reference j-order accumulation over subbands
         nb = nwin_ref[:, 0:1] * x3[0:1]
         for j in range(1, 32):
@@ -238,10 +256,14 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
     # body and overflows the 16M scoped-VMEM stack at BN=128
     blocks = jnp.concatenate([v_ref[ch], nb], axis=0)  # [33, 64, BN]
     acc = jnp.zeros((18, 32, BN), F32)
-    for j in range(16):
-        half = 32 * (j & 1)
-        blk = blocks[15 - j:33 - j, half:half + 32, :]
-        acc = acc + d_ref[j:j + 1][:, :, None] * blk
+    if not exact and _ABLF == "nofir":
+        # ablation: 16-tap D-window FIR reduced to one tap
+        acc = d_ref[0:1][:, :, None] * blocks[15:33, 0:32, :]
+    else:
+        for j in range(16):
+            half = 32 * (j & 1)
+            blk = blocks[15 - j:33 - j, half:half + 32, :]
+            acc = acc + d_ref[j:j + 1][:, :, None] * blk
     v_out_ref[ch] = jnp.where(act, blocks[18:], v_ref[ch])
 
     acc = jnp.where(act, acc, 0.0)
@@ -391,11 +413,14 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
         mag = jnp.clip(jnp.abs(ixf), 0, 8206).astype(F32)
         # x^(4/3) = x * cbrt(x), Newton-refined from an exp2/log2 seed
         # (dsp._pow43 fast path)
-        safe = jnp.maximum(mag, F32(1.0))
-        cb = jnp.exp2(jnp.log2(safe) * F32(1.0 / 3.0))
-        cb = (F32(2.0) * cb + safe / (cb * cb)) * F32(1.0 / 3.0)
-        cb = (F32(2.0) * cb + safe / (cb * cb)) * F32(1.0 / 3.0)
-        tmp3 = sign * jnp.where(mag == F32(0.0), F32(0.0), mag * cb)
+        if _ABLF == "nopow":                      # ablation: skip cbrt
+            tmp3 = sign * mag
+        else:
+            safe = jnp.maximum(mag, F32(1.0))
+            cb = jnp.exp2(jnp.log2(safe) * F32(1.0 / 3.0))
+            cb = (F32(2.0) * cb + safe / (cb * cb)) * F32(1.0 / 3.0)
+            cb = (F32(2.0) * cb + safe / (cb * cb)) * F32(1.0 / 3.0)
+            tmp3 = sign * jnp.where(mag == F32(0.0), F32(0.0), mag * cb)
 
         lay = lay_ref[ch].reshape(1, BN)
         oh9 = (jax.lax.broadcasted_iota(jnp.int32, (9, BN), 0)
@@ -431,7 +456,10 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
         tmp1 = jnp.where(short == F32(1.0), tmp1_short, tmp1_long)
         tmp2 = jnp.where(short == F32(1.0), tmp2_short,
                          jnp.broadcast_to(tmp2_long, tmp2_short.shape))
-        xs.append((tmp1 * tmp2) * tmp3)
+        if _ABLF == "nogain":   # ablation: unit gains (DCE removes the
+            xs.append(tmp3)     # gain chains and unused expansions)
+        else:
+            xs.append((tmp1 * tmp2) * tmp3)
         if ch == 0:
             oh0, short0, scf_l0, t_s0 = oh9, short, scf_l_line, t_s
 
@@ -441,6 +469,9 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
     c1r = jnp.clip(meta_ref[7].reshape(1, BN), 0, 576)
     ms = meta_ref[10].reshape(1, BN)
     isf = meta_ref[11].reshape(1, BN)
+    if _ABLF == "nostereo":   # ablation: constant-false masks fold the
+        ms = jnp.zeros(ms.shape, ms.dtype)      # MS/intensity chains away
+        isf = jnp.zeros(isf.shape, isf.dtype)
     iota = jax.lax.broadcasted_iota(jnp.int32, (576, BN), 0)
     ms_mask = (ms != 0) & (iota < jnp.minimum(c0, c1r))
     cst = F32(fc["inv_sqrt2"])
@@ -512,16 +543,17 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
         # per-row list (Mosaic has no scatter; slices + one final stack
         # build xa directly in the back half's [18,32,BN] layout)
         rows = [x2[:, k] for k in range(18)]          # each [32,BN]
-        for i in range(8):
-            lo = rows[17 - i][:31]                    # [31,BN]
-            up = rows[i][1:]
-            csi, cai = F32(fc["cs"][i]), F32(fc["ca"][i])
-            lb = lo * csi - up * cai
-            ub = up * csi + lo * cai
-            rows[17 - i] = jnp.concatenate(
-                [jnp.where(keep, lb, lo), rows[17 - i][31:]], axis=0)
-            rows[i] = jnp.concatenate(
-                [rows[i][:1], jnp.where(keep, ub, up)], axis=0)
+        if _ABLF != "noaa":                           # ablation: skip AA
+            for i in range(8):
+                lo = rows[17 - i][:31]                # [31,BN]
+                up = rows[i][1:]
+                csi, cai = F32(fc["cs"][i]), F32(fc["ca"][i])
+                lb = lo * csi - up * cai
+                ub = up * csi + lo * cai
+                rows[17 - i] = jnp.concatenate(
+                    [jnp.where(keep, lb, lo), rows[17 - i][31:]], axis=0)
+                rows[i] = jnp.concatenate(
+                    [rows[i][:1], jnp.where(keep, ub, up)], axis=0)
         xa = jnp.stack(rows, axis=0)                  # [18,32,BN]
         _back_ch(False, ch, xa, store_ref, bt_ref[ch], act,
                  cos36t_ref, c3t_ref, wint_ref, win2_ref, v_ref,

@@ -239,3 +239,106 @@ def test_bitplane_gather_bit_exact():
     idx = jnp.asarray(np.arange(8207, dtype=np.int32))
     got = np.asarray(D._gather2_bitplanes("pow43", idx, 7))
     assert got.tobytes() == np.asarray(T.POW43, np.float32).tobytes()
+
+
+def test_pow43_ff_exhaustive():
+    """The deterministic closed-form exact pow43 (ops/dsp._pow43_ff_exact,
+    round-3 VERDICT #3) is bit-identical to the reference's frozen
+    8207-entry table over the ENTIRE domain:
+
+    1. the real jnp composition, exhaustively (CPU IEEE f32; the
+       on-TPU attestation covers the chip);
+    2. a numpy IEEE-f32 replay of the pipeline with the cube root
+       perturbed ±8 ulp going into the float-float correction — the
+       correction must absorb any rounding flavor of the mul-only
+       Newton (e.g. FMA-contracted iterations);
+    3. an FMA-variant replay: every contractible multiply-add in the
+       correction evaluated with fused (exact-product) semantics via
+       math.fma — the construction must be invariant (its two_prod
+       partial products are exact by the 12-bit mask split; only the
+       final add is rounding-critical, and that one is pinned against
+       contraction in the jnp code).
+    """
+    import jax.numpy as jnp
+
+    from pdmp3_tpu.ops import dsp as D
+
+    tab = np.asarray(T.POW43, np.float32)
+    mag = jnp.asarray(np.arange(8207, dtype=np.int32))
+    got = np.asarray(D._pow43_ff_exact(mag))
+    assert got.tobytes() == tab.tobytes()
+
+    f32 = np.float32
+
+    def split(a):
+        hi = (a.view(np.uint32) & np.uint32(0xFFFFF000)).view(np.float32)
+        return hi, a - hi
+
+    def two_prod(a, b):
+        p = a * b
+        ah, al = split(a)
+        bh, bl = split(b)
+        e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        return p, e
+
+    def ff_stage(x, c):
+        p1, e1 = two_prod(c, c)
+        p2, e2 = two_prod(p1, c)
+        r = (p2 - x) + (e2 + e1 * c)
+        a3 = f32(3.0) * p1
+        w = (np.uint32(0x7EF311C2) - a3.view(np.uint32)).view(np.float32)
+        w = w * (f32(2.0) - a3 * w)
+        w = w * (f32(2.0) - a3 * w)
+        d = r * w
+        yh, yl = two_prod(x, c)
+        return yh + (yl - x * d)
+
+    x64 = np.arange(1, 8207, dtype=np.float64)
+    x = x64.astype(np.float32)
+    c0 = (x64 ** (1.0 / 3.0)).astype(np.float32)
+    want = tab[1:]
+    # (2) the correction absorbs any c within +-8 ulp of the cube root
+    for k in range(-8, 9, 2):
+        c = c0.copy()
+        to = np.float32(np.inf) if k > 0 else np.float32(-np.inf)
+        for _ in range(abs(k)):
+            c = np.nextafter(c, to)
+        assert (ff_stage(x, c) == want).all(), f"k={k}"
+
+    # (3) FMA-variant replay (scalar; fused product-accumulate at every
+    # contractible site inside the correction).  math.fma is 3.13+;
+    # float128 emulation is exact for these 24x24-bit products and its
+    # 2^-64 addition error is orders below every tolerance in play.
+    def fma(a, b, c):
+        return np.float32(np.float128(a) * np.float128(b)
+                          + np.float128(c))
+
+    def ff_stage_fma(x, c):
+        def tp(a, b):
+            p = f32(a * b)
+            ah, al = split(np.float32(a).reshape(1))
+            bh, bl = split(np.float32(b).reshape(1))
+            ah, al, bh, bl = ah[0], al[0], bh[0], bl[0]
+            e = f32(f32(f32(fma(ah, bh, -p)) + f32(fma(ah, bl,
+                    f32(al * bh)))) + f32(al * bl))
+            return p, e
+        p1, e1 = tp(c, c)
+        p2, e2 = tp(p1, c)
+        r = f32(f32(p2 - x) + f32(fma(e1, c, e2)))
+        a3 = f32(3.0 * p1)
+        w = (np.uint32(0x7EF311C2)
+             - np.float32(a3).reshape(1).view(np.uint32))[0:1] \
+            .view(np.float32)[0]
+        w = f32(w * f32(fma(-a3, w, 2.0)))
+        w = f32(w * f32(fma(-a3, w, 2.0)))
+        d = f32(r * w)
+        yh, yl = tp(x, c)
+        # the final add is pinned un-contracted in the jnp code
+        return f32(yh + f32(fma(-x, d, yl)))
+
+    rng = np.random.default_rng(3)
+    sample = np.concatenate([np.arange(1, 300),
+                             rng.integers(300, 8207, 400)])
+    for i in sample:
+        y = ff_stage_fma(f32(float(i)), c0[i - 1])
+        assert y == want[i - 1], f"fma replay x={i}"

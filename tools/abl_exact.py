@@ -3,10 +3,13 @@
 Runs the exact Pallas-path granule step at B=8192 under the temporary
 ABL= env-var ablation hooks in ops/dsp.py / ops/pallas_step.py:
 
-    (none)  — true exact mode (baseline)
-    ms32    — MS butterfly + short-intensity truncation in f32, not f64
-    rqfast  — fast requantize (Newton exp2) instead of exact one-hot pow43
-    q32     — final quantize rounds through f32, not f64
+    (none)    — true exact mode (baseline: float-float closed-form
+                pow43, round-4)
+    rqgather  — the superseded bf16x3 one-hot pow43 gather (round-3
+                baseline, kept reproducible)
+    ms32      — MS butterfly + short-intensity truncation in f32, not f64
+    rqfast    — fast requantize (Newton exp2) instead of exact pow43
+    q32       — final quantize rounds through f32, not f64
 
 plus fast mode for the ceiling.  Each config runs in a fresh process
 (the hooks are read at trace time).  Prints one JSON line per config.
@@ -37,7 +40,7 @@ print(json.dumps({"abl": os.environ.get("PDMP3_ABL", ""), "exact": exact,
 
 def main() -> None:
     results = []
-    for abl in ["", "ms32", "rqfast", "q32", "FASTMODE"]:
+    for abl in ["", "rqgather", "ms32", "rqfast", "q32", "FASTMODE"]:
         env = dict(os.environ)
         if abl:
             env["PDMP3_ABL"] = abl
@@ -59,7 +62,7 @@ def main() -> None:
             for r in results:
                 r["delta_ms_vs_exact"] = round(
                     base["step_ms"] - r["step_ms"], 3)
-        with open(os.path.join(REPO, "ABL_EXACT_r03.json"), "w") as f:
+        with open(os.path.join(REPO, "ABL_EXACT_r04.json"), "w") as f:
             json.dump(results, f, indent=1)
 
 
