@@ -50,10 +50,11 @@ from ..utils.jit import lazy_jit as _lazy_jit
 # Bench-only fast-kernel stage ablations (tools/abl_fast.py): each value
 # SKIPS one stage of the fused kernel so its cost can be attributed
 # on-chip (KERNEL_PROFILE_r04.json).  Output is wrong under any ablation
-# — never set in production.  Values: nopow (pow-4/3 chain), norq
-# (requantize gains+pow43), nostereo, noaa (antialias), noimdct
-# (IMDCT+window+overlap source), nopoly (polyphase matmul+FIR),
-# noquant (quantize/clip).
+# — never set in production.  Values: nopow (pow-4/3 Newton chain),
+# nogain (requantize gain chains + expansions), nostereo (MS/intensity),
+# noaa (antialias), noimdct (IMDCT matmuls), nopoly (polyphase
+# matrixing), nofir (16-tap D-window FIR -> 1 tap), noquant
+# (quantize/clip -> raw sums).
 _ABLF = os.environ.get("PDMP3_ABL_FAST", "")
 
 F32 = jnp.float32
@@ -267,7 +268,7 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
     v_out_ref[ch] = jnp.where(act, blocks[18:], v_ref[ch])
 
     acc = jnp.where(act, acc, 0.0)
-    if exact:
+    if exact or _ABLF == "noquant":
         out_ref[ch] = acc.reshape(576, BN)
     else:
         # quantize: x32767, trunc toward zero, clip, with the
