@@ -74,10 +74,27 @@ def _consts():
     win2_tiled = np.tile(np.asarray(T.IMDCT_WIN[2][:12]), 3)  # [36]
     inv = T.freq_inversion_sign()  # [32, 18] -> want [18, 32]
     del inv
+    cos36_t = np.ascontiguousarray(np.asarray(T.COS_N36).T)     # [36, 18]
+    c3_t = np.ascontiguousarray(c3.T)                           # [36, 18]
+    win_t = np.ascontiguousarray(np.asarray(T.IMDCT_WIN).T)     # [36, 4]
+    # fast-mode fused hybrid left matrix [108, 22]: the long and folded-
+    # short IMDCT bases stacked along M with the window-select matrix
+    # block-diagonal along K, so ONE MXU contraction against
+    # [x2; bt_onehot] yields long_sums / s12 / wsel at a third of the
+    # tile-op count (M=36, K=18 padded the same 128-tiles three times
+    # over before; KERNEL_PROFILE_r04 attributed 0.73 ms/step to this
+    # stage).  The zero blocks contribute exact ±0 terms, which cannot
+    # change any nonzero sum, so outputs are bitwise-identical except
+    # possibly the sign of all-zero lanes — invisible after quantize.
+    hyb_left = np.zeros((108, 22), np.float32)
+    hyb_left[0:36, 0:18] = cos36_t
+    hyb_left[36:72, 0:18] = c3_t
+    hyb_left[72:108, 18:22] = win_t
     return dict(
-        cos36_t=np.ascontiguousarray(np.asarray(T.COS_N36).T),  # [36, 18]
-        c3_t=np.ascontiguousarray(c3.T),                        # [36, 18]
-        win_t=np.ascontiguousarray(np.asarray(T.IMDCT_WIN).T),  # [36, 4]
+        cos36_t=cos36_t,
+        c3_t=c3_t,
+        win_t=win_t,
+        hyb_left=hyb_left,                                      # [108, 22]
         win2=win2_tiled.reshape(36, 1),
         nwin=np.asarray(T.SYNTH_NWIN),                          # [64, 32]
         d=np.asarray(T.SYNTH_D).reshape(16, 32),
@@ -159,7 +176,7 @@ def _prev3(xa_t, store_t, bt_t, exact: bool) -> jax.Array:
 
 
 def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
-             cos36t_ref, c3t_ref, wint_ref, win2_ref, v_ref,
+             cos36t_ref, c3t_ref, wint_ref, hybl_ref, win2_ref, v_ref,
              nwin_ref, d_ref, inv_ref,
              out_ref, store_out_ref, v_out_ref, prev_ref):
     """Back half for one channel (shared by the back-half-only kernel and
@@ -176,11 +193,20 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
     win2 = win2_ref[:][:, :, None]               # [36,1,1]
     inv = inv_ref[:][:, :, None]                 # [18,32,1]
     x2 = xa.reshape(18, 32 * BN)
+    # per-(sb, slot) window-select one-hot (bit-exact: one nonzero 1.0
+    # per column; a lane->sublane vector reshape is the one form Mosaic
+    # rejects, so no where-chains of win rows)
+    iota4 = jax.lax.broadcasted_iota(jnp.int32, (4, 32, BN), 0)
+    bt_oh = (bt.reshape(1, 32, BN) == iota4).astype(F32)
     if not exact and _ABLF == "noimdct":
         # ablation: IMDCT matmuls replaced by a broadcast (downstream
         # unchanged; output wrong by design)
         long_sums = jnp.broadcast_to(x2[0:1], (36, 32 * BN))
         s12 = long_sums
+        wsel = jax.lax.dot_general(
+            wint_ref[:], bt_oh.reshape(4, 32 * BN),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=_HIGH)
     elif exact:
         # reference accumulation order: sequential over the 18 inputs
         # (pdmp3.c:1673-1699), VPU broadcast multiply-adds
@@ -192,26 +218,26 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
             # the folded short basis has one nonzero band per m, so
             # per-output sums still accumulate in tin order
             s12 = s12 + c3t_ref[:, m:m + 1] * xm
+        wsel = jax.lax.dot_general(
+            wint_ref[:], bt_oh.reshape(4, 32 * BN),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=_HIGH)
     else:
-        long_sums = jax.lax.dot_general(
-            cos36t_ref[:], x2, (((1,), (0,)), ((), ())),
-            preferred_element_type=F32, precision=_HIGH)  # [36, 32*BN]
-        s12 = jax.lax.dot_general(
-            c3t_ref[:], x2, (((1,), (0,)), ((), ())),
+        # the long + folded-short IMDCT bases stacked along M ([72,18],
+        # rows 0:72 of hyb_left): one contraction instead of two, with
+        # each output row an unchanged dot product — bitwise identical
+        fused = jax.lax.dot_general(
+            hybl_ref[0:72, 0:18], x2, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32, precision=_HIGH)  # [72, 32*BN]
+        long_sums = fused[0:36]
+        s12 = fused[36:72]
+        wsel = jax.lax.dot_general(
+            wint_ref[:], bt_oh.reshape(4, 32 * BN),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=F32, precision=_HIGH)
 
     long_sums = long_sums.reshape(36, 32, BN)
     s12 = s12.reshape(36, 32, BN)
-
-    # per-(sb, slot) window select via one-hot MXU matmul (bit-exact:
-    # one nonzero 1.0 per column; a lane->sublane vector reshape is
-    # the one form Mosaic rejects, so no where-chains of win rows)
-    iota4 = jax.lax.broadcasted_iota(jnp.int32, (4, 32, BN), 0)
-    bt_oh = (bt.reshape(1, 32, BN) == iota4).astype(F32)
-    wsel = jax.lax.dot_general(
-        wint_ref[:], bt_oh.reshape(4, 32 * BN),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=F32, precision=_HIGH)
     long_out = long_sums * wsel.reshape(36, 32, BN)
 
     # short blocks: 3 windowed 12-pt IMDCTs overlapped into 36
@@ -281,17 +307,111 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
             oob, F32(-32767.0), jnp.clip(t, -32767.0, 32767.0))
 
 
+def _back_ch_sb(ch: int, xa_sb, store_ref, bt, act,
+                hybl_ref, win2_ref, v_ref, nwin_ref, d_ref, inv_ref,
+                out_ref, store_out_ref, v_out_ref, prev_ref):
+    """Fast-mode back half in the subband-outer layout (fused kernel
+    only; exact mode and back_half_t keep `_back_ch`).
+
+    The batch-in-lanes kernels' original form merged the subband axis
+    into lanes around every MXU contraction ([18,32,BN] -> [18,32*BN]
+    for the IMDCT, [32,18*BN] for the polyphase, plus the inverse
+    un-merges of each output).  Those lane-crossing relayouts — not the
+    matmul passes — dominated the stage cost (KERNEL_PROFILE_r04:
+    0.73 + 0.29 ms/step; a precision-DEFAULT probe moved only ~0.25 ms,
+    and M-stacking the bases moved nothing).  Here the IMDCT runs as 32
+    per-subband [72,18]@[18,BN] contractions on free outer-dim slices
+    and the polyphase as 18 per-time-index [64,32]@[32,BN]
+    contractions: identical MXU tile-op count, zero lane relayouts,
+    and every output element remains the same dot product — bitwise
+    equal to the merged form (window select becomes 4 one-hot
+    broadcast FMAs, exact selection with the same ±0-only caveat as
+    hyb_left).
+
+    xa_sb [32,18,BN] post-antialias spectra, subband-outer; bt [32,BN]
+    effective block types; act [1,1,BN] bool.
+    """
+    BN = xa_sb.shape[-1]
+    win2 = win2_ref[:]                           # [36,1]
+    cos_lhs = hybl_ref[0:72, 0:18]               # long + folded-short
+    st = store_ref[ch].swapaxes(0, 1)            # [32,18,BN] sb-outer
+    z6 = jnp.zeros((6, BN), F32)
+    x_time = []
+    new_store = []
+    for sb in range(32):
+        if _ABLF == "noimdct":
+            # ablation: IMDCT contractions replaced by a broadcast
+            fused = jnp.broadcast_to(xa_sb[sb][0:1], (72, BN))
+        else:
+            fused = jax.lax.dot_general(
+                cos_lhs, xa_sb[sb], (((1,), (0,)), ((), ())),
+                preferred_element_type=F32, precision=_HIGH)  # [72,BN]
+        bt_sb = bt[sb:sb + 1]                    # [1,BN]
+        wsel = jnp.zeros((36, BN), F32)
+        for w in range(4):
+            wsel = wsel + (hybl_ref[72:108, 18 + w:19 + w]
+                           * (bt_sb == w).astype(F32))
+        long_out = fused[0:36] * wsel
+        contrib = fused[36:72] * win2            # [36,BN]
+        c0, c1, c2 = contrib[0:12], contrib[12:24], contrib[24:36]
+        short_out = jnp.concatenate(
+            [z6, c0[:6], c0[6:] + c1[:6], c1[6:] + c2[:6], c2[6:], z6],
+            axis=0)
+        out36 = jnp.where(bt_sb == 2, short_out, long_out)
+        xt_sb = (out36[:18] + st[sb]) * inv_ref[:, sb:sb + 1]
+        x_time.append(xt_sb)
+        new_store.append(out36[18:])
+        if ch == 0 and sb == 0:
+            prev_ref[:] = xt_sb[0:3]
+    ns = jnp.stack(new_store, axis=1)                 # [18,32,BN]
+    store_out_ref[ch] = jnp.where(act, ns, store_ref[ch])
+
+    # polyphase matrixing: 18 per-time-index [64,32]@[32,BN] dots on
+    # free slices of the sb-sublane x_time (pdmp3.c:2006-2014)
+    xt2 = jnp.stack(x_time, axis=1)              # [18,32,BN]
+    if _ABLF == "nopoly":
+        nb = jnp.broadcast_to(xt2[0:1, 0:1], (18, 64, BN))
+    else:
+        nb = jnp.stack([
+            jax.lax.dot_general(
+                nwin_ref[:], xt2[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=F32, precision=_HIGH)
+            for i in range(18)], axis=0)         # [18,64,BN]
+
+    blocks = jnp.concatenate([v_ref[ch], nb], axis=0)  # [33,64,BN]
+    acc = jnp.zeros((18, 32, BN), F32)
+    if _ABLF == "nofir":
+        acc = d_ref[0:1][:, :, None] * blocks[15:33, 0:32, :]
+    else:
+        for j in range(16):
+            half = 32 * (j & 1)
+            blk = blocks[15 - j:33 - j, half:half + 32, :]
+            acc = acc + d_ref[j:j + 1][:, :, None] * blk
+    v_out_ref[ch] = jnp.where(act, blocks[18:], v_ref[ch])
+
+    acc = jnp.where(act, acc, 0.0)
+    if _ABLF == "noquant":
+        out_ref[ch] = acc.reshape(576, BN)
+    else:
+        scaled = acc.reshape(576, BN) * F32(32767.0)
+        t = jnp.trunc(scaled)
+        oob = jnp.isnan(scaled) | (t < -2147483648.0) | \
+            (t > 2147483647.0)
+        out_ref[ch] = jnp.where(
+            oob, F32(-32767.0), jnp.clip(t, -32767.0, 32767.0))
+
+
 def _kernel(exact: bool,
             xa_ref, store_ref, v_ref, bt_ref, act_ref,
-            cos36t_ref, c3t_ref, wint_ref, win2_ref, nwin_ref, d_ref,
-            inv_ref,
+            cos36t_ref, c3t_ref, wint_ref, hybl_ref, win2_ref, nwin_ref,
+            d_ref, inv_ref,
             out_ref, store_out_ref, v_out_ref, prev_ref):
     BN = xa_ref.shape[-1]
     act = act_ref[0].reshape(1, 1, BN) != 0      # [1,1,BN]
     for ch in range(2):
         _back_ch(exact, ch, xa_ref[ch], store_ref, bt_ref[ch], act,
-                 cos36t_ref, c3t_ref, wint_ref, win2_ref, v_ref,
-                 nwin_ref, d_ref, inv_ref,
+                 cos36t_ref, c3t_ref, wint_ref, hybl_ref, win2_ref,
+                 v_ref, nwin_ref, d_ref, inv_ref,
                  out_ref, store_out_ref, v_out_ref, prev_ref)
 
 
@@ -386,16 +506,16 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
          act_ref, bt_ref, store_ref, v_ref, ip_ref,
          wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
          wshort_ref, wbs_ref, wiok_ref,
-         cos36t_ref, c3t_ref, wint_ref, win2_ref, nwin_ref, d_ref,
-         inv_ref,
+         cos36t_ref, c3t_ref, wint_ref, hybl_ref, win2_ref, nwin_ref,
+         d_ref, inv_ref,
          out_ref, store_out_ref, v_out_ref, prev_ref) = refs
     else:
         (ix_ref, scfl_ref, scfs_ref, lay_ref, meta_ref, sbg_ref,
          act_ref, bt_ref, store_ref, v_ref,
          wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
          wshort_ref, wbs_ref, wiok_ref,
-         cos36t_ref, c3t_ref, wint_ref, win2_ref, nwin_ref, d_ref,
-         inv_ref,
+         cos36t_ref, c3t_ref, wint_ref, hybl_ref, win2_ref, nwin_ref,
+         d_ref, inv_ref,
          out_ref, store_out_ref, v_out_ref, prev_ref) = refs
         ip_ref = None
     BN = act_ref.shape[-1]
@@ -555,11 +675,10 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
                     [jnp.where(keep, lb, lo), rows[17 - i][31:]], axis=0)
                 rows[i] = jnp.concatenate(
                     [rows[i][:1], jnp.where(keep, ub, up)], axis=0)
-        xa = jnp.stack(rows, axis=0)                  # [18,32,BN]
-        _back_ch(False, ch, xa, store_ref, bt_ref[ch], act,
-                 cos36t_ref, c3t_ref, wint_ref, win2_ref, v_ref,
-                 nwin_ref, d_ref, inv_ref,
-                 out_ref, store_out_ref, v_out_ref, prev_ref)
+        xa_sb = jnp.stack(rows, axis=1)               # [32,18,BN]
+        _back_ch_sb(ch, xa_sb, store_ref, bt_ref[ch], act,
+                    hybl_ref, win2_ref, v_ref, nwin_ref, d_ref, inv_ref,
+                    out_ref, store_out_ref, v_out_ref, prev_ref)
 
 
 @functools.partial(_lazy_jit, static_argnames=("block_lanes", "exact"))
@@ -611,8 +730,8 @@ def back_half_t(xa_t, store_t, v_t, bt_t, active,
         bspec((2, 18, 32, Bp)), bspec((2, 18, 32, Bp)),
         bspec((2, 15, 64, Bp)), bspec((2, 32, Bp)), bspec((1, Bp)),
         cspec(c["cos36_t"]), cspec(c["c3_t"]), cspec(c["win_t"]),
-        cspec(c["win2"]), cspec(c["nwin"]), cspec(c["d"]),
-        cspec(c["inv_t"]),
+        cspec(c["hyb_left"]), cspec(c["win2"]), cspec(c["nwin"]),
+        cspec(c["d"]), cspec(c["inv_t"]),
     ]
     out_specs = (
         bspec((2, 576, Bp)), bspec((2, 18, 32, Bp)),
@@ -636,9 +755,9 @@ def back_half_t(xa_t, store_t, v_t, bt_t, active,
             interpret=jax.default_backend() != "tpu",
         )(xa_t, store_t, v_t, bt_t, act2,
           jnp.asarray(c["cos36_t"]), jnp.asarray(c["c3_t"]),
-          jnp.asarray(c["win_t"]), jnp.asarray(c["win2"]),
-          jnp.asarray(c["nwin"]), jnp.asarray(c["d"]),
-          jnp.asarray(c["inv_t"]))
+          jnp.asarray(c["win_t"]), jnp.asarray(c["hyb_left"]),
+          jnp.asarray(c["win2"]), jnp.asarray(c["nwin"]),
+          jnp.asarray(c["d"]), jnp.asarray(c["inv_t"]))
     if pad:
         outs = tuple(o[..., :B] for o in outs)
     return outs
@@ -706,8 +825,8 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
 
     fronts = (fc["w_sfb"], fc["w_sfs"], fc["w_sfs_plain"], fc["w_win"],
               fc["w_pre"], fc["w_short"], fc["w_bs"], fc["w_iok"])
-    backs = (c["cos36_t"], c["c3_t"], c["win_t"], c["win2"], c["nwin"],
-             c["d"], c["inv_t"])
+    backs = (c["cos36_t"], c["c3_t"], c["win_t"], c["hyb_left"],
+             c["win2"], c["nwin"], c["d"], c["inv_t"])
     meta_rows = 13 if family else 12
     extra_specs = [bspec((64, Bp))] if family else []
     if slot_major_ix:
