@@ -4,13 +4,28 @@ The round-1 kernel tiled slot-major tensors like [N, 2, 32, 18], paying
 up to 7x VMEM/VPU padding on the 18/36-wide minor dims — it never beat
 the XLA path.  These kernels flip the layout: **batch-in-lanes**.  Every
 tensor is [features..., B] with the slot axis minor; B blocks are
-multiples of 128 lanes, so nothing pads, and every contraction becomes a
-clean [M, K] @ [K, n*128] MXU matmul with the constant basis on the
-left:
+multiples of 128 lanes, so nothing pads, and every contraction is an
+[M, K] @ [K, n*128] MXU matmul with the constant basis on the left.
 
-    IMDCT     : COS36^T[36,18] @ x[18, 32*BN]      (pdmp3.c:1649-1700)
-    polyphase : NWIN[64,32]    @ x_t[32, 18*BN]    (pdmp3.c:1989-2014)
-    expansions: E[576, 9*K]    @ (layout-onehot ⊗ params)[9*K, BN]
+Round 4 restructured the fast kernel's contractions once more: the
+original forms merged the subband axis into lanes around each matmul
+(IMDCT COS36^T[36,18] @ x[18, 32*BN]; polyphase NWIN[64,32] @
+x_t[32, 18*BN]), and KERNEL_PROFILE_r04 showed those lane-crossing
+relayouts — not the matmul passes — dominated the step (1.0 of 1.78 ms
+at B=8192).  The fused kernel now keeps subbands in sublanes and runs
+
+    IMDCT     : [72,18] @ xa_sb[sb][18, BN]  x32   (pdmp3.c:1649-1700)
+    polyphase : NWIN[64,32] @ xt[i][32, BN]  x18   (pdmp3.c:1989-2014)
+    expansions: E[576, 9*K] @ (layout-onehot ⊗ params)[9*K, BN]
+
+on free outer-dim slices — identical MXU tile-op count, zero lane
+relayouts (step 1.72 -> 1.39 ms).  Measured dead ends, for the record:
+block_lanes 256 (slightly slower, 512 fails VMEM), M-stacking/K-folding
+the merged-form bases (neutral — the relayouts were the cost), reduced
+matmul precision (DEFAULT saves ~0.25 ms but bf16 rounding breaks the
+±1 LSB fast contract), and quantize+interleave+pack inside the kernel
+(+0.1 ms: the XLA pack overlaps the kernel across grid steps, in-kernel
+pack extends the critical path and ch0's PCM live-range).
 
 Fast mode runs the ENTIRE granule step as one pallas_call
 (`_kernel_full`): requantize (Newton exp2/log2 pow-4/3, exponent-bitcast
@@ -77,15 +92,13 @@ def _consts():
     cos36_t = np.ascontiguousarray(np.asarray(T.COS_N36).T)     # [36, 18]
     c3_t = np.ascontiguousarray(c3.T)                           # [36, 18]
     win_t = np.ascontiguousarray(np.asarray(T.IMDCT_WIN).T)     # [36, 4]
-    # fast-mode fused hybrid left matrix [108, 22]: the long and folded-
-    # short IMDCT bases stacked along M with the window-select matrix
-    # block-diagonal along K, so ONE MXU contraction against
-    # [x2; bt_onehot] yields long_sums / s12 / wsel at a third of the
-    # tile-op count (M=36, K=18 padded the same 128-tiles three times
-    # over before; KERNEL_PROFILE_r04 attributed 0.73 ms/step to this
-    # stage).  The zero blocks contribute exact ±0 terms, which cannot
-    # change any nonzero sum, so outputs are bitwise-identical except
-    # possibly the sign of all-zero lanes — invisible after quantize.
+    # fast-mode hybrid-synthesis constants, packed into one [108, 22]
+    # matrix: rows 0:72 = the long + folded-short IMDCT bases stacked
+    # along M (one contraction instead of two; each output row is the
+    # same dot product, bitwise identical), rows 72:108 / cols 18:22 =
+    # the window-select table read per block type by _back_ch_sb's
+    # one-hot broadcast FMAs (exact selection; the summed ±0 terms can
+    # only flip the sign of all-zero lanes — invisible after quantize).
     hyb_left = np.zeros((108, 22), np.float32)
     hyb_left[0:36, 0:18] = cos36_t
     hyb_left[36:72, 0:18] = c3_t
