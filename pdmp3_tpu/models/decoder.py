@@ -14,6 +14,7 @@ decoder's PCM bit-for-bit; ``fast`` uses MXU contractions (±1 LSB).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -290,11 +291,24 @@ def decode_frame_soa(ix2, scf_l2, scf_s2, meta2, active, state,
     int16), silently decoding to silence."""
     meta2 = meta2.astype(jnp.int32)
     active = active.astype(jnp.int32)
+    batches = [_batch_from_meta(ix2[gr], scf_l2[gr], scf_s2[gr],
+                                meta2[gr], active, gr)
+               for gr in range(2)]
+    if kernel == "pallas" and not exact and \
+            os.environ.get("PDMP3_FRAME_FUSED") == "1":
+        # MEASURED DEAD END, kept reproducible (docs/ROADMAP.md): both
+        # granules in ONE pallas_call — bitwise identical to the
+        # per-granule chain (test_frame_fused) and it does halve the
+        # state HBM traffic, but the doubled per-grid-step working set
+        # costs Mosaic's pipelining more than the round trip saves
+        # (interleaved A/B at B=8192: 1.63 vs 1.52 ms/granule median)
+        from ..ops.pallas_step import decode_frames_pallas
+        assert not float_pcm
+        return decode_frames_pallas.__wrapped__(
+            tuple(batches), state, (0, 1), bug_compat, 128, 0)
     step = _granule_step(kernel, float_pcm)
     outs = []
-    for gr in range(2):
-        batch = _batch_from_meta(ix2[gr], scf_l2[gr], scf_s2[gr],
-                                 meta2[gr], active, gr)
+    for batch in batches:
         pcm, state = step(batch, state, exact, bug_compat)
         outs.append(pcm)
     return jnp.concatenate(outs, axis=1), state

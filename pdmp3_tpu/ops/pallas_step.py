@@ -322,7 +322,7 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
 
 def _back_ch_sb(ch: int, xa_sb, store_ref, bt, act,
                 hybl_ref, win2_ref, v_ref, nwin_ref, d_ref, inv_ref,
-                out_ref, store_out_ref, v_out_ref, prev_ref):
+                out_ref, store_out_ref, v_out_ref, out_idx=()):
     """Fast-mode back half in the subband-outer layout (fused kernel
     only; exact mode and back_half_t keep `_back_ch`).
 
@@ -342,7 +342,10 @@ def _back_ch_sb(ch: int, xa_sb, store_ref, bt, act,
     hyb_left).
 
     xa_sb [32,18,BN] post-antialias spectra, subband-outer; bt [32,BN]
-    effective block types; act [1,1,BN] bool.
+    effective block types; act [1,1,BN] bool.  out_idx prefixes the
+    out_ref write index (the frame-fused kernel's granule slot).
+    Returns x_time[0:3] of subband 0 for ch 0 (the band-12 prev3 carry,
+    written to its ref or chained in-register by the caller), else None.
     """
     BN = xa_sb.shape[-1]
     win2 = win2_ref[:]                           # [36,1]
@@ -351,6 +354,7 @@ def _back_ch_sb(ch: int, xa_sb, store_ref, bt, act,
     z6 = jnp.zeros((6, BN), F32)
     x_time = []
     new_store = []
+    xt03 = None
     for sb in range(32):
         if _ABLF == "noimdct":
             # ablation: IMDCT contractions replaced by a broadcast
@@ -375,7 +379,7 @@ def _back_ch_sb(ch: int, xa_sb, store_ref, bt, act,
         x_time.append(xt_sb)
         new_store.append(out36[18:])
         if ch == 0 and sb == 0:
-            prev_ref[:] = xt_sb[0:3]
+            xt03 = xt_sb[0:3]
     ns = jnp.stack(new_store, axis=1)                 # [18,32,BN]
     store_out_ref[ch] = jnp.where(act, ns, store_ref[ch])
 
@@ -404,14 +408,15 @@ def _back_ch_sb(ch: int, xa_sb, store_ref, bt, act,
 
     acc = jnp.where(act, acc, 0.0)
     if _ABLF == "noquant":
-        out_ref[ch] = acc.reshape(576, BN)
+        out_ref[(*out_idx, ch)] = acc.reshape(576, BN)
     else:
         scaled = acc.reshape(576, BN) * F32(32767.0)
         t = jnp.trunc(scaled)
         oob = jnp.isnan(scaled) | (t < -2147483648.0) | \
             (t > 2147483647.0)
-        out_ref[ch] = jnp.where(
+        out_ref[(*out_idx, ch)] = jnp.where(
             oob, F32(-32767.0), jnp.clip(t, -32767.0, 32767.0))
+    return xt03
 
 
 def _kernel(exact: bool,
@@ -532,17 +537,46 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
          out_ref, store_out_ref, v_out_ref, prev_ref) = refs
         ip_ref = None
     BN = act_ref.shape[-1]
-    fc = _front_consts(family)
     act = act_ref[0].reshape(1, 1, BN) != 0
+    xt03 = _fused_granule(
+        bug_compat, family, slot_major_ix, act, None,
+        ix_ref, scfl_ref, scfs_ref, lay_ref, meta_ref, sbg_ref, bt_ref,
+        ip_ref, wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
+        wshort_ref, wbs_ref, wiok_ref,
+        hybl_ref, win2_ref, nwin_ref, d_ref, inv_ref,
+        store_ref, v_ref, out_ref, store_out_ref, v_out_ref)
+    prev_ref[:] = xt03
+
+
+def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
+                   ix, scfl, scfs_in, lay, meta, sbg, bt, ip,
+                   wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
+                   wshort_ref, wbs_ref, wiok_ref,
+                   hybl_ref, win2_ref, nwin_ref, d_ref, inv_ref,
+                   store_src, v_src, out_ref, store_out_ref, v_out_ref,
+                   out_idx=()):
+    """One granule of the fully-fused fast step — the shared body of the
+    per-granule `_kernel_full` and the frame-fused `_kernel_frame`.
+
+    ix/scfl/... are refs or materialized [..., BN] granule slices (ref
+    and value indexing coincide for every access below).  store_src /
+    v_src are the state SOURCE — for in-frame chaining the previous
+    granule's output refs.  scf12 is the in-kernel band-12 OOB
+    substitution [3,BN] f32 for granule-1 steps (None = granule 0, or
+    already applied in XLA by the per-granule path).  out_idx prefixes
+    the PCM write index (the frame kernel's granule slot).  Returns
+    x_time[0:3] of (ch0, sb0) — the prev3 carry."""
+    BN = act.shape[-1]
+    fc = _front_consts(family)
 
     # --- requantize both channels (pdmp3.c:1829-1905, 2117-2152) ---
     xs = []
     oh0 = short0 = scf_l0 = t_s0 = None
     for ch in range(2):
         if slot_major_ix:
-            ixf = ix_ref[:, ch, :].astype(jnp.int32).T  # [576,BN]
+            ixf = ix[:, ch, :].astype(jnp.int32).T    # [576,BN]
         else:
-            ixf = ix_ref[ch].astype(jnp.int32)        # [576,BN]
+            ixf = ix[ch].astype(jnp.int32)            # [576,BN]
         sign = jnp.where(ixf < 0, F32(-1.0), F32(1.0))
         mag = jnp.clip(jnp.abs(ixf), 0, 8206).astype(F32)
         # x^(4/3) = x * cbrt(x), Newton-refined from an exp2/log2 seed
@@ -556,20 +590,25 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
             cb = (F32(2.0) * cb + safe / (cb * cb)) * F32(1.0 / 3.0)
             tmp3 = sign * jnp.where(mag == F32(0.0), F32(0.0), mag * cb)
 
-        lay = lay_ref[ch].reshape(1, BN)
+        lay_ch = lay[ch].reshape(1, BN)
         oh9 = (jax.lax.broadcasted_iota(jnp.int32, (9, BN), 0)
-               == lay).astype(F32)
+               == lay_ch).astype(F32)
         short = _dot(wshort_ref[:], oh9)              # [576,BN] 0/1
-        scfl = scfl_ref[ch].astype(F32)               # [22,BN]
-        t_l = (oh9[:, None, :] * scfl[None, :, :]).reshape(9 * 22, BN)
+        scfl_ch = scfl[ch].astype(F32)                # [22,BN]
+        t_l = (oh9[:, None, :] * scfl_ch[None, :, :]).reshape(9 * 22, BN)
         scf_l_line = _dot(wsfb_ref[:], t_l)
-        scfs = scfs_ref[ch].astype(F32)               # [39,BN]
+        scfs = scfs_in[ch].astype(F32)                # [39,BN]
+        if scf12 is not None and ch == 1:
+            # frame-fused band-12 OOB substitution: ch1 rows 36:39 from
+            # the in-frame prev3 bit patterns (same values the
+            # per-granule path writes in XLA, decode_granules_pallas)
+            scfs = jnp.concatenate([scfs[0:36], scf12], axis=0)
         t_s = (oh9[:, None, :] * scfs[None, :, :]).reshape(9 * 39, BN)
         scf_s_line = _dot(wsfs_ref[:], t_s)
 
-        gg = meta_ref[0 + ch].reshape(1, BN)
-        sfs = meta_ref[2 + ch].reshape(1, BN)
-        preflag = meta_ref[4 + ch].reshape(1, BN).astype(F32)
+        gg = meta[0 + ch].reshape(1, BN)
+        sfs = meta[2 + ch].reshape(1, BN)
+        preflag = meta[4 + ch].reshape(1, BN).astype(F32)
         qpu = 2 << sfs                                # [1,BN] i32
         pre_line = _dot(wpre_ref[:], oh9) * preflag
         q_long = qpu * (scf_l_line + pre_line).astype(jnp.int32)
@@ -581,8 +620,8 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
         q_short = qpu * scf_s_line.astype(jnp.int32)
         tmp1_short = (_k_quarter(q_short & 3, fc["quarter_down"])
                       * _k_pow2i(-(q_short >> 2)))
-        sbg = sbg_ref[ch].astype(F32)                 # [3,BN]
-        t_w = (oh9[:, None, :] * sbg[None, :, :]).reshape(27, BN)
+        sbg_ch = sbg[ch].astype(F32)                  # [3,BN]
+        t_w = (oh9[:, None, :] * sbg_ch[None, :, :]).reshape(27, BN)
         sbg_line = _dot(wwin_ref[:], t_w)
         eo_short = gg - 210 - 8 * sbg_line.astype(jnp.int32)
         tmp2_short = (_k_quarter(eo_short & 3, fc["quarter_up"])
@@ -599,10 +638,10 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
 
     # --- stereo (pdmp3.c:1911-1972, 2154-2220) ---
     l, r = xs
-    c0 = jnp.clip(meta_ref[6].reshape(1, BN), 0, 576)
-    c1r = jnp.clip(meta_ref[7].reshape(1, BN), 0, 576)
-    ms = meta_ref[10].reshape(1, BN)
-    isf = meta_ref[11].reshape(1, BN)
+    c0 = jnp.clip(meta[6].reshape(1, BN), 0, 576)
+    c1r = jnp.clip(meta[7].reshape(1, BN), 0, 576)
+    ms = meta[10].reshape(1, BN)
+    isf = meta[11].reshape(1, BN)
     if _ABLF == "nostereo":   # ablation: constant-false masks fold the
         ms = jnp.zeros(ms.shape, ms.dtype)      # MS/intensity chains away
         isf = jnp.zeros(isf.shape, isf.dtype)
@@ -622,8 +661,8 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
         # the closed-form 2^(-q/4) construction, proven bit-identical to
         # tables.lsf_intensity_tables over every reachable (iscale, pos)
         # (test_lsf_pallas: closed-form lock)
-        ipl = ip_ref[0:22].astype(F32)                # [22,BN]
-        ips = ip_ref[22:61].astype(F32)               # [39,BN]
+        ipl = ip[0:22].astype(F32)                    # [22,BN]
+        ips = ip[22:61].astype(F32)                   # [39,BN]
         t_pl = (oh0[:, None, :] * ipl[None, :, :]).reshape(9 * 22, BN)
         pos_l = _dot(wsfb_ref[:], t_pl)
         t_ps = (oh0[:, None, :] * ips[None, :, :]).reshape(9 * 39, BN)
@@ -631,7 +670,7 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
         pos = jnp.where(short0 == F32(1.0), pos_s, pos_l).astype(jnp.int32)
         imask = ((isf != 0) & (iok == F32(1.0)) & (band_start >= c1r)
                  & (pos != 63))
-        isc1 = meta_ref[12].reshape(1, BN) + 1        # iscale + 1
+        isc1 = meta[12].reshape(1, BN) + 1            # iscale + 1
         p = jnp.clip(pos, 0, 63)
         odd = (p & 1) == 1
         q0 = jnp.where(odd, (p + 1) >> 1, 0) * isc1
@@ -668,9 +707,10 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
         xs = [l, r]
 
     # --- antialias (pdmp3.c:1706-1732) + back half per channel ---
+    xt03 = None
     for ch in range(2):
         x2 = xs[ch].reshape(32, 18, BN)
-        sblim = meta_ref[8 + ch].reshape(1, BN)
+        sblim = meta[8 + ch].reshape(1, BN)
         keep = (jax.lax.broadcasted_iota(jnp.int32, (31, BN), 0)
                 + 1) < sblim
         # butterfly i couples rows (17-i, sb) x (i, sb+1); work on a
@@ -689,9 +729,263 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
                 rows[i] = jnp.concatenate(
                     [rows[i][:1], jnp.where(keep, ub, up)], axis=0)
         xa_sb = jnp.stack(rows, axis=1)               # [32,18,BN]
-        _back_ch_sb(ch, xa_sb, store_ref, bt_ref[ch], act,
-                    hybl_ref, win2_ref, v_ref, nwin_ref, d_ref, inv_ref,
-                    out_ref, store_out_ref, v_out_ref, prev_ref)
+        r03 = _back_ch_sb(ch, xa_sb, store_src, bt[ch], act,
+                          hybl_ref, win2_ref, v_src, nwin_ref, d_ref,
+                          inv_ref, out_ref, store_out_ref, v_out_ref,
+                          out_idx)
+        if ch == 0:
+            xt03 = r03
+    return xt03
+
+
+def _kernel_frame(bug_compat: bool, family: int, ng: int,
+                  parities: tuple, *refs):
+    """Frame-fused fast kernel: ng granule steps in ONE pallas_call.
+
+    The store/v state crosses granules in VMEM (one HBM round trip per
+    STEP instead of per granule — at B=8192 the per-granule path moves
+    ~200 MB of state per granule), and the band-12 OOB carry chains
+    in-register: granule g with parities[g]==1 substitutes ch1's scf_s
+    rows 36:39 from granule g-1's x_time[0:3] bit patterns in-kernel
+    (bitwise the values decode_granules_pallas writes in XLA from
+    prev_lines — test_frame_fused locks the equality).  It also removes
+    the prev3 output->input edge between consecutive kernels, so the
+    next step's XLA front half no longer serializes behind this step's
+    kernel at all.
+
+    parities: static granule-1 flags (the gr index within each frame);
+    prev_in seeds the carry chain and prev_out leaves with the same
+    parity/active gating as the per-granule path's new_prev."""
+    if family:
+        (ix_ref, scfl_ref, scfs_ref, lay_ref, meta_ref, sbg_ref,
+         act_ref, bt_ref, pin_ref, store_ref, v_ref, ip_ref,
+         wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
+         wshort_ref, wbs_ref, wiok_ref,
+         cos36t_ref, c3t_ref, wint_ref, hybl_ref, win2_ref, nwin_ref,
+         d_ref, inv_ref,
+         out_ref, store_out_ref, v_out_ref, prev_ref,
+         st_scr, v_scr) = refs
+    else:
+        (ix_ref, scfl_ref, scfs_ref, lay_ref, meta_ref, sbg_ref,
+         act_ref, bt_ref, pin_ref, store_ref, v_ref,
+         wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
+         wshort_ref, wbs_ref, wiok_ref,
+         cos36t_ref, c3t_ref, wint_ref, hybl_ref, win2_ref, nwin_ref,
+         d_ref, inv_ref,
+         out_ref, store_out_ref, v_out_ref, prev_ref,
+         st_scr, v_scr) = refs
+        ip_ref = None
+    BN = act_ref.shape[-1]
+    pv = pin_ref[:]                                   # [3,BN]
+    for g in range(ng):
+        act = act_ref[g, 0].reshape(1, 1, BN) != 0
+        scf12 = None
+        if parities[g]:
+            # uint32 compare via int32 + sign check (negative float bit
+            # patterns exceed 1024 unsigned): bitwise the XLA form
+            bi = jax.lax.bitcast_convert_type(pv, jnp.int32)
+            scf12 = jnp.where((bi >= 0) & (bi < 1024), bi,
+                              1024).astype(F32)
+        # inter-granule state rides VMEM scratch so the output refs
+        # stay write-only (reading an output block would pin it and
+        # serialize the grid's revolving-buffer pipelining); only the
+        # LAST granule writes the real outputs
+        last = g == ng - 1
+        xt03 = _fused_granule(
+            bug_compat, family, False, act, scf12,
+            ix_ref[g], scfl_ref[g], scfs_ref[g], lay_ref[g],
+            meta_ref[g], sbg_ref[g], bt_ref[g],
+            None if ip_ref is None else ip_ref[g],
+            wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
+            wshort_ref, wbs_ref, wiok_ref,
+            hybl_ref, win2_ref, nwin_ref, d_ref, inv_ref,
+            store_ref if g == 0 else st_scr,
+            v_ref if g == 0 else v_scr,
+            out_ref,
+            store_out_ref if last else st_scr,
+            v_out_ref if last else v_scr, (g,))
+        if not parities[g]:
+            # prev_lines updates on granule 0 of each frame, active
+            # slots only (decode_granules_pallas's new_prev gating)
+            pv = jnp.where(act[0], xt03, pv)
+    prev_ref[:] = pv
+
+
+def frame_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
+                 bt_t, prev_in, store_t, v_t, parities: tuple,
+                 block_lanes: int = 128, bug_compat: bool = True,
+                 family: int = 0, ip_t=None):
+    """Frame-fused fast-mode step: ng granules in one pallas_call.
+
+    Inputs are full_step_t's tensors stacked on a leading granule axis
+    (ix_t i16 [ng,2,576,B], ..., active i32 [ng,B] per-frame masks, bt_t
+    [ng,2,32,B]) plus prev_in f32 [3,B] — the band-12 carry entering the
+    step, feature-major.  parities: static per-granule gr-1 flags.
+    Returns (pcm_t [ng,2,576,B] quantized floats, new_store_t, new_v_t,
+    prev_out [3,B])."""
+    ng = len(parities)
+    assert ix_t.shape[0] == ng
+    B = active.shape[-1]
+    BN = min(block_lanes, B)
+    pad = (-B) % BN if B >= BN else 0
+    if B < BN or (BN % 128 and jax.default_backend() == "tpu"):
+        BN = 128 if jax.default_backend() == "tpu" else BN
+        pad = (-B) % BN
+    if pad:
+        def padl(x):
+            return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        (ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active, bt_t,
+         prev_in, store_t, v_t) = map(
+            padl, (ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t,
+                   active, bt_t, prev_in, store_t, v_t))
+        if ip_t is not None:
+            ip_t = padl(ip_t)
+    Bp = active.shape[-1]
+    c = _consts()
+    fc = _front_consts(family)
+    act2 = active.reshape(ng, 1, Bp).astype(jnp.int32)
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((*shape[:-1], BN),
+                            lambda i, _n=nd: (0,) * (_n - 1) + (i,),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(arr):
+        shape = np.asarray(arr).shape
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    fronts = (fc["w_sfb"], fc["w_sfs"], fc["w_sfs_plain"], fc["w_win"],
+              fc["w_pre"], fc["w_short"], fc["w_bs"], fc["w_iok"])
+    backs = (c["cos36_t"], c["c3_t"], c["win_t"], c["hyb_left"],
+             c["win2"], c["nwin"], c["d"], c["inv_t"])
+    meta_rows = 13 if family else 12
+    extra_specs = [bspec((ng, 64, Bp))] if family else []
+    in_specs = [
+        bspec((ng, 2, 576, Bp)), bspec((ng, 2, 22, Bp)),
+        bspec((ng, 2, 39, Bp)), bspec((ng, 2, Bp)),
+        bspec((ng, meta_rows, Bp)), bspec((ng, 2, 3, Bp)),
+        bspec((ng, 1, Bp)), bspec((ng, 2, 32, Bp)),
+        bspec((3, Bp)),
+        bspec((2, 18, 32, Bp)), bspec((2, 15, 64, Bp)), *extra_specs,
+        *(cspec(a) for a in fronts), *(cspec(a) for a in backs),
+    ]
+    out_specs = (
+        bspec((ng, 2, 576, Bp)), bspec((2, 18, 32, Bp)),
+        bspec((2, 15, 64, Bp)), bspec((3, Bp)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((ng, 2, 576, Bp), F32),
+        jax.ShapeDtypeStruct((2, 18, 32, Bp), F32),
+        jax.ShapeDtypeStruct((2, 15, 64, Bp), F32),
+        jax.ShapeDtypeStruct((3, Bp), F32),
+    )
+    extra_args = [ip_t] if family else []
+    with jax.enable_x64(False):  # same Mosaic i64 caveat as back_half_t
+        outs = pl.pallas_call(
+            functools.partial(_kernel_frame, bug_compat, family, ng,
+                              parities),
+            grid=(Bp // BN,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((2, 18, 32, BN), F32),
+                            pltpu.VMEM((2, 15, 64, BN), F32)],
+            interpret=jax.default_backend() != "tpu",
+        )(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, act2, bt_t,
+          prev_in, store_t, v_t, *extra_args,
+          *(jnp.asarray(a) for a in fronts),
+          *(jnp.asarray(a) for a in backs))
+    if pad:
+        outs = tuple(o[..., :B] for o in outs)
+    return outs
+
+
+@functools.partial(_lazy_jit,
+                   static_argnames=("parities", "bug_compat",
+                                    "block_lanes", "family"))
+def decode_frames_pallas(batches, pstate: PallasState, parities: tuple,
+                         bug_compat: bool = True, block_lanes: int = 128,
+                         family: int = 0):
+    """Fast-mode frame step: ALL granules of a serving step in one
+    pallas_call (frame_step_t), so the store/v state round-trips HBM
+    once per step instead of once per granule and the band-12 carry
+    never leaves the kernel.
+
+    batches: tuple of GranuleBatch, one per granule in decode order;
+    parities: static tuple of gr-within-frame indices (MPEG-1 frames
+    are (0, 1) pairs; LSF pools all 0).  Returns (pcm i16
+    [B, ng*576, 2] — the per-granule outputs concatenated along time —
+    and the new PallasState).  Bitwise identical to chaining
+    decode_granules_pallas(exact=False) over the same granules
+    (test_frame_fused)."""
+    ng = len(parities)
+    assert len(batches) == ng and ng >= 1
+    B = batches[0].ix.shape[0]
+
+    def prep(batch):
+        # the per-granule fast front of decode_granules_pallas, minus
+        # the XLA band-12 substitution (the kernel chains it in-VMEM)
+        ix_t = batch.ix.astype(jnp.int16).transpose(1, 2, 0)
+        scf_l_t = batch.scf_l.astype(jnp.int32).transpose(1, 2, 0)
+        scf_s_t = (batch.scf_s.astype(jnp.int32).reshape(B, 2, 39)
+                   .transpose(1, 2, 0))
+        lay_t = batch.layout.astype(jnp.int32).T
+        ws, btb, mx = batch.win_switch, batch.block_type, batch.mixed
+        isp = (ws == 1) & (btb == 2) & (mx == 0)
+        ism = (ws == 1) & (btb == 2) & (mx == 1)
+        sblim = jnp.where(isp, 1, jnp.where(ism, 2, 32))  # [B,2]
+        meta_rows = [
+            batch.global_gain.astype(jnp.int32).T,
+            batch.scalefac_scale.astype(jnp.int32).T,
+            batch.preflag.astype(jnp.int32).T,
+            batch.count1.astype(jnp.int32).T,
+            sblim.astype(jnp.int32).T,
+            batch.ms_flag.astype(jnp.int32)[None],
+            batch.is_flag.astype(jnp.int32)[None],
+        ]
+        ip_t = None
+        if family:
+            meta_rows.append(batch.iscale.astype(jnp.int32)[None])
+            ip_t = jnp.concatenate([
+                batch.is_pos_l.astype(jnp.int32).T,
+                batch.is_pos_s.astype(jnp.int32).reshape(B, 39).T,
+                jnp.zeros((3, B), jnp.int32),
+            ], axis=0)                                     # [64,B]
+        meta_t = jnp.concatenate(meta_rows, axis=0)
+        sbg_t = batch.subblock_gain.astype(jnp.int32).transpose(1, 2, 0)
+        sb = jnp.arange(32, dtype=jnp.int32)
+        bt_eff = jnp.where(((batch.win_switch == 1) & (batch.mixed == 1))
+                           [..., None] & (sb < 2), 0,
+                           batch.block_type[..., None])    # [B,2,32]
+        return (ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t,
+                batch.active.astype(jnp.int32), bt_eff.transpose(1, 2, 0),
+                ip_t)
+
+    preps = [prep(b) for b in batches]
+    stk = [jnp.stack([p[k] for p in preps]) for k in range(8)]
+    ip_t = (jnp.stack([p[8] for p in preps]) if family else None)
+    q, store_t, v_t, prev_out = frame_step_t(
+        *stk[:8], pstate.prev_lines.T, pstate.store_t, pstate.v_t,
+        parities, block_lanes=block_lanes, bug_compat=bug_compat,
+        family=family, ip_t=ip_t)
+
+    # pack + relayout (see decode_granules_pallas): uint32 L|R<<16 per
+    # granule, one [B, ng*576] transpose, bitcast to [B, ng*576, 2] i16
+    q16 = q.astype(jnp.int16)                             # [ng,2,576,B]
+    left = q16[:, 0]
+    nch = jnp.stack([b.nch for b in batches])             # [ng,B]
+    right = jnp.where((nch == 1)[:, None, :], left, q16[:, 1])
+    packed = (left.astype(jnp.uint16).astype(jnp.uint32)
+              | (right.astype(jnp.uint16).astype(jnp.uint32) << 16))
+    act = jnp.stack([b.active for b in batches])          # [ng,B]
+    packed = jnp.where((act != 0)[:, None, :], packed, 0)
+    out = jax.lax.bitcast_convert_type(
+        packed.transpose(2, 0, 1).reshape(B, ng * 576), jnp.int16)
+    return out, PallasState(store_t=store_t, v_t=v_t,
+                            prev_lines=prev_out.T)
 
 
 @functools.partial(_lazy_jit, static_argnames=("block_lanes", "exact"))
