@@ -758,7 +758,17 @@ class Frontend:
             return
         bit_pos_end = part_2_start + int(s.part2_3_length[gr][ch]) - 1
         if s.win_switch_flag[gr][ch] and s.block_type[gr][ch] == 2:
-            region_1_start = 36
+            # region0 = first 3 short scalefactor bands x 3 windows.
+            # All MPEG-1 rates have 4-wide leading short bands, so the
+            # reference hardcodes 36 (pdmp3.c:2064); MPEG-2.5 8 kHz has
+            # 8-wide bands (3*24 = 72).  Verified empirically vs BOTH
+            # libmpg123 and libavcodec (round 5 single-line probes);
+            # they disagree with each other on 8 kHz MIXED blocks
+            # (ffmpeg 72 / mpg123 108) — we follow ffmpeg, our LSF
+            # anchor (DESIGN.md §6).
+            h = self.header
+            region_1_start = 3 * int(
+                T.SFB_SHORT_FAM[h.family][h.sampling_frequency][3])
             region_2_start = 576
         else:
             h = self.header
@@ -854,7 +864,14 @@ class Frontend:
         return x, y
 
     def _huff_quad(self, tab) -> tuple[int, int, int, int]:
-        if tab.ref_broken and not self.count1_table_b_spec:
+        # LSF frames always use the REAL ISO table B: the broken-table-33
+        # emulation is reference bug parity, and the reference rejects
+        # id=0 (pdmp3.c:1295).  Real MPEG-2/2.5 encoders (LAME) select
+        # table B — spec decode is the only one matching production
+        # decoders (round-5 real-encoder LSF conformance; anchored vs
+        # libmpg123 + libavcodec).
+        if tab.ref_broken and not (self.count1_table_b_spec
+                                   or self.header.family):
             q = 3  # reference's stale table-33 pointer: 0-bit leaf (2,3)
         else:
             _, q = self._peek_decode(tab)

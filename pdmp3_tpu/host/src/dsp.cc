@@ -89,11 +89,24 @@ void stereo(const pdmp3_granules &g, int gr, float x[2][576],
             bool spec_intensity = false) {
   // pdmp3.c:1911-1972, 2154-2220
   if (!g.ms_flag && !g.is_flag) return;
+  float raw0[576];
+  if (g.family && g.is_flag && g.ms_flag)
+    std::memcpy(raw0, x[0], sizeof(raw0));
   if (g.ms_flag) {
-    // butterfly over min(count1): count1[gr][!!(c0>c1)] (pdmp3.c:1920)
-    int c0 = g.count1[gr][0], c1 = g.count1[gr][1];
-    int mp = c0 < c1 ? c0 : c1;
-    if (mp > 576) mp = 576;
+    // MPEG-1: butterfly over min(count1): count1[gr][!!(c0>c1)]
+    // (pdmp3.c:1920).  LSF: full spectrum — the min-count1 extent is
+    // bug parity with no LSF target (the reference rejects id=0);
+    // production decoders butterfly everything and real LAME MPEG-2/2.5
+    // joint-stereo streams decode wrong under the extrapolated quirk
+    // (round-5 real-encoder LSF conformance, DESIGN.md §6).
+    int mp;
+    if (g.family) {
+      mp = 576;
+    } else {
+      int c0 = g.count1[gr][0], c1 = g.count1[gr][1];
+      mp = c0 < c1 ? c0 : c1;
+      if (mp > 576) mp = 576;
+    }
     for (int i = 0; i < mp; i++) {
       float mid = x[0][i] + x[1][i];
       float sid = x[0][i] - x[1][i];
@@ -119,7 +132,10 @@ void stereo(const pdmp3_granules &g, int gr, float x[2][576],
                   ? g.is_pos_s[sfb > 12 ? 12 : sfb][m.win[lay][i]]
                   : g.is_pos_l[sfb];
       if (p == kLsfIsIllegal) continue;
-      float seg = x[0][i];
+      // the carrier is the RAW ch0 (mid) value: with full-spectrum MS
+      // above, x[0][i] is already mid/sqrt(2) here (libavcodec runs
+      // intensity before MS; raw carrier gives the same result)
+      float seg = g.ms_flag ? raw0[i] : x[0][i];
       x[0][i] = k0[p & 63] * seg;
       x[1][i] = k1[p & 63] * seg;
     }

@@ -983,7 +983,15 @@ void FrameParser::region_bounds(int gr, int ch, int ends[3],
   // big-values region boundaries (pdmp3.c:2064-2076)
   int region_1_start, region_2_start;
   if (si.win_switch[gr][ch] && si.block_type[gr][ch] == 2) {
-    region_1_start = 36;
+    // Short/mixed blocks: region0 spans the first 3 short scalefactor
+    // bands x 3 windows.  Every MPEG-1 rate's first three short bands
+    // are 4 lines wide, so the reference hardcodes 36 (pdmp3.c:2064) —
+    // but MPEG-2.5 8 kHz has 8-wide bands (3*24 = 72).  Determined
+    // empirically against BOTH libmpg123 and libavcodec (single-line
+    // probe streams, round 5): both use 3*s[3] for pure short blocks;
+    // for 8 kHz MIXED blocks they disagree with each other (ffmpeg 72,
+    // mpg123 108) and we follow ffmpeg, our LSF anchor (DESIGN.md §6).
+    region_1_start = 3 * kSfbShortFam[hdr.family][hdr.sampling_frequency][3];
     region_2_start = 576;
   } else {
     int sf = hdr.sampling_frequency;
@@ -1126,7 +1134,13 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
   }
   while (table_b && is_pos <= 572 && res.pos() <= bit_pos_end) {
     int32_t v, w, x, y;
-    if (profile & PDMP3_PROFILE_COUNT1B_SPEC) {
+    // LSF frames always use the REAL table B: the broken-table-33
+    // emulation is reference bug parity, and the reference rejects
+    // id=0 outright (pdmp3.c:1295) — real MPEG-2/2.5 encoders (LAME)
+    // DO select table B, so the spec decode is the only one that
+    // matches production decoders (found by round-5 real-encoder LSF
+    // conformance; libmpg123 + libavcodec both anchor it)
+    if ((profile & PDMP3_PROFILE_COUNT1B_SPEC) || hdr.family) {
       // spec profile: the REAL ISO count1 table B — every code is 4 bits,
       // quad value = one's complement of the code — plus sign bits
       uint32_t q = 15u - res.get_bits(4);
@@ -1237,7 +1251,9 @@ int FrameParser::read_main(pdmp3_granules *g,
           line, res.bytes, &si.count1[gr][ch], hstart,
           part_2_start + p23 - 1, big,
           si.count1table_select[gr][ch] != 0,
-          (profile & PDMP3_PROFILE_COUNT1B_SPEC) != 0, ends, tnums, ft);
+          // LSF: always the real ISO table B (see read_huffman)
+          (profile & PDMP3_PROFILE_COUNT1B_SPEC) != 0 || hdr.family != 0,
+          ends, tnums, ft);
       if (++n_ready == 2) {
         PDMP3_TSC(pdmp3_cyc_regions, decode_two(slices[0], slices[1], ft));
         slices[0] = HuffSlice();

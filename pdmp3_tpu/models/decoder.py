@@ -28,6 +28,14 @@ from ..frontend import FrameData
 
 from ..utils.jit import lazy_jit as _lazy_jit
 
+# Frame-fused opt-in (a measured perf dead end kept reproducible, see
+# docs/ROADMAP.md).  Read ONCE at import: decode_frame_soa is jitted, so
+# a per-call env read would be baked into the first trace anyway and a
+# later toggle would silently keep the old routing; the import-time read
+# makes the process-wide behavior explicit.  Tests override the module
+# attribute directly (monkeypatch.setattr), not the env var.
+_FRAME_FUSED = os.environ.get("PDMP3_FRAME_FUSED") == "1"
+
 
 class GranuleBatch(NamedTuple):
     """Host->device tensors for one decode step (B granule slots).
@@ -294,8 +302,7 @@ def decode_frame_soa(ix2, scf_l2, scf_s2, meta2, active, state,
     batches = [_batch_from_meta(ix2[gr], scf_l2[gr], scf_s2[gr],
                                 meta2[gr], active, gr)
                for gr in range(2)]
-    if kernel == "pallas" and not exact and \
-            os.environ.get("PDMP3_FRAME_FUSED") == "1":
+    if kernel == "pallas" and not exact and _FRAME_FUSED:
         # MEASURED DEAD END, kept reproducible (docs/ROADMAP.md): both
         # granules in ONE pallas_call — bitwise identical to the
         # per-granule chain (test_frame_fused) and it does halve the

@@ -650,8 +650,17 @@ def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
     l, r = x[:, 0], x[:, 1]
 
     # --- mid/side ---
-    mp = jnp.minimum(c0, c1r)
-    ms_mask = (ms_flag[:, None] != 0) & (idx[None, :] < mp[:, None])
+    # MPEG-1: butterfly below min(count1) (pdmp3.c:1920 bug parity).
+    # LSF: full spectrum — the min-count1 extent is an extrapolated
+    # quirk with no reference target (the reference rejects id=0);
+    # production decoders (libavcodec/libmpg123) butterfly everything
+    # (round-5 real-encoder LSF conformance, DESIGN.md §6).
+    l_raw = l
+    if family:
+        ms_mask = jnp.broadcast_to((ms_flag[:, None] != 0), (l.shape[0], 576))
+    else:
+        mp = jnp.minimum(c0, c1r)
+        ms_mask = (ms_flag[:, None] != 0) & (idx[None, :] < mp[:, None])
     # the f32 sums must round BEFORE the f64 widening (C evaluates
     # float+float in float, then promotes for /sqrt(2.0) —
     # pdmp3.c:1925); the pin forecloses excess-precision evaluation of
@@ -703,8 +712,11 @@ def stereo(x, layout, scf_l, scf_s, count1, ms_flag, is_flag,
                         preferred_element_type=F32)
         k1 = jnp.einsum("bik,bk->bi", poh, k1_tab, precision=_HIGH,
                         preferred_element_type=F32)
-        l_out = jnp.where(imask, k0 * l, l)
-        r_out = jnp.where(imask, k1 * l, r)
+        # intensity pans the RAW ch0 (mid) carrier: with full-spectrum
+        # MS above, post-MS l is mid/sqrt(2) on intensity bands
+        # (libavcodec runs intensity before MS; same result)
+        l_out = jnp.where(imask, k0 * l_raw, l)
+        r_out = jnp.where(imask, k1 * l_raw, r)
         return jnp.stack([l_out, r_out], axis=1)
 
     # scalefactor values are <= 15 here (intensity positions), so the

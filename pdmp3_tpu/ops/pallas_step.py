@@ -646,7 +646,14 @@ def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
         ms = jnp.zeros(ms.shape, ms.dtype)      # MS/intensity chains away
         isf = jnp.zeros(isf.shape, isf.dtype)
     iota = jax.lax.broadcasted_iota(jnp.int32, (576, BN), 0)
-    ms_mask = (ms != 0) & (iota < jnp.minimum(c0, c1r))
+    if family:
+        # LSF: full-spectrum butterfly (production-decoder semantics,
+        # dsp.stereo / DESIGN.md §6); intensity below pans the RAW
+        # ch0 carrier, so keep it
+        ms_mask = jnp.broadcast_to(ms != 0, (576, BN))
+    else:
+        ms_mask = (ms != 0) & (iota < jnp.minimum(c0, c1r))
+    l_raw = l
     cst = F32(fc["inv_sqrt2"])
     l2 = jnp.where(ms_mask, (l + r) * cst, l)
     r2 = jnp.where(ms_mask, (l - r) * cst, r)
@@ -679,8 +686,8 @@ def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
               * _k_pow2i(-(q0 >> 2)))
         k1 = (_k_quarter(q1 & 3, fc["quarter_down"])
               * _k_pow2i(-(q1 >> 2)))
-        l2 = jnp.where(imask, k0 * l, l)
-        r = jnp.where(imask, k1 * l, r)
+        l2 = jnp.where(imask, k0 * l_raw, l)
+        r = jnp.where(imask, k1 * l_raw, r)
         l = l2
         xs = [l, r]
     else:
@@ -982,6 +989,16 @@ def decode_frames_pallas(batches, pstate: PallasState, parities: tuple,
               | (right.astype(jnp.uint16).astype(jnp.uint32) << 16))
     act = jnp.stack([b.active for b in batches])          # [ng,B]
     packed = jnp.where((act != 0)[:, None, :], packed, 0)
+    # loud-failure guard: the kernel applies the band-12 OOB
+    # substitution from the STATIC parities tuple, not per-slot gr1
+    # (every in-repo caller is frame-synchronized).  A desynchronized
+    # batch — an active slot whose gr1 disagrees with its granule's
+    # static parity — would decode silently wrong PCM, so poison the
+    # whole step to full-scale instead (one [ng,B] compare per step)
+    gr1 = jnp.stack([b.gr1 for b in batches])             # [ng,B]
+    par = jnp.asarray(parities, jnp.int32)[:, None]
+    desync = jnp.any((gr1 != par) & (act != 0))
+    packed = jnp.where(desync, jnp.uint32(0x80008000), packed)
     out = jax.lax.bitcast_convert_type(
         packed.transpose(2, 0, 1).reshape(B, ng * 576), jnp.int16)
     return out, PallasState(store_t=store_t, v_t=v_t,

@@ -110,19 +110,34 @@ def _stereo(fd: FrameData, gr: int, x: np.ndarray,
     h, s = fd.header, fd.side
     if h.mode != 1 or h.mode_extension == 0:
         return
+    raw0 = x[0].copy() if (h.family and (h.mode_extension & 0x1)) else None
     if h.mode_extension & 0x2:
-        # Mid/side over i < count1[gr][!!(c0 > c1)] — i.e. the *smaller*
-        # count1 (pdmp3.c:1920): lines in [min(c0,c1), max(c0,c1)) keep the
-        # raw mid signal unscaled.
-        mp = int(min(s.count1[gr][0], s.count1[gr][1]))
-        mp = max(0, min(mp, 576))
+        if h.family:
+            # LSF: full-spectrum butterfly.  The reference's min-count1
+            # extent (pdmp3.c:1920) is bug parity with no LSF target (the
+            # reference rejects id=0); production decoders (libavcodec,
+            # libmpg123) butterfly the whole spectrum, and real LAME
+            # MPEG-2/2.5 joint-stereo streams decode audibly wrong under
+            # the min-count1 extrapolation (round-5 real-encoder LSF
+            # conformance).  Adjudicated in DESIGN.md §6.
+            mp = 576
+        else:
+            # Mid/side over i < count1[gr][!!(c0 > c1)] — i.e. the
+            # *smaller* count1 (pdmp3.c:1920): lines in [min, max) keep
+            # the raw mid signal unscaled.
+            mp = int(min(s.count1[gr][0], s.count1[gr][1]))
+            mp = max(0, min(mp, 576))
         mid = x[0][:mp] + x[1][:mp]
         sid = x[0][:mp] - x[1][:mp]
         x[0][:mp] = (mid.astype(np.float64) * T.INV_SQRT2).astype(F32)
         x[1][:mp] = (sid.astype(np.float64) * T.INV_SQRT2).astype(F32)
     if h.mode_extension & 0x1:
         if h.family:
-            _intensity_lsf(fd, x)
+            # intensity pans the RAW ch0 (mid) carrier — with the
+            # full-spectrum MS above, the post-MS value would be
+            # mid/sqrt(2) on intensity bands (libavcodec processes the
+            # intensity region before MS; same result, raw carrier)
+            _intensity_lsf(fd, x, raw0)
             return
         sfreq = h.sampling_frequency
         c1r = int(s.count1[gr][1])
@@ -188,7 +203,8 @@ def _stereo(fd: FrameData, gr: int, x: np.ndarray,
                     intensity_long(sfb)
 
 
-def _intensity_lsf(fd: FrameData, x: np.ndarray) -> None:
+def _intensity_lsf(fd: FrameData, x: np.ndarray,
+                   raw0: np.ndarray | None = None) -> None:
     """LSF intensity stereo (13818-3 §2.4.3.2).  Spec-derived — the
     reference rejects LSF streams, so there is no bug parity here; this
     is the semantic contract the JAX and native paths must match.
@@ -209,13 +225,14 @@ def _intensity_lsf(fd: FrameData, x: np.ndarray) -> None:
     k0t, k1t = T.lsf_intensity_tables()
     isc = int(fd.intensity_scale)
     c1r = int(s.count1[0][1])
+    carrier = x[0] if raw0 is None else raw0
 
     def ilong(sfb: int) -> None:
         p = int(fd.is_eff_l[sfb])
         if p == T.LSF_IS_ILLEGAL:
             return
         lo, hi = int(longs[sfb]), int(longs[sfb + 1])
-        seg = x[0][lo:hi].copy()
+        seg = carrier[lo:hi].copy()
         x[0][lo:hi] = F32(k0t[isc][p]) * seg
         x[1][lo:hi] = F32(k1t[isc][p]) * seg
 
@@ -227,7 +244,7 @@ def _intensity_lsf(fd: FrameData, x: np.ndarray) -> None:
                 continue
             lo = int(shorts[sfb]) * 3 + wl * w
             hi = lo + wl
-            seg = x[0][lo:hi].copy()
+            seg = carrier[lo:hi].copy()
             x[0][lo:hi] = F32(k0t[isc][p]) * seg
             x[1][lo:hi] = F32(k1t[isc][p]) * seg
 

@@ -344,6 +344,15 @@ BITRATES_LSF = np.array(
 # 2-line tail bands.
 _SFB_L_22 = [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
              200, 238, 284, 336, 396, 464, 522, 576]
+# 24 kHz band 17/18 edge: the ecosystem is split on this single entry
+# (ISO 13818-3 Table B.8 discrepancy).  libmpg123 + LAME (dist10
+# lineage) use 332; libavcodec uses 330.  Round-5 edge census (high-
+# power single-line probes over EVERY LSF band edge, both families,
+# all rates) found this to be the ONLY disputed point.  We follow the
+# ENCODER: real LAME 24 kHz granules place region2 at longs[18]=332 and
+# only fit their part2_3_length under 332 (source-correlation referee:
+# mpg123 0.876 vs ffmpeg 0.74) — so 24 kHz conformance anchors against
+# libmpg123, not libavcodec (tests/test_real_encoder.py).
 _SFB_L_24 = [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136, 162,
              194, 232, 278, 332, 394, 464, 540, 576]
 _SFB_L_8 = [0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232, 280,

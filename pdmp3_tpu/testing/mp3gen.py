@@ -249,7 +249,8 @@ def make_granule(rng: random.Random, *, sfreq: int, block: str = "long",
     for i in range(big2):
         # region-respecting magnitude caps
         if g.win_switch and g.block_type == 2:
-            region = 0 if i < 36 else 1
+            region = 0 if i < 3 * int(T.SFB_SHORT_FAM[family][sfreq][3]) \
+                else 1
         else:
             longs = T.SFB_LONG_FAM[family][sfreq]
             r1 = int(longs[g.region0_count + 1])
@@ -307,7 +308,10 @@ def _write_huffman(bw: BitWriter, g: GranuleSpec, sfreq: int,
     tabs = T.huffman_tables()
     big2 = g.big_values * 2
     if g.win_switch and g.block_type == 2:
-        r1, r2 = 36, 576
+        # first 3 short bands x 3 windows (= 36 everywhere except the
+        # MPEG-2.5 8 kHz table's 8-wide bands: 72); matches the decoder
+        # convention pinned vs libmpg123/libavcodec in frontend.py
+        r1, r2 = 3 * int(T.SFB_SHORT_FAM[family][sfreq][3]), 576
     else:
         longs = T.SFB_LONG_FAM[family][sfreq]
         r1 = int(longs[g.region0_count + 1])
@@ -329,8 +333,10 @@ def _write_huffman(bw: BitWriter, g: GranuleSpec, sfreq: int,
             bw.put(ay - 15, tab.linbits)
         if ay > 0:
             bw.put(1 if y < 0 else 0, 1)
-    # count1 quads
-    if g.count1table_select == 1 and getattr(g, "count1_spec", False):
+    # count1 quads (LSF streams always use the real ISO table B — the
+    # decoders' broken-table-33 emulation is MPEG-1-only bug parity)
+    if g.count1table_select == 1 and (getattr(g, "count1_spec", False)
+                                      or family):
         # true ISO table B: every quad is a 4-bit code + sign bits
         emap = enc[33]
         for q in range(g.n_quads):
@@ -421,6 +427,12 @@ def build_frame_main_data(fs: FrameSpec) -> tuple[bytes, list]:
             for _ in range(g.stuffing_bits):
                 bw.put(0, 1)
             p23[gr][ch] = bw.nbits() - start
+            # p23_trim: declare FEWER bits than were written, so the
+            # decoder's Huffman read legitimately runs into the bit
+            # budget mid-symbol — real encoders (LAME) emit such
+            # granules and rely on the decoder stopping at the budget
+            # (the overrun-handling semantics probed in round 5)
+            p23[gr][ch] -= int(getattr(g, "p23_trim", 0))
             assert p23[gr][ch] < 4096, "part2_3_length overflow"
     return bw.to_bytes(), p23
 

@@ -89,6 +89,20 @@ def test_mpeg1_vs_libavcodec(desc, kw):
     ("fam1-22k-short", dict(blocks="short", mode=0, family=1, sfreq=0)),
     ("fam1-16k", dict(blocks="long", mode=0, family=1, sfreq=2)),
     ("fam2-8k", dict(blocks="long", mode=3, family=2, sfreq=2)),
+    # 8 kHz short/mixed: the ONLY rate whose leading short bands are
+    # 8-wide, so the Huffman region0/1 boundary is 72, not the MPEG-1
+    # constant 36 (round-5 fix, DESIGN.md §6b) — these rows would decode
+    # garbage under the old hardcode
+    ("fam2-8k-short", dict(blocks="short", mode=3, family=2, sfreq=2)),
+    ("fam2-8k-mixed", dict(blocks="mixed", mode=3, family=2, sfreq=2)),
+    ("fam2-12k-short", dict(blocks="short", mode=3, family=2, sfreq=1)),
+    # LSF MS joint stereo: full-spectrum butterfly (DESIGN.md §6b) —
+    # comparable to a conformant decoder, unlike the MPEG-1 min-count1
+    # parity extent (test_ms_extent_quirk_documented below)
+    ("fam1-ms", dict(blocks="long", mode=1, mode_extension=2, family=1)),
+    ("fam1-ms-short", dict(blocks="short", mode=1, mode_extension=2,
+                           family=1)),
+    ("fam2-ms", dict(blocks="long", mode=1, mode_extension=2, family=2)),
 ])
 def test_lsf_vs_libavcodec(desc, kw):
     """External validation of the whole LSF extension (frontend,

@@ -174,11 +174,12 @@ def test_frame_soa_fused_optin_matches_per_granule(monkeypatch):
     st_p = PSF.init_pallas_state(B)
     st_g = PSF.init_pallas_state(B)
     st_x = M.init_state(B)
-    monkeypatch.setenv("PDMP3_FRAME_FUSED", "1")
+    # the opt-in is read once at module import (jit-trace consistency);
+    # tests flip the module attribute, not the env var
+    monkeypatch.setattr(M, "_FRAME_FUSED", True)
     for b0, b1 in steps:
         soa = _soa_from_batches(b0, b1)
-        # __wrapped__: eager, so the env opt-in is read on every call
-        # (the jitted wrapper bakes it into the trace)
+        # __wrapped__: eager (the jitted wrapper would cache the trace)
         pp, st_p = M.decode_frame_soa.__wrapped__(
             *soa, st_p, exact=False, kernel="pallas")
         px, st_x = M.decode_frame_soa.__wrapped__(

@@ -17,7 +17,7 @@ one fresh process per config (the hook is read at trace time):
 delta_ms vs baseline attributes the on-chip cost of each stage (DCE
 removes the skipped stage's whole dependency chain).  Output is wrong
 by design under any ablation — these are bench-only configs.  Results
-land in KERNEL_PROFILE_r04.json.  Match: the hot loops the kernel fuses,
+land in KERNEL_PROFILE_r05.json (override with ABL_FAST_OUT).  Match: the hot loops the kernel fuses,
 /root/reference/pdmp3.c:1649-1700,1978-2045.
 """
 from __future__ import annotations
@@ -47,7 +47,10 @@ ABLS = ["", "nopow", "nogain", "nostereo", "noaa", "noimdct", "nopoly",
 
 
 def main() -> None:
+    out_path = os.path.join(
+        REPO, os.environ.get("ABL_FAST_OUT", "KERNEL_PROFILE_r05.json"))
     results = []
+    errored = False
     for abl in ABLS:
         env = dict(os.environ)
         if abl:
@@ -59,18 +62,28 @@ def main() -> None:
             env=env, capture_output=True, text=True, timeout=3600)
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
         if out.returncode != 0 or not line.startswith("{"):
-            print(json.dumps({"abl": abl, "error": out.stderr[-800:]}))
+            # record the failed leg in the artifact too: a silently
+            # partial profile must not be mistakable for a complete one
+            errored = True
+            rec = {"abl": abl, "error": out.stderr[-800:]}
+            results.append(rec)
+            print(json.dumps(rec))
             continue
         r = json.loads(line)
         results.append(r)
         print(json.dumps(r), flush=True)
     if results:
-        base = next((r for r in results if r["abl"] == ""), None)
+        ok = [r for r in results if "error" not in r]
+        base = next((r for r in ok if r["abl"] == ""), None)
         if base:
-            for r in results:
+            for r in ok:
                 r["delta_ms_vs_fast"] = round(
                     base["step_ms"] - r["step_ms"], 3)
-        with open(os.path.join(REPO, "KERNEL_PROFILE_r04.json"), "w") as f:
+        if errored:
+            results.append({"abl": "_summary", "complete": False,
+                            "note": "one or more legs errored; deltas "
+                                    "cover the successful legs only"})
+        with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
 
 

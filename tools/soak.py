@@ -134,7 +134,87 @@ def soak_one_lsf(i: int, jax_every: int) -> str:
             f"{cfg}")
 
 
+REAL_LSF_SEED_OFF = 900000
+
+
+def random_real_lsf_config(rng: random.Random) -> dict:
+    """Real-encoder LSF sampler: libmp3lame over every MPEG-2/2.5 rate
+    (families 1 and 2), all LAME rate-control modes, randomized program
+    material.  Breaks the table-provenance loop for the LSF subsystem
+    (round-5 VERDICT item 1)."""
+    rate = rng.choice([24000, 22050, 16000, 12000, 11025, 8000])
+    mode = rng.choice(["cbr", "abr", f"vbr:{rng.randrange(10)}"])
+    hi = rate >= 16000
+    return dict(
+        codec="libmp3lame", mode=mode, rate=rate,
+        channels=rng.choice([1, 2, 2]),
+        bitrate=rng.choice([32000, 48000, 64000, 96000, 144000] if hi
+                           else [16000, 24000, 32000, 48000, 64000]),
+        material=rng.choice(MATERIALS),
+        seconds=rng.uniform(0.4, 0.9),
+    )
+
+
+def soak_one_real_lsf(i: int, jax_every: int) -> str:
+    """Real-encoder LSF differential soak: LAME MPEG-2/2.5 streams
+    decoded by our LSF path (python + native bit-equal) and anchored
+    tolerance-based against BOTH external production decoders —
+    libmpg123 always, libavcodec except 24 kHz (band-table ecosystem
+    split, DESIGN.md §6b).  Every Nth stream also runs the batched JAX
+    exact path (must equal the python decode bitwise)."""
+    import numpy as np
+
+    from pdmp3_tpu import decode_file
+    from pdmp3_tpu.host import PROFILE_LSF, native_decode_file
+    from pdmp3_tpu.testing.avref import av_decode, ensure_av_encode, av_encode
+    from pdmp3_tpu.testing.mpg123ref import have_mpg123, mpg123_decode
+    from pdmp3_tpu.testing.signals import make_pcm
+
+    if ensure_av_encode() is None or not have_mpg123():
+        return "infeasible"
+    rng = random.Random(CFG_BASE + REAL_LSF_SEED_OFF + i)
+    cfg = random_real_lsf_config(rng)
+    pcm = make_pcm(cfg["material"], cfg["rate"], cfg["channels"],
+                   seconds=cfg["seconds"],
+                   seed=STREAM_BASE + REAL_LSF_SEED_OFF + i)
+    try:
+        stream = av_encode(pcm, cfg["codec"], cfg["rate"], cfg["channels"],
+                           cfg["bitrate"], cfg["mode"])
+    except Exception:
+        return "infeasible"                # encoder rejected the config
+    if len(stream) < 400:
+        return "infeasible"
+    py = decode_file(stream, lsf=True)
+    nat = native_decode_file(stream, profile=PROFILE_LSF)
+    if nat[:len(py)] != py:
+        return f"FAIL:lsf-real-native-vs-python:{cfg}"
+    if jax_every and i % jax_every == 0:
+        from pdmp3_tpu.models.decoder import JaxDSP
+        jx = decode_file(stream, dsp=JaxDSP(exact=True), lsf=True)
+        if jx != py:
+            return f"FAIL:lsf-real-jax-vs-python:{cfg}"
+    ours = np.frombuffer(py, "<i2").astype(np.float32) / 32768.0
+    if ours.size == 0:
+        return f"FAIL:lsf-real-no-output:{cfg}"
+    anchors = {"mpg123": mpg123_decode(stream)}
+    if cfg["rate"] != 24000:
+        anchors["libav"] = av_decode(stream)
+    for name, ref in anchors.items():
+        n = min(ours.size, ref.size)
+        if n == 0 or ours.size - n > 8 * 576 * cfg["channels"]:
+            return f"FAIL:lsf-real-length:{name}:{ours.size}/{ref.size}:{cfg}"
+        d = float(np.abs(ours[:n] - ref[:n]).max())
+        if d > 2e-3:
+            dump = f"/tmp/soak_lsf_real_{REAL_LSF_SEED_OFF + i}.mp3"
+            with open(dump, "wb") as f:
+                f.write(stream)
+            return f"FAIL:lsf-real-vs-{name}:maxdiff={d}:dump={dump}:{cfg}"
+    return "ok"
+
+
 REAL_SEED_OFF = 800000
+
+MATERIALS = ["transient", "transient", "tonal", "sweep"]
 
 
 def random_real_config(rng: random.Random) -> dict:
@@ -290,6 +370,10 @@ def main() -> None:
                     help="soak the MPEG-2/2.5 LSF profile instead "
                          "(3-way in-tree differential; use a separate "
                          "--out artifact)")
+    ap.add_argument("--real-lsf", action="store_true",
+                    help="soak real libmp3lame MPEG-2/2.5 streams through "
+                         "the LSF path, anchored vs libmpg123 + libavcodec "
+                         "(separate --out artifact)")
     ap.add_argument("--real-encoder", action="store_true",
                     help="soak real libshine/libmp3lame streams instead "
                          "of mp3gen output (breaks the generator/decoder "
@@ -301,7 +385,8 @@ def main() -> None:
     failures: list[dict] = []
     t0 = time.time()
     for k, i in enumerate(range(args.start, args.start + args.count)):
-        fn = (soak_one_real if args.real_encoder
+        fn = (soak_one_real_lsf if args.real_lsf
+              else soak_one_real if args.real_encoder
               else soak_one_lsf if args.lsf else soak_one)
         r = fn(i, args.jax_every)
         if r.startswith("FAIL"):
