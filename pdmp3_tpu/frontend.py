@@ -754,7 +754,14 @@ class Frontend:
         line = ix[gr][ch]
         if s.part2_3_length[gr][ch] == 0:
             line[:] = 0
-            s.count1[gr][ch] = 0
+            # reference quirk (pdmp3.c:2057-2060): the early return never
+            # sets count1, so the PREVIOUS frame's value persists in the
+            # handle and keeps driving the MS extent — found by the
+            # round-5 diversified real-encoder soak (LAME VBR emits
+            # silent p23==0 channels; seed 801224).  LSF is spec-sane:
+            # a silent channel's rzero starts at 0.
+            if self.header.family:
+                s.count1[gr][ch] = 0
             return
         bit_pos_end = part_2_start + int(s.part2_3_length[gr][ch]) - 1
         if s.win_switch_flag[gr][ch] and s.block_type[gr][ch] == 2:

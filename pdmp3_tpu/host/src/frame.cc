@@ -1029,7 +1029,13 @@ void FrameParser::read_huffman(unsigned part_2_start, int gr, int ch,
   if (!line) line = g->ix[gr][ch];
   if (si.part2_3_length[gr][ch] == 0) {
     std::memset(line, 0, 576 * sizeof(int16_t));
-    si.count1[gr][ch] = 0;
+    // reference quirk (pdmp3.c:2057-2060): the early return never sets
+    // count1, so the PREVIOUS frame's value persists in the handle and
+    // keeps driving the MS-stereo extent (min count1) — found by the
+    // round-5 diversified real-encoder soak (LAME VBR emits silent
+    // p23==0 channels; seed 801224).  LSF has no reference to mirror:
+    // a silent channel's rzero starts at 0 there (spec-sane).
+    if (hdr.family) si.count1[gr][ch] = 0;
     return;
   }
   unsigned bit_pos_end = part_2_start + si.part2_3_length[gr][ch] - 1;
@@ -1231,9 +1237,11 @@ int FrameParser::read_main(pdmp3_granules *g,
       unsigned p23 = si.part2_3_length[gr][ch];
       if (p23 == 0) {
         // reference quirk: with no main-data bits the cursor is left
-        // where the (garbage) scalefactor reads ended (pdmp3.c:2057)
+        // where the (garbage) scalefactor reads ended (pdmp3.c:2057),
+        // and count1 is NEVER SET — the previous frame's value stays
+        // in the handle and drives the MS extent (see read_huffman)
         std::memset(line, 0, 576 * sizeof(int16_t));
-        si.count1[gr][ch] = 0;
+        if (hdr.family) si.count1[gr][ch] = 0;
         start = res.pos();
         continue;
       }

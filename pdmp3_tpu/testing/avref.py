@@ -70,12 +70,15 @@ def ensure_av_encode() -> str | None:
 
 
 def av_encode(pcm: np.ndarray, codec: str, rate: int, channels: int,
-              bitrate: int, mode: str = "cbr") -> bytes:
+              bitrate: int, mode: str = "cbr", **extras) -> bytes:
     """Encode interleaved float32 PCM with a libavcodec encoder (mp2,
     libshine, libmp3lame) — ground-truth bitstreams from production
     encoders, independent of our own generator's table choices.
 
-    ``mode``: "cbr" (default), "abr", or "vbr:<q>" (libmp3lame)."""
+    ``mode``: "cbr" (default), "abr", or "vbr:<q>" (libmp3lame).
+    ``extras``: LAME preset axes forwarded as key=value — q (algorithmic
+    quality 0-9), cutoff (lowpass Hz), js (joint stereo 0/1),
+    reservoir (0/1)."""
     binpath = ensure_av_encode()
     if binpath is None:
         raise RuntimeError("libavcodec unavailable")
@@ -83,8 +86,10 @@ def av_encode(pcm: np.ndarray, codec: str, rate: int, channels: int,
         src = os.path.join(d, "in.f32")
         dst = os.path.join(d, "out.bin")
         np.asarray(pcm, np.float32).tofile(src)
-        subprocess.run([binpath, src, dst, codec, str(rate), str(channels),
-                        str(bitrate), mode], check=True, capture_output=True)
+        args = [binpath, src, dst, codec, str(rate), str(channels),
+                str(bitrate), mode]
+        args += [f"{k}={v}" for k, v in extras.items()]
+        subprocess.run(args, check=True, capture_output=True)
         with open(dst, "rb") as f:
             return f.read()
 

@@ -2,9 +2,14 @@
  * via the system libavcodec's native encoders (mp2).
  *
  * Usage: av_encode <in.f32raw> <out.bin> <codec> <rate> <channels>
- *                  <bitrate> [mode]
+ *                  <bitrate> [mode] [key=value ...]
  *
  * mode: "cbr" (default), "abr", or "vbr:<q>" (libmp3lame quality 0-9).
+ * key=value extras (libmp3lame preset axes, round-5 soak diversity):
+ *   q=N        algorithmic quality (LAME -q 0..9, compression_level)
+ *   cutoff=HZ  lowpass frequency (LAME --lowpass, AVCodecContext.cutoff)
+ *   js=0|1     joint stereo on/off (priv option joint_stereo)
+ *   reservoir=0|1  bit-reservoir on/off (priv option)
  *
  * Exists to produce ground-truth streams from production encoders
  * (mp2, libshine, libmp3lame), so the decoder is validated against
@@ -43,6 +48,19 @@ int main(int argc, char **argv) {
     ctx->global_quality = q * FF_QP2LAMBDA;
   } else if (argc > 7 && strcmp(argv[7], "abr") == 0) {
     av_opt_set(ctx->priv_data, "abr", "1", 0);
+  }
+  for (int a = 8; a < argc; a++) {        /* key=value preset extras */
+    if (strncmp(argv[a], "q=", 2) == 0) {
+      ctx->compression_level = atoi(argv[a] + 2);
+    } else if (strncmp(argv[a], "cutoff=", 7) == 0) {
+      ctx->cutoff = atoi(argv[a] + 7);
+    } else if (strncmp(argv[a], "js=", 3) == 0) {
+      av_opt_set(ctx->priv_data, "joint_stereo", argv[a] + 3, 0);
+    } else if (strncmp(argv[a], "reservoir=", 10) == 0) {
+      av_opt_set(ctx->priv_data, "reservoir", argv[a] + 10, 0);
+    } else {
+      die("unknown key=value extra");
+    }
   }
   av_channel_layout_default(&ctx->ch_layout, channels);
   /* Prefer float planar when the encoder offers it (libmp3lame lists
