@@ -191,7 +191,8 @@ def _prev3(xa_t, store_t, bt_t, exact: bool) -> jax.Array:
 def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
              cos36t_ref, c3t_ref, wint_ref, hybl_ref, win2_ref, v_ref,
              nwin_ref, d_ref, inv_ref,
-             out_ref, store_out_ref, v_out_ref, prev_ref):
+             out_ref, store_out_ref, v_out_ref, prev_ref,
+             quantize_exact: bool = False, out_idx=()):
     """Back half for one channel (shared by the back-half-only kernel and
     the fully-fused kernel), writing results through the output refs as
     soon as each is final, and reading the store/v carries from their
@@ -269,9 +270,10 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
     x_time = (out36[:18] + store_ref[ch]) * inv
     store_out_ref[ch] = jnp.where(act, out36[18:], store_ref[ch])
 
-    if ch == 0:
+    xt03 = x_time[0:3, 0, :] if ch == 0 else None
+    if ch == 0 and prev_ref is not None:
         # band-12 OOB carry: granule-0 ch0 lines 0..2 = sb0 samples
-        prev_ref[:] = x_time[0:3, 0, :]
+        prev_ref[:] = xt03
 
     # polyphase: matrix 32 subband samples per output step through
     # NWIN (pdmp3.c:2006-2014); needs sb-major layout
@@ -307,8 +309,15 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
     v_out_ref[ch] = jnp.where(act, blocks[18:], v_ref[ch])
 
     acc = jnp.where(act, acc, 0.0)
-    if exact or _ABLF == "noquant":
-        out_ref[ch] = acc.reshape(576, BN)
+    if exact and quantize_exact:
+        # fused exact: the f64 quantize point emulated in f32
+        # (_k_qz_exact, proven over all 2^32 inputs); the pin rounds
+        # the FIR accumulation before the two_prod split (dsp.py's
+        # quantize_pack pins the same point)
+        out_ref[(*out_idx, ch)] = _k_qz_exact(
+            _k_pin(acc.reshape(576, BN)))
+    elif exact or _ABLF == "noquant":
+        out_ref[(*out_idx, ch)] = acc.reshape(576, BN)
     else:
         # quantize: x32767, trunc toward zero, clip, with the
         # reference's cvttsd2si NaN/overflow -> -32767 (dsp.py)
@@ -316,15 +325,24 @@ def _back_ch(exact: bool, ch: int, xa, store_ref, bt, act,
         t = jnp.trunc(scaled)
         oob = jnp.isnan(scaled) | (t < -2147483648.0) | \
             (t > 2147483647.0)
-        out_ref[ch] = jnp.where(
+        out_ref[(*out_idx, ch)] = jnp.where(
             oob, F32(-32767.0), jnp.clip(t, -32767.0, 32767.0))
+    return xt03
 
 
 def _back_ch_sb(ch: int, xa_sb, store_ref, bt, act,
                 hybl_ref, win2_ref, v_ref, nwin_ref, d_ref, inv_ref,
-                out_ref, store_out_ref, v_out_ref, out_idx=()):
-    """Fast-mode back half in the subband-outer layout (fused kernel
-    only; exact mode and back_half_t keep `_back_ch`).
+                out_ref, store_out_ref, v_out_ref, out_idx=(),
+                exact: bool = False):
+    """Back half in the subband-outer layout (fused kernels; the
+    back-half-only kernel keeps `_back_ch`).
+
+    exact=True replaces each MXU contraction with the reference-order
+    sequential broadcast-FMA chain over the SAME subband-outer slices —
+    identical accumulation order per output element as `_back_ch`'s
+    exact mode (hence bitwise equal), but with zero lane-crossing
+    relayouts (the r04 restructure that bought fast mode +28%), and the
+    f64 quantize point emulated in-kernel (_k_qz_exact).
 
     The batch-in-lanes kernels' original form merged the subband axis
     into lanes around every MXU contraction ([18,32,BN] -> [18,32*BN]
@@ -356,7 +374,15 @@ def _back_ch_sb(ch: int, xa_sb, store_ref, bt, act,
     new_store = []
     xt03 = None
     for sb in range(32):
-        if _ABLF == "noimdct":
+        if exact:
+            # reference m-order accumulation (pdmp3.c:1673-1699) on the
+            # free [72,BN] slice — bitwise equal to _back_ch's chains
+            # (each output row sums the same products in the same order)
+            xsb = xa_sb[sb]
+            fused = cos_lhs[:, 0:1] * xsb[0:1]
+            for m in range(1, 18):
+                fused = fused + cos_lhs[:, m:m + 1] * xsb[m:m + 1]
+        elif _ABLF == "noimdct":
             # ablation: IMDCT contractions replaced by a broadcast
             fused = jnp.broadcast_to(xa_sb[sb][0:1], (72, BN))
         else:
@@ -386,7 +412,19 @@ def _back_ch_sb(ch: int, xa_sb, store_ref, bt, act,
     # polyphase matrixing: 18 per-time-index [64,32]@[32,BN] dots on
     # free slices of the sb-sublane x_time (pdmp3.c:2006-2014)
     xt2 = jnp.stack(x_time, axis=1)              # [18,32,BN]
-    if _ABLF == "nopoly":
+    if exact:
+        # reference j-order accumulation (pdmp3.c:2006-2014) per time
+        # index on free [64,BN] slices
+        nw = nwin_ref[:]
+        rows = []
+        for i in range(18):
+            xi = xt2[i]
+            acc64 = nw[:, 0:1] * xi[0:1]
+            for j in range(1, 32):
+                acc64 = acc64 + nw[:, j:j + 1] * xi[j:j + 1]
+            rows.append(acc64)
+        nb = jnp.stack(rows, axis=0)             # [18,64,BN]
+    elif _ABLF == "nopoly":
         nb = jnp.broadcast_to(xt2[0:1, 0:1], (18, 64, BN))
     else:
         nb = jnp.stack([
@@ -407,7 +445,10 @@ def _back_ch_sb(ch: int, xa_sb, store_ref, bt, act,
     v_out_ref[ch] = jnp.where(act, blocks[18:], v_ref[ch])
 
     acc = jnp.where(act, acc, 0.0)
-    if _ABLF == "noquant":
+    if exact:
+        out_ref[(*out_idx, ch)] = _k_qz_exact(
+            _k_pin(acc.reshape(576, BN)))
+    elif _ABLF == "noquant":
         out_ref[(*out_idx, ch)] = acc.reshape(576, BN)
     else:
         scaled = acc.reshape(576, BN) * F32(32767.0)
@@ -482,6 +523,11 @@ def _front_consts(family: int = 0):
         inv_sqrt2=np.float32(T.INV_SQRT2),
         quarter_down=np.asarray(D._QUARTER_DOWN4, np.float32),
         quarter_up=np.asarray(D._QUARTER_UP4, np.float32),
+        # exact-kernel band-12 selects (family 0 only): window index per
+        # (line, layout) in the wire's line order, and the short band-12
+        # line mask (dsp._win_line_map / _sfb12_short_map)
+        w_winline=wm(D._win_line_map(True)),
+        w_sfb12=wm(D._sfb12_short_map()),
     )
 
 
@@ -510,8 +556,216 @@ def _k_sel16(idx, tab):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Exact-mode kernel arithmetic: f32-only emulations of the float64
+# rounding points (TPU has no f64), each proven bit-identical to the
+# f64 formula over EVERY f32 bit pattern by
+# tools/prove_exact_emulations.py (EXACT_EMU_PROOF_r05.json), plus the
+# correctly-rounded pow43 (dsp._pow43_ff_exact's construction with a
+# kernel-safe seed, exhaustively re-proven over its 8207-entry domain).
+# ---------------------------------------------------------------------------
+
+def _k_pin(x):
+    """Backend-conditional rewrite pin for the exact constructions.
+
+    XLA's algebraic simplifier rewrites float identities ((x+C)-C,
+    constant folding through scales) and mixes fusion clones, so any
+    XLA evaluation of these chains needs optimization barriers.  Mosaic
+    has no such pass (it lowers the jaxpr ops directly, no fast-math) —
+    and does not implement optimization_barrier — so on the TPU kernel
+    path the pin is an identity.  The on-chip 2^32 sweep
+    (tools/prove_on_tpu.py) is the empirical check that Mosaic indeed
+    preserves the constructions verbatim."""
+    if jax.default_backend() == "tpu":
+        return x
+    from .dsp import _opaque
+    return _opaque(x)
+
+
+def _k_vsplit(a):
+    # int32 bit math (Mosaic has no u32 path; the mask is sign-safe)
+    bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.int32(-4096), F32)
+    return hi, a - hi
+
+
+def _k_two_prod(a, b):
+    p = a * b
+    ah, al = _k_vsplit(a)
+    bh, bl = _k_vsplit(b)
+    e = (((ah * bh - p) + ah * bl + al * bh) + al * bl)
+    return p, e
+
+
+def _split_const(v) -> tuple:
+    """Host-side Veltkamp split of an f32 constant (Mosaic cannot
+    bitcast scalars, so constant operands pre-split in Python)."""
+    v = np.float32(v)
+    hi = (v.view(np.uint32) & np.uint32(0xFFFFF000)).view(np.float32)
+    return float(hi), float(np.float32(v - hi))
+
+
+def _k_two_prod_const(a, c) -> tuple:
+    """Dekker product of a vector by a PYTHON-FLOAT constant: the
+    constant's split happens at trace time."""
+    ch, cl = _split_const(c)
+    p = a * F32(np.float32(c))
+    ah, al = _k_vsplit(a)
+    e = (((ah * F32(ch) - p) + ah * F32(cl) + al * F32(ch))
+         + al * F32(cl))
+    return p, e
+
+
+def _k_two_sum(a, b):
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _k_pow43_exact(mag):
+    """Correctly-rounded x^(4/3) for integer magnitudes 0..8206 in
+    kernel-safe ops (dsp._pow43_ff_exact with the uint division of the
+    bit-hack seed replaced by an f32 multiply — any seed within ±8 ulp
+    of the true cube root lands on the same result, and the kernel-form
+    is exhaustively locked against the frozen table by
+    test_pallas.test_kernel_pow43_exact_exhaustive)."""
+    m = mag  # f32, integer-valued
+    safe = jnp.maximum(m, F32(1.0))
+    bits = jax.lax.bitcast_convert_type(safe, jnp.int32)
+    third = (bits.astype(F32) * F32(1.0 / 3.0)).astype(jnp.int32)
+    z = jax.lax.bitcast_convert_type(
+        (jnp.int32(0x54A23000) - third), F32)
+    for _ in range(4):
+        z = z * (F32(4.0) - safe * z * z * z) * F32(1.0 / 3.0)
+    c = safe * z * z
+    p1, e1 = _k_two_prod(c, c)
+    p2, e2 = _k_two_prod(p1, c)
+    r = (p2 - safe) + (e2 + e1 * c)
+    a3 = F32(3.0) * p1
+    w = jax.lax.bitcast_convert_type(
+        jnp.int32(0x7EF311C2)
+        - jax.lax.bitcast_convert_type(a3, jnp.int32), F32)
+    w = w * (F32(2.0) - a3 * w)
+    w = w * (F32(2.0) - a3 * w)
+    d = r * w
+    yh, yl = _k_two_prod(safe, c)
+    # the pins block FMA contraction / fusion-clone mixing of the final
+    # rounding (identity in Mosaic; load-bearing in interpret mode and
+    # for any XLA evaluation of this chain — see dsp._pow43_ff_exact)
+    y = _k_pin(yh) + _k_pin(yl - safe * d)
+    return jnp.where(m == 0, F32(0.0), y)
+
+
+# exact f32 triple split of the f64 constant (plain numpy at module
+# scope: jnp scalars here would initialize a backend at import)
+_MS_C = float(T.INV_SQRT2)
+_MS_C1 = np.float32(_MS_C)
+_MS_C2 = np.float32(_MS_C - float(_MS_C1))
+_MS_C3 = np.float32(_MS_C - float(_MS_C1) - float(_MS_C2))
+
+
+def _k_ms_core(m):
+    p1, e1 = _k_two_prod_const(m, _MS_C1)
+    p2, e2 = _k_two_prod_const(m, _MS_C2)
+    p3 = m * F32(_MS_C3)
+    return p1 + ((e1 + p2) + (p3 + e2))
+
+
+def _k_ms_exact(m):
+    """fl32(f64(m) * C_INV_SQRT_2) in f32 ops (pdmp3.c:1923-1925).
+    Three regimes: direct expansion; scaled expansion (two_prod error
+    terms stay normal); integer-domain nearest-even for subnormal
+    results.  Proven over all 2^32 inputs (EXACT_EMU_PROOF_r05)."""
+    tiny = jnp.abs(m) < F32(2.0 ** -45)
+    sub = jnp.abs(m) < F32(2.0 ** -125)
+    mu = m * jnp.where(tiny, F32(2.0 ** 80), F32(1.0))
+    y12 = _k_ms_core(mu) * jnp.where(tiny, F32(2.0 ** -80), F32(1.0))
+    # subnormal results: k = m * 2^149 is an exact <=2^24 integer.
+    # The two-step scale MUST NOT be folded into one constant (2^149
+    # overflows f32 to inf) — barrier the intermediate.
+    k = _k_pin(m * F32(2.0 ** 75)) * F32(2.0 ** 74)
+    p1, e1 = _k_two_prod_const(k, _MS_C1)
+    p2, e2 = _k_two_prod_const(k, _MS_C2)
+    p3 = k * F32(_MS_C3)
+    s, r = _k_two_sum(p1, p2 + (e1 + (p3 + e2)))
+    sgn = jnp.where(s < 0, F32(-1.0), F32(1.0))
+    sa = jnp.abs(s)
+    big = sa >= F32(2.0 ** 23)
+    # the magic adds MUST round (XLA's simplifier rewrites (x+C)-C to x
+    # under real-number identities) — barrier each intermediate
+    ia = jnp.where(big, sa,
+                   _k_pin(sa + F32(2.0 ** 23)) - F32(2.0 ** 23))
+    i = sgn * ia
+    f = (s - i) + r
+    half = F32(0.5)
+    i = (i + jnp.where(f > half, F32(1.0), F32(0.0))
+         - jnp.where(f < -half, F32(1.0), F32(0.0)))
+    at_tie = jnp.abs(f) == half
+    ih = jnp.abs(i) * F32(0.5)
+    odd = (ih - (_k_pin(ih + F32(2.0 ** 23)) - F32(2.0 ** 23))) != 0
+    i = (i + jnp.where(at_tie & odd & (f > 0), F32(1.0), F32(0.0))
+         - jnp.where(at_tie & odd & (f < 0), F32(1.0), F32(0.0)))
+    # 2^-149 is itself subnormal (constant canonicalization hazard):
+    # scale down in two normal-constant steps, barriered against folding
+    y3 = _k_pin(i * F32(2.0 ** -126)) * F32(2.0 ** -23)
+    y3 = jnp.where((m < 0) & (y3 == 0), F32(-0.0), y3)
+    y = jnp.where(sub, y3, y12)
+    # +-0 (sign preserved), +-inf and NaN: the plain product matches the
+    # f64 formula exactly; the expansion's error terms would be NaN
+    special = (m == 0) | jnp.isnan(m) | jnp.isinf(m)
+    return jnp.where(special, m * F32(_MS_C1), y)
+
+
+def _k_uq_exact(t):
+    """fl32(mod(trunc-input, 2^32)) for integer-valued f32 t
+    (the short-intensity unsigned-assign quirk, pdmp3.c:2212-2213).
+    Proven over all 2^32 inputs (EXACT_EMU_PROOF_r05; NaN/inf cannot
+    reach this site — spectra are finite)."""
+    k = jnp.floor(t * F32(2.0 ** -32))
+    km, ke = _k_two_prod_const(k, 2.0 ** 32)
+    r = (t - km) - ke
+    return r + F32(0.0)
+
+
+def _k_qz_exact(s):
+    """trunc(f64(s)*32767) with cvttsd2si out-of-int32 semantics
+    (pdmp3.c:2028-2031), as the final clipped float.  s*32767 is exact
+    in f64, so this is exact truncation of the Dekker pair (p, e) plus
+    boundary checks.  The truncation DECISION runs in int32 arithmetic
+    on uniquely-rounded floats (p is the one rounding of s*32767; e is
+    exact and FMA-immune by the 12-bit mask splits), so no float
+    reassociation can change it — XLA's fuser was observed flipping a
+    borrow in an earlier all-float formulation.  Proven against the
+    f64 formula over every f32 bit pattern (EXACT_EMU_PROOF_r05)."""
+    p, e = _k_two_prod_const(s, 32767.0)
+    p, e = _k_pin(p), _k_pin(e)
+    pa = jnp.abs(p)
+    small_dom = pa < F32(2.0 ** 23)     # above: clips to 32767 anyway
+    pc = jnp.clip(p, F32(-2.0 ** 23), F32(2.0 ** 23))
+    ip = pc.astype(jnp.int32)           # trunc toward zero, exact
+    exact_int = ip.astype(F32) == pc
+    adj = (jnp.where(exact_int & (pc > 0) & (e < 0), jnp.int32(-1),
+                     jnp.int32(0))
+           + jnp.where(exact_int & (pc < 0) & (e > 0), jnp.int32(1),
+                       jnp.int32(0)))
+    ti = jnp.clip(ip + adj, -32767, 32767)
+    # |product| >= 2^23: result clips to +-32767 unless out of int32
+    # range (cvttsd2si -> INT32_MIN -> -32767 after the clip)
+    neg = jax.lax.bitcast_convert_type(p, jnp.int32) < 0
+    # boolean algebra, not where-of-bools (Mosaic cannot select i1)
+    at_edge = pa == F32(2.0 ** 31)
+    oob = ((pa > F32(2.0 ** 31))
+           | (at_edge & ~neg & (e >= 0))
+           | (at_edge & neg & (-e >= 1)))
+    big = jnp.where(neg, jnp.int32(-32767), jnp.int32(32767))
+    ti = jnp.where(small_dom, ti, big)
+    bad = jnp.isnan(s) | (oob & ~small_dom)
+    return jnp.where(bad, jnp.int32(-32767), ti).astype(F32)
+
+
 def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
-                 *refs):
+                 exact: bool, *refs):
     # slot_major_ix: ix_ref arrives [BN, 2, 576] (the wire's native
     # layout) and is transposed to feature-major INSIDE the kernel —
     # the PDMP3_ABL=ixt experiment replacing the XLA transpose-in.
@@ -519,6 +773,15 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
     # intensity sidecar (rows 0..21 long positions, 22..60 short flat,
     # illegal = 63); iscale rides meta row 12.  The MPEG-1 signature is
     # unchanged so its compiled kernel carries zero LSF overhead.
+    # exact (family 0) adds: g12_ref f32 [3,BN] (band-12 TRUE gains),
+    # gate_ref i32 [1,BN] (gr1 flags), wwl_ref/wsfb12_ref [576,9]
+    # (window-line / band-12 select matrices).
+    extra = {}
+    if exact and family == 0:
+        (g12_ref, gate_ref, wwl_ref, wsfb12_ref), refs = \
+            refs[:4], refs[4:]
+        extra = dict(g12=g12_ref, gate12=gate_ref,
+                     wwl_ref=wwl_ref, wsfb12_ref=wsfb12_ref)
     if family:
         (ix_ref, scfl_ref, scfs_ref, lay_ref, meta_ref, sbg_ref,
          act_ref, bt_ref, store_ref, v_ref, ip_ref,
@@ -544,7 +807,9 @@ def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,
         ip_ref, wsfb_ref, wsfs_ref, wsfsp_ref, wwin_ref, wpre_ref,
         wshort_ref, wbs_ref, wiok_ref,
         hybl_ref, win2_ref, nwin_ref, d_ref, inv_ref,
-        store_ref, v_ref, out_ref, store_out_ref, v_out_ref)
+        store_ref, v_ref, out_ref, store_out_ref, v_out_ref,
+        exact=exact, cos36t_ref=cos36t_ref, c3t_ref=c3t_ref,
+        wint_ref=wint_ref, **extra)
     prev_ref[:] = xt03
 
 
@@ -554,7 +819,9 @@ def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
                    wshort_ref, wbs_ref, wiok_ref,
                    hybl_ref, win2_ref, nwin_ref, d_ref, inv_ref,
                    store_src, v_src, out_ref, store_out_ref, v_out_ref,
-                   out_idx=()):
+                   out_idx=(), exact=False, g12=None, gate12=None,
+                   wwl_ref=None, wsfb12_ref=None,
+                   cos36t_ref=None, c3t_ref=None, wint_ref=None):
     """One granule of the fully-fused fast step — the shared body of the
     per-granule `_kernel_full` and the frame-fused `_kernel_frame`.
 
@@ -569,6 +836,18 @@ def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
     BN = act.shape[-1]
     fc = _front_consts(family)
 
+    if _ABLF == "noall":
+        # empty-kernel probe: identical grid/blocks/IO, near-zero
+        # compute — measures the dispatch + block-IO floor of the fused
+        # step (round-5 fixed-overhead attribution, KERNEL_PROFILE_r05)
+        z = ix[0].astype(F32) if not slot_major_ix \
+            else ix[:, 0, :].astype(F32).T
+        for ch in range(2):
+            out_ref[(*out_idx, ch)] = z
+        store_out_ref[...] = store_src[...]
+        v_out_ref[...] = v_src[...]
+        return jnp.zeros((3, BN), F32)
+
     # --- requantize both channels (pdmp3.c:1829-1905, 2117-2152) ---
     xs = []
     oh0 = short0 = scf_l0 = t_s0 = None
@@ -580,8 +859,12 @@ def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
         sign = jnp.where(ixf < 0, F32(-1.0), F32(1.0))
         mag = jnp.clip(jnp.abs(ixf), 0, 8206).astype(F32)
         # x^(4/3) = x * cbrt(x), Newton-refined from an exp2/log2 seed
-        # (dsp._pow43 fast path)
-        if _ABLF == "nopow":                      # ablation: skip cbrt
+        # (dsp._pow43 fast path); exact = the correctly-rounded
+        # float-float closed form (kernel-safe port of
+        # dsp._pow43_ff_exact, locked over the full 8207-entry domain)
+        if exact:
+            tmp3 = sign * _k_pow43_exact(mag)
+        elif _ABLF == "nopow":                    # ablation: skip cbrt
             tmp3 = sign * mag
         else:
             safe = jnp.maximum(mag, F32(1.0))
@@ -620,6 +903,24 @@ def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
         q_short = qpu * scf_s_line.astype(jnp.int32)
         tmp1_short = (_k_quarter(q_short & 3, fc["quarter_down"])
                       * _k_pow2i(-(q_short >> 2)))
+        if exact and family == 0:
+            # host sentinel-63 scalefactors (q >= 100) decode as zero
+            # gain (dsp._gain_quarter exact semantics)
+            tmp1_long = jnp.where(q_long >= 100, F32(0.0), tmp1_long)
+            tmp1_short = jnp.where(q_short >= 100, F32(0.0), tmp1_short)
+            if ch == 1 and g12 is not None:
+                # band-12 OOB bit-pattern scalefactors: the XLA caller
+                # gathers the denormal-capable GAIN_QUARTER_TRUE values
+                # [3,BN]; select per line by window and overwrite the
+                # granule-1 ch1 short band-12 lines (dsp.requantize g12)
+                wl = _dot(wwl_ref[:], oh9)            # [576,BN] win idx
+                g12v = g12[:]
+                g12_line = jnp.where(wl == F32(0.0), g12v[0:1],
+                                     jnp.where(wl == F32(1.0),
+                                               g12v[1:2], g12v[2:3]))
+                m12 = ((_dot(wsfb12_ref[:], oh9) == F32(1.0))
+                       & (gate12[:] != 0))
+                tmp1_short = jnp.where(m12, g12_line, tmp1_short)
         sbg_ch = sbg[ch].astype(F32)                  # [3,BN]
         t_w = (oh9[:, None, :] * sbg_ch[None, :, :]).reshape(27, BN)
         sbg_line = _dot(wwin_ref[:], t_w)
@@ -654,9 +955,16 @@ def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
     else:
         ms_mask = (ms != 0) & (iota < jnp.minimum(c0, c1r))
     l_raw = l
-    cst = F32(fc["inv_sqrt2"])
-    l2 = jnp.where(ms_mask, (l + r) * cst, l)
-    r2 = jnp.where(ms_mask, (l - r) * cst, r)
+    if exact:
+        # the f64 rounding point (pdmp3.c:1923-1925) emulated in f32:
+        # fl32(f64(fl32(l±r)) * C_INV_SQRT_2), proven over all 2^32
+        # inputs (EXACT_EMU_PROOF_r05)
+        l2 = jnp.where(ms_mask, _k_ms_exact(_k_pin(l + r)), l)
+        r2 = jnp.where(ms_mask, _k_ms_exact(_k_pin(l - r)), r)
+    else:
+        cst = F32(fc["inv_sqrt2"])
+        l2 = jnp.where(ms_mask, (l + r) * cst, l)
+        r2 = jnp.where(ms_mask, (l - r) * cst, r)
     l, r = l2, r2
 
     band_start = _dot(wbs_ref[:], oh0, _HIGH).astype(jnp.int32)
@@ -704,9 +1012,13 @@ def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
         int_l = _k_sel16(ip, fc["ratio_l"]) * l
         int_r = _k_sel16(ip, fc["ratio_r"]) * l
         if bug_compat:
-            # pdmp3.c:2212-2213 short-intensity unsigned-assign bug (fast
-            # precision: f32 trunc/mod, dsp.stereo)
-            u = jnp.mod(jnp.trunc(l), F32(2.0 ** 32))
+            # pdmp3.c:2212-2213 short-intensity unsigned-assign bug
+            # (fast: f32 trunc/mod; exact: the f64 trunc+mod point
+            # emulated in f32 — proven over all 2^32 inputs)
+            if exact:
+                u = _k_uq_exact(jnp.trunc(l))
+            else:
+                u = jnp.mod(jnp.trunc(l), F32(2.0 ** 32))
             int_l = jnp.where(short0 == F32(1.0), u, int_l)
             int_r = jnp.where(short0 == F32(1.0), u, int_r)
         l = jnp.where(imask, int_l, l)
@@ -724,7 +1036,7 @@ def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
         # per-row list (Mosaic has no scatter; slices + one final stack
         # build xa directly in the back half's [18,32,BN] layout)
         rows = [x2[:, k] for k in range(18)]          # each [32,BN]
-        if _ABLF != "noaa":                           # ablation: skip AA
+        if exact or _ABLF != "noaa":                  # ablation: skip AA
             for i in range(8):
                 lo = rows[17 - i][:31]                # [31,BN]
                 up = rows[i][1:]
@@ -735,11 +1047,14 @@ def _fused_granule(bug_compat, family, slot_major_ix, act, scf12,
                     [jnp.where(keep, lb, lo), rows[17 - i][31:]], axis=0)
                 rows[i] = jnp.concatenate(
                     [rows[i][:1], jnp.where(keep, ub, up)], axis=0)
+        # subband-outer back half in both modes (exact = the same
+        # per-element accumulation order as _back_ch's chains on
+        # relayout-free slices, + the in-kernel f64 quantize emulation)
         xa_sb = jnp.stack(rows, axis=1)               # [32,18,BN]
         r03 = _back_ch_sb(ch, xa_sb, store_src, bt[ch], act,
                           hybl_ref, win2_ref, v_src, nwin_ref, d_ref,
                           inv_ref, out_ref, store_out_ref, v_out_ref,
-                          out_idx)
+                          out_idx, exact=exact)
         if ch == 0:
             xt03 = r03
     return xt03
@@ -1089,11 +1404,12 @@ def back_half_t(xa_t, store_t, v_t, bt_t, active,
 
 @functools.partial(_lazy_jit,
                    static_argnames=("block_lanes", "bug_compat",
-                                    "family", "slot_major_ix"))
+                                    "family", "slot_major_ix", "exact"))
 def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
                 bt_t, store_t, v_t, block_lanes: int = 128,
                 bug_compat: bool = True, family: int = 0,
-                ip_t=None, slot_major_ix: bool = False):
+                ip_t=None, slot_major_ix: bool = False,
+                exact: bool = False, g12_t=None, gate_t=None):
     """Fully-fused fast-mode granule step: requantize -> stereo ->
     antialias -> hybrid synthesis -> polyphase -> quantize in ONE
     pallas_call; no [B,2,576] intermediate ever touches HBM.
@@ -1108,6 +1424,16 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
     [13,B]) and requires ip_t i32 [64,B], the intensity sidecar in the
     LSF wire layout; the kernel compiles per family with that family's
     band-map constants.
+
+    exact=True compiles the round-5 fused EXACT kernel: correctly-
+    rounded pow43, sentinel gains, the f64 rounding points (MS
+    butterfly, unsigned-intensity quirk, final quantize) emulated in
+    proven f32 constructions, and the reference-order sequential back
+    half — requantize-through-quantize bit-exact in ONE pallas_call.
+    family-0 exact requires g12_t f32 [3,B] (band-12 GAIN_QUARTER_TRUE
+    gathers) and gate_t i32 [1,B] (gr1 flags).  TPU-only in serving:
+    XLA:CPU flushes f32 subnormals, so the CPU exact path keeps the
+    split architecture (decode_granules_pallas routes).
 
     Returns (pcm_t [2,576,B] quantized floats, new_store_t, new_v_t,
     prev3 [3,B])."""
@@ -1130,6 +1456,10 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
         active = jnp.pad(active, (0, pad))
         if ip_t is not None:
             ip_t = padl(ip_t)
+        if g12_t is not None:
+            g12_t = padl(g12_t)
+        if gate_t is not None:
+            gate_t = padl(gate_t)
     Bp = active.shape[-1]
     c = _consts()
     fc = _front_consts(family)
@@ -1153,6 +1483,15 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
              c["win2"], c["nwin"], c["d"], c["inv_t"])
     meta_rows = 13 if family else 12
     extra_specs = [bspec((64, Bp))] if family else []
+    exact_specs = []
+    exact_args = []
+    if exact and family == 0:
+        assert g12_t is not None and gate_t is not None
+        exact_specs = [bspec((3, Bp)), bspec((1, Bp)),
+                       cspec(fc["w_winline"]), cspec(fc["w_sfb12"])]
+        exact_args = [g12_t, gate_t.astype(jnp.int32),
+                      jnp.asarray(fc["w_winline"]),
+                      jnp.asarray(fc["w_sfb12"])]
     if slot_major_ix:
         # slot-major blocks: [BN, 2, 576] tiles of the [B, 2, 576] input
         ix_spec = pl.BlockSpec((BN, 2, 576), lambda i: (i, 0, 0),
@@ -1160,6 +1499,7 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
     else:
         ix_spec = bspec((2, 576, Bp))
     in_specs = [
+        *exact_specs,
         ix_spec, bspec((2, 22, Bp)), bspec((2, 39, Bp)),
         bspec((2, Bp)), bspec((meta_rows, Bp)), bspec((2, 3, Bp)),
         bspec((1, Bp)), bspec((2, 32, Bp)),
@@ -1180,13 +1520,14 @@ def full_step_t(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, active,
     with jax.enable_x64(False):  # same Mosaic i64 caveat as back_half_t
         outs = pl.pallas_call(
             functools.partial(_kernel_full, bug_compat, family,
-                              slot_major_ix),
+                              slot_major_ix, exact),
             grid=(Bp // BN,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=jax.default_backend() != "tpu",
-        )(ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, act2, bt_t,
+        )(*exact_args,
+          ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, act2, bt_t,
           store_t, v_t, *extra_args,
           *(jnp.asarray(a) for a in fronts),
           *(jnp.asarray(a) for a in backs))
@@ -1227,7 +1568,68 @@ def decode_granules_pallas(batch, pstate: PallasState,
     bt_t = bt_eff.transpose(1, 2, 0)                      # [2,32,B]
     act = batch.active
 
-    if exact:
+    fuse_exact = exact and dsp._ABL not in ("split", "rqgather",
+                                            "rqfast", "ms32", "q32",
+                                            "rqint8", "exphigh") and (
+        jax.default_backend() == "tpu" or dsp._ABL == "fexact")
+    if fuse_exact:
+        # round-5 fused EXACT kernel: requantize-through-quantize in one
+        # pallas_call, the f64 rounding points emulated by the proven
+        # f32 constructions (EXACT_EMU_PROOF_r05).  TPU-only by default:
+        # XLA:CPU flushes f32 subnormal arithmetic, so CPU serving keeps
+        # the split path below (PDMP3_ABL=fexact forces the fused route
+        # for interpret-mode structure tests on subnormal-free fixtures).
+        ix_t = batch.ix.astype(jnp.int16).transpose(1, 2, 0)
+        scf_l_t = batch.scf_l.astype(jnp.int32).transpose(1, 2, 0)
+        scf_s = batch.scf_s.astype(jnp.int32).reshape(B, 2, 39)
+        g12_t = None
+        gate_t = None
+        if family == 0:
+            # band-12 OOB substitution + denormal-capable TRUE gains
+            # (dsp.requantize band12_bits semantics, computed here in
+            # XLA: a [B,3] gather is noise next to the kernel)
+            bits = jax.lax.bitcast_convert_type(pstate.prev_lines,
+                                                jnp.uint32)
+            scf12 = jnp.minimum(bits, jnp.uint32(1024)).astype(jnp.int32)
+            cur = scf_s[:, 1, 36:39]
+            scf_s = scf_s.at[:, 1, 36:39].set(
+                jnp.where((batch.gr1 != 0)[:, None], scf12, cur))
+            qpu1 = (2 << batch.scalefac_scale[:, 1])[:, None]
+            g12 = dsp._gather2(np.asarray(T.GAIN_QUARTER_TRUE),
+                               qpu1 * scf12, 5)          # [B,3]
+            g12_t = g12.astype(jnp.float32).T             # [3,B]
+            gate_t = batch.gr1.astype(jnp.int32)[None]    # [1,B]
+        scf_s_t = scf_s.transpose(1, 2, 0)
+        lay_t = batch.layout.astype(jnp.int32).T
+        ws, btb, mx = batch.win_switch, batch.block_type, batch.mixed
+        isp = (ws == 1) & (btb == 2) & (mx == 0)
+        ism = (ws == 1) & (btb == 2) & (mx == 1)
+        sblim = jnp.where(isp, 1, jnp.where(ism, 2, 32))
+        meta_rows = [
+            batch.global_gain.astype(jnp.int32).T,
+            batch.scalefac_scale.astype(jnp.int32).T,
+            batch.preflag.astype(jnp.int32).T,
+            batch.count1.astype(jnp.int32).T,
+            sblim.astype(jnp.int32).T,
+            batch.ms_flag.astype(jnp.int32)[None],
+            batch.is_flag.astype(jnp.int32)[None],
+        ]
+        ip_t = None
+        if family:
+            meta_rows.append(batch.iscale.astype(jnp.int32)[None])
+            ip_t = jnp.concatenate([
+                batch.is_pos_l.astype(jnp.int32).T,
+                batch.is_pos_s.astype(jnp.int32).reshape(B, 39).T,
+                jnp.zeros((3, B), jnp.int32),
+            ], axis=0)
+        meta_t = jnp.concatenate(meta_rows, axis=0)
+        sbg_t = batch.subblock_gain.astype(jnp.int32).transpose(1, 2, 0)
+        q, store_t, v_t, prev3 = full_step_t(
+            ix_t, scf_l_t, scf_s_t, lay_t, meta_t, sbg_t, act, bt_t,
+            pstate.store_t, pstate.v_t, block_lanes=block_lanes,
+            bug_compat=bug_compat, family=family, ip_t=ip_t,
+            exact=True, g12_t=g12_t, gate_t=gate_t)
+    elif exact:
         x = dsp.requantize(batch.ix, batch.scf_l, batch.scf_s,
                            batch.layout, batch.global_gain,
                            batch.scalefac_scale, batch.preflag,

@@ -131,3 +131,92 @@ def test_pallas_small_batch_fallback():
                                        block_lanes=8)
     px, _ = M.decode_granules(batch, st_x, exact=True)
     np.testing.assert_array_equal(np.asarray(pp), np.asarray(px))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 fused EXACT kernel (requantize-through-quantize in one
+# pallas_call; ops/pallas_step.py exact=True path).
+# ---------------------------------------------------------------------------
+
+def test_kernel_pow43_exact_exhaustive():
+    """The kernel-form correctly-rounded pow43 (_k_pow43_exact — the
+    f32-multiply seed variant of dsp._pow43_ff_exact) is bit-identical
+    to the reference's frozen 8207-entry table over its ENTIRE domain."""
+    from pdmp3_tpu import tables as T
+    mags = np.arange(8207, dtype=np.float32)
+    got = np.asarray(jax.jit(PSF._k_pow43_exact)(mags))
+    want = np.asarray(T.POW43[:8207], np.float32)
+    bad = np.nonzero(got.view(np.uint32) != want.view(np.uint32))[0]
+    assert bad.size == 0, f"{bad.size} mismatches, first at {bad[:5]}"
+
+
+def test_exact_emulations_structured():
+    """Structured + random sample of the f32 emulations of the exact
+    path's f64 rounding points against the float64 formulas — the fast
+    in-suite slice of the exhaustive proofs (tools/prove_exact_emulations
+    sweeps ALL 2^32 inputs on the host transcription;
+    tools/prove_on_tpu.py checksum-matches the kernel's jnp originals on
+    the chip, where subnormal arithmetic works — XLA:CPU flushes it)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(
+        __file__).resolve().parents[1] / "tools"))
+    import prove_exact_emulations as P
+    rng = np.random.default_rng(7)
+    bits = np.concatenate([
+        # full-range random, subnormal/tiny band, negatives of both
+        rng.integers(0, 2 ** 32, 1 << 18, dtype=np.uint64),
+        rng.integers(0, 2 ** 25, 1 << 17, dtype=np.uint64),
+        rng.integers(0, 2 ** 25, 1 << 17, dtype=np.uint64) + 0x80000000,
+        # quantize borrow boundaries: values near n/32767
+        (np.abs(np.round(rng.integers(1, 32767, 1 << 16)
+                         / np.float32(32767.0)).astype(np.float32)
+         ).view(np.uint32)).astype(np.uint64),
+    ]).astype(np.uint32)
+    x = bits.view(np.float32)
+    with np.errstate(all="ignore"):
+        for name, emu, ref in (("ms", P.ms_emulated, P.ms_reference),
+                               ("uq", P.uq_emulated, P.uq_reference),
+                               ("qz", P.qz_emulated, P.qz_reference)):
+            a, b = emu(x.copy()), ref(x.copy())
+            eq = (a.view(np.uint32) == b.view(np.uint32)) \
+                | (np.isnan(a) & np.isnan(b))
+            if name == "uq":
+                eq |= ~np.isfinite(x)    # site unreachable by inf/nan
+            bad = np.nonzero(~eq)[0]
+            assert bad.size == 0, \
+                f"{name}: {bad.size} mismatches, first x={x[bad[0]]!r}"
+
+
+def test_fused_exact_interpret_structure(monkeypatch):
+    """The fused exact kernel (interpret mode) vs the split XLA exact
+    path: state carries BITWISE equal; PCM within 1 LSB.  The PCM bound
+    is an XLA:CPU artifact — the interpret-mode 'kernel' is traced into
+    an XLA program whose fuser evaluates the f32 quantize construction
+    differently per fusion context (and FTZ flushes subnormal
+    arithmetic) — while on the real chip the Mosaic-compiled kernel is
+    BITWISE equal, PCM and state (test_tpu_conformance leg + the
+    on-chip 2^32 construction sweep, EXACT_EMU_PROOF_TPU_r05)."""
+    from pdmp3_tpu.ops import dsp
+    monkeypatch.setattr(dsp, "_ABL", "fexact")
+    steps = 3
+    frames = _frames(steps)
+    B = len(frames)
+    st_x = M.init_state(B)
+    st_p = PSF.init_pallas_state(B)
+    worst = 0
+    for t in range(steps):
+        fds = [frames[b][t] for b in range(B)]
+        for batch in M.frame_to_batches(fds):
+            px, st_x = M.decode_granules(batch, st_x, exact=True)
+            pp, st_p = PSF.decode_granules_pallas.__wrapped__(
+                batch, st_p, True, True, 8)
+            d = np.abs(np.asarray(px, np.int64) - np.asarray(pp, np.int64))
+            worst = max(worst, int(d.max()))
+            sx = PSF.state_to_pallas(st_x)
+            np.testing.assert_array_equal(np.asarray(sx.store_t),
+                                          np.asarray(st_p.store_t))
+            np.testing.assert_array_equal(np.asarray(sx.v_t),
+                                          np.asarray(st_p.v_t))
+            np.testing.assert_array_equal(np.asarray(sx.prev_lines),
+                                          np.asarray(st_p.prev_lines))
+    assert worst <= 1, worst

@@ -42,8 +42,12 @@ print(json.dumps({"abl": os.environ.get("PDMP3_ABL_FAST", ""),
                   "rtf": round(rtf, 1), "step_ms": round(step_ms, 3)}))
 """
 
-ABLS = ["", "nopow", "nogain", "nostereo", "noaa", "noimdct", "nopoly",
-        "nofir", "noquant"]
+ABLS = ["", "noall", "nopow", "nogain", "nostereo", "noaa", "noimdct",
+        "nopoly", "nofir", "noquant"]
+# ABL_FAST_MODES=a,b,c selects a subset (e.g. the round-5 fixed-overhead
+# probe pair '',noall without re-timing the full stage sweep)
+if os.environ.get("ABL_FAST_MODES"):
+    ABLS = os.environ["ABL_FAST_MODES"].split(",")
 
 
 def main() -> None:
