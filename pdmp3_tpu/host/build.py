@@ -70,16 +70,21 @@ def selftest_bin(sanitize: str | None = None) -> str:
     return exe
 
 
-def parsebench_bin(profile: bool = False) -> str:
+def parsebench_bin(profile: bool = False, stats: bool = False) -> str:
     """Build (cached) the native parse-throughput benchmark
-    (src/parsebench.cc).  profile=True adds -pg for gprof."""
+    (src/parsebench.cc).  profile=True adds -pg for gprof; stats=True
+    compiles the PDMP3_PARSE_STATS rdtsc stage counters (slower — the
+    counters sit in the hot loops) and prints the per-stage cycle
+    split in the JSON."""
     src_dir = os.path.join(HOST_DIR, "src")
     ensure_built()
-    exe = os.path.join(BUILD_DIR, "pdmp3_parsebench" + ("_pg" if profile
-                                                        else ""))
+    exe = os.path.join(BUILD_DIR, "pdmp3_parsebench"
+                       + ("_pg" if profile else "")
+                       + ("_stats" if stats else ""))
     srcs = [os.path.join(src_dir, s) for s in SRCS + ["parsebench.cc"]]
     if _stale(exe, srcs):
-        flags = list(CXXFLAGS) + (["-pg", "-g"] if profile else [])
+        flags = list(CXXFLAGS) + (["-pg", "-g"] if profile else []) \
+            + (["-DPDMP3_PARSE_STATS"] if stats else [])
         subprocess.run(["g++", *flags, "-o", exe, *srcs], check=True,
                        capture_output=True)
     return exe

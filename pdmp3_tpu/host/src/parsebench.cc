@@ -34,6 +34,17 @@ std::vector<unsigned char> read_file(const char *path) {
 
 }  // namespace
 
+#ifdef PDMP3_PARSE_STATS
+extern "C" {
+extern unsigned long long pdmp3_stat_pairs, pdmp3_stat_slow,
+    pdmp3_stat_quads;
+extern unsigned long long pdmp3_cyc_regions, pdmp3_cyc_count1,
+    pdmp3_cyc_zfill, pdmp3_cyc_scf, pdmp3_cyc_maindata,
+    pdmp3_cyc_header, pdmp3_cyc_sideinfo, pdmp3_cyc_pack,
+    pdmp3_cyc_frame;
+}
+#endif
+
 int main(int argc, char **argv) {
   if (argc < 5) {
     std::fprintf(stderr, "usage: %s n_slots n_threads seconds streams...\n",
@@ -92,9 +103,26 @@ int main(int argc, char **argv) {
                   .count();
   } while (elapsed < seconds);
 
+#ifdef PDMP3_PARSE_STATS
+  std::printf(
+      "{\"n_slots\": %zu, \"n_threads\": %d, \"frames\": %lld, "
+      "\"seconds\": %.3f, \"frames_per_sec\": %.1f, "
+      "\"cycles\": {\"header\": %llu, \"sideinfo\": %llu, "
+      "\"maindata\": %llu, \"scf\": %llu, \"huffman_regions\": %llu, "
+      "\"count1\": %llu, \"zfill\": %llu, \"wire_pack\": %llu, "
+      "\"frame_total\": %llu}, "
+      "\"counts\": {\"pairs\": %llu, \"slow_pairs\": %llu, "
+      "\"quads\": %llu}}\n",
+      n_slots, n_threads, frames, elapsed, frames / elapsed,
+      pdmp3_cyc_header, pdmp3_cyc_sideinfo, pdmp3_cyc_maindata,
+      pdmp3_cyc_scf, pdmp3_cyc_regions, pdmp3_cyc_count1,
+      pdmp3_cyc_zfill, pdmp3_cyc_pack, pdmp3_cyc_frame,
+      pdmp3_stat_pairs, pdmp3_stat_slow, pdmp3_stat_quads);
+#else
   std::printf("{\"n_slots\": %zu, \"n_threads\": %d, \"frames\": %lld, "
               "\"seconds\": %.3f, \"frames_per_sec\": %.1f}\n",
               n_slots, n_threads, frames, elapsed, frames / elapsed);
+#endif
   for (size_t s = 0; s < n_slots; s++) pdmp3_delete(ids[s]);
   return 0;
 }

@@ -761,7 +761,11 @@ def _k_qz_exact(s):
     big = jnp.where(neg, jnp.int32(-32767), jnp.int32(32767))
     ti = jnp.where(small_dom, ti, big)
     bad = jnp.isnan(s) | (oob & ~small_dom)
-    return jnp.where(bad, jnp.int32(-32767), ti).astype(F32)
+    out = jnp.where(bad, jnp.int32(-32767), ti).astype(F32)
+    # zero keeps the product's sign (f64 trunc(-0.99..) = -0.0; the
+    # int32 path loses it; invisible after the int16 cast but kept for
+    # bit-purity vs the f64 formula)
+    return jnp.where((out == 0) & neg, F32(-0.0), out)
 
 
 def _kernel_full(bug_compat: bool, family: int, slot_major_ix: bool,

@@ -43,7 +43,7 @@ def run_native(exe: str, n_slots: int, threads: int, seconds: float,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="HOST_PARSE_r03.json")
+    ap.add_argument("--out", default="HOST_PARSE_r05.json")
     ap.add_argument("--slots", type=int, default=256)
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--trials", type=int, default=5)
@@ -64,6 +64,14 @@ def main() -> None:
             files.append(p)
         rows = [run_native(exe, args.slots, t, args.seconds, files,
                            args.trials) for t in (1, 2, 4)]
+        # per-stage cycle split (round-5 VERDICT #5): a separate
+        # PDMP3_PARSE_STATS build — rdtsc pairs sit in the hot loops,
+        # so its frames/s is NOT the throughput number, only the split
+        stats_exe = parsebench_bin(stats=True)
+        stats_out = subprocess.run(
+            [stats_exe, str(args.slots), "1", str(args.seconds), *files],
+            capture_output=True, text=True, check=True).stdout
+        stage_stats = json.loads(stats_out)
 
     # the bench.py harness counterpart (includes the Python serving loop)
     src = open(os.path.join(os.path.dirname(os.path.dirname(
@@ -83,6 +91,10 @@ def main() -> None:
         "per_core_frames_per_sec": per_core,
         "chip_consume_frames_per_sec": 2.26e6,
         "cores_to_saturate_chip": round(2.26e6 / per_core, 2),
+        "stage_cycles_note": ("separate -DPDMP3_PARSE_STATS build; "
+                              "rdtsc pairs inflate total runtime, use "
+                              "only the RATIOS between stages"),
+        "stage_stats": stage_stats,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
