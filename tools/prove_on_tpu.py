@@ -67,11 +67,6 @@ _MIX = np.int32(np.uint32(2654435761).view(np.int32))
 #   qz: |s| < 2^-126 (subnormal s is DAZ'd in the first multiply; the
 #       f64 path truncates those to 0 as well, but the Dekker error
 #       path differs under DAZ).
-_MS_SKIP = lambda ax: ax < np.float32(2.0 ** -125)       # noqa: E731
-_UQ_SKIP = None
-_QZ_SKIP = lambda ax: ax < np.float32(2.0 ** -126)       # noqa: E731
-
-
 def _np_mask(x, skip, nonfinite):
     m = np.zeros(x.shape, bool)
     if skip is not None:
@@ -91,8 +86,6 @@ def _checksum_np(out_bits, bits, mask):
 
 
 def _device_fn(fn, skip_thresh, nonfinite):
-    kern = _kernel = None
-
     def kern(x_ref, o_ref):
         o_ref[...] = fn(x_ref[...])
 
